@@ -3,8 +3,16 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``b3_analytics_engine_spark``; this module is
+the thin adapter. Contract rules applied throughout the registry:
+
+- identical column aliases between Spark and oracle SQL;
+- every floating-point output rounded to 6 dp on BOTH sides;
+- deterministic tie-breaks inside ranking/dedup operators;
+- ANSI-safe expressions (the driver's Spark 4 session has
+  ``spark.sql.ansi.enabled=true``): try_cast, guarded denominators.
 """
 
 from __future__ import annotations
@@ -13,26 +21,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from b3_analytics_engine_spark.queries import oracle_map, spark_queries
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The E2-condensed warehouse pipeline (SURVEY.md §3 E2): daily bars →
+    SMA-5/20 → daily + cumulative returns → turnover, per key.
+    """
+    from b3_analytics_engine_spark.queries.analytics import warehouse_metrics
+
+    return warehouse_metrics(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM-data
+    extensions). Each callable takes (spark, sf_dir) → DataFrame."""
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable SQL twin for each hash-checkable query. Keys
+    absent here (LSH-based approximate operators) get the driver's
+    rows-only check and are verified against exact counterparts in
+    tests/."""
+    return oracle_map()

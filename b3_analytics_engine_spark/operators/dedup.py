@@ -1,0 +1,353 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Extension surface (BASELINE.json north star): exact dedup, n-gram
+Jaccard near-dup, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the whole point — these must work at 100 TB):
+
+- **exact**: hash-groupBy on a 128-bit content fingerprint. One
+  shuffle of (16-byte key, doc_id) pairs, map-side combinable. Never
+  shuffles document text.
+- **n-gram Jaccard**: inverted-index join (explode shingle → equi-join
+  on shingle → count intersections) instead of an O(N²) cross join.
+  Hot shingles are capped (document-frequency cut) exactly like a
+  search engine drops stopwords from postings.
+- **MinHash+LSH**: signature = k minima of permuted shingle hashes,
+  computed per-row with NO shuffle; banding turns near-dup search into
+  an equi-join on (band_id, band_hash). Candidate pairs are then
+  verified with exact Jaccard, so false positives cost only the verify
+  join; recall is tuned by (bands, rows-per-band).
+- **SimHash**: one 64-bit signature per doc computed in a single
+  expression (no explode, no shuffle), then banded into 16-bit chunks
+  for Hamming-neighbor candidate generation.
+- **embedding near-dup**: cosine ≥ τ pairs via random-hyperplane LSH
+  bucketing; brute-force variant for verification at small scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+# Deterministic Mersenne-prime permutation family for MinHash.
+# 2^31-1 (not 2^61-1) so a*h+b < 2^62 never overflows a signed 64-bit
+# long — Spark 4 runs ANSI mode where long overflow THROWS.
+_MERSENNE = (1 << 31) - 1
+_LCG_MOD = (1 << 61) - 1
+
+
+def _permute_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p.
+
+    A tiny LCG expands the seed — reproducible across runs/clusters
+    with no RNG state (Spark tasks must stay deterministic for
+    retries).
+    """
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % _LCG_MOD
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % _LCG_MOD
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """n-token shingles as an array<string> (distinct, order-free set).
+
+    Pure SQL: tokens → transform(sequence(...)) → concat_ws windows.
+    Documents shorter than n tokens contribute their full token string
+    as a single shingle so they can still match exact duplicates.
+    """
+    toks = tokens(text_col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of normalized text).
+
+    Returns one row per distinct content: (fingerprint, keep_id = min
+    id, n_copies, dup_ids). Only (hash, id) pairs shuffle — at 100 TB
+    the text never leaves the scan stage.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via inverted index.
+
+    ``J(A,B) = |A∩B| / (|A|+|B|-|A∩B|)`` over distinct n-token
+    shingle sets. Implementation: explode shingles, self-equi-join on
+    shingle (id_a < id_b), count co-occurrences = |A∩B|, join back
+    per-doc set sizes. Never materializes the N² pair space — only
+    pairs sharing ≥1 shingle.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs (posting-list cap). At web scale this bounds the worst-case
+    join fan-out; leave None for exact semantics.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    text_col: str | Column, num_hashes: int = 64, n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint>, one expression, no shuffle.
+
+    Base shingle hash: xxhash64 (Spark-native, deterministic);
+    permutations: (a*h + b) mod (2^61-1) — the classic universal
+    family. Cost is O(#shingles × num_hashes) multiply-adds inside
+    codegen, embarrassingly parallel per row.
+    """
+    sh = shingles(text_col, n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    mins = []
+    for a, b in _permute_params(num_hashes, seed):
+        mins.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(
+                        h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+        )
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard.
+
+    Pipeline: signature (per-row, no shuffle) → explode ``bands``
+    band-keys → equi-join on (band, band_hash) → distinct candidate
+    pairs → exact-Jaccard verify join. With 64 hashes / 16 bands
+    (r=4), the S-curve gives ~99.9% recall at J=0.8 and ~50% at
+    J≈0.7. Output: (id_a, id_b, jaccard) with jaccard ≥ threshold —
+    same contract as :func:`ngram_jaccard_pairs`, so exactness is
+    testable.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(text_col, num_hashes, n, seed).alias("sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    bnd * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (cheap: |candidates| ≪ N²)
+    docs = sig.select("id", shingles(F.col("_text"), n).alias("shset"))
+    da = docs.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    verified = (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(text_col: str | Column) -> Column:
+    """64-bit SimHash of the token set — single expression, no shuffle.
+
+    Each token hashes to 64 bits (xxhash64); bit b of the signature is
+    1 iff Σ_tokens (±1 for bit b) > 0. Implemented as a fold over the
+    token array with a 64-int accumulator (aggregate + zip_with), all
+    inside codegen.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    zero = F.array_repeat(F.lit(0), 64)
+
+    def bitvec(tok):
+        h = F.xxhash64(tok)
+        # bit index is a compile-time Python int (shiftright requires it)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, bitvec(t), lambda x, y: x + y)
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft (bitwise, not arithmetic) is overflow-safe at i=63
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(sums, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of four 16-bit
+    chunks (any pair within Hamming ≤ 3 of 64 bits must agree on ≥1
+    chunk by pigeonhole when ≤3 chunks differ), then exact Hamming
+    filter. Equi-join on (chunk_id, chunk_value) — never N².
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", "ck.chunk", "ck.cv")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

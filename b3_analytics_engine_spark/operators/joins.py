@@ -1,0 +1,110 @@
+"""Join operators (SURVEY.md §2.3, J1-J4).
+
+The reference's only join is a driver-side dict probe over two Kafka
+drains (reference include/tasks/data_processing.py:44-64): each side is
+implicitly reduced to the LATEST record per symbol (later messages
+overwrite earlier dict entries), then inner-joined 1:1. Here that is a
+*snapshot join*: max_by-reduce each side on event time, then equi-join.
+
+Scale notes:
+- ``snapshot_join`` reduces BEFORE joining, so the join inputs are one
+  row per key — at 100 TB of raw messages the shuffle carries only the
+  reduced snapshots (|keys| rows), and the smaller side is broadcast.
+- ``max_by(struct(*cols), ts)`` is a full map-side-combinable
+  aggregation: partial aggregation happens before the shuffle, unlike a
+  row_number window which must shuffle every raw row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Reduce to the latest row per key (A2 / J1 build side).
+
+    Implemented as ``max_by(struct(all_cols), order_key)`` — an
+    aggregate (map-side combinable, one shuffle of partial maxima) —
+    rather than a row_number window (full shuffle + sort of raw rows).
+    ``tiebreak`` makes "latest" deterministic when ``ts_col`` ties,
+    mirroring the reference's last-message-wins dict overwrite which is
+    arrival-order-dependent (reference include/tasks/data_processing.py:47-56).
+    """
+    keys = [key] if isinstance(key, str) else key
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak)) if tiebreak else F.col(ts_col)
+    )
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_latest")
+    )
+    return agg.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in others])
+
+
+def normalize_symbol(col: str | Column, suffix: str = "\\.SA$") -> Column:
+    """Join-key normalization: strip the ``.SA`` exchange suffix
+    (reference include/tasks/data_processing.py:55,
+    ``symbol.replace(".SA", "")``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, suffix, "")
+
+
+def snapshot_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_key_normalizer=None,
+    broadcast_right: bool = True,
+    left_tiebreak: str | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """The reference's two-feed correlation (J1+J2): latest-per-key on
+    each side, optional right-key normalization, inner equi-join.
+
+    The right side (snapshots, one row/key) is broadcast by default —
+    at production scale the key cardinality (symbols) is tiny relative
+    to the fact stream.
+    """
+    l_snap = latest_per_key(left, key, left_ts, tiebreak=left_tiebreak)
+    r_snap = latest_per_key(right, key, right_ts, tiebreak=right_tiebreak)
+    if right_key_normalizer is not None:
+        r_snap = r_snap.withColumn(key, right_key_normalizer(F.col(key)))
+        # Re-reduce in case normalization collapsed distinct raw keys
+        # (e.g. "PETR4.SA" and "PETR4" both present).
+        r_snap = latest_per_key(r_snap, key, right_ts, tiebreak=right_tiebreak)
+    if broadcast_right:
+        r_snap = F.broadcast(r_snap)
+    return l_snap.join(r_snap, on=key, how="inner")
+
+
+def union_history(history: DataFrame, new: DataFrame) -> DataFrame:
+    """``pd.concat`` by column name
+    (reference include/tasks/data_warehouse.py:73) →
+    ``unionByName(allowMissingColumns=True)``."""
+    return history.unionByName(new, allowMissingColumns=True)
+
+
+def pivot_wide(
+    df: DataFrame,
+    index: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list | None = None,
+) -> DataFrame:
+    """Long→wide reshape (J4): ``df.pivot(index, columns, values)``
+    (reference include/tasks/generate_dashboard.py:52).
+
+    Pass ``pivot_values`` when known — it skips the extra distinct-scan
+    Spark otherwise runs to discover the pivot domain.
+    """
+    g = df.groupBy(index)
+    p = g.pivot(pivot_col, pivot_values) if pivot_values else g.pivot(pivot_col)
+    return p.agg(F.first(value_col))

@@ -1,0 +1,243 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star). Two tiers:
+
+- **brute-force cosine top-k** — the exact baseline. Query set ⋈
+  corpus with a broadcast of the (small) query side; dot products as
+  pure SQL array folds (zip_with + aggregate) inside codegen, then
+  per-query top-k via window. Exact, O(|Q|·N); right answer for
+  |Q| small even at large N because the corpus is only scanned once,
+  never shuffled.
+- **LSH-bucketed (random hyperplane) ANN** — the scale path. Each
+  vector gets a c-bit signature from sign(v·h_i) over deterministic
+  pseudo-random hyperplanes; candidates share a signature bucket
+  (multi-probe over t independent tables). Turns all-pairs search
+  into an equi-join on (table, bucket). Recall tunable by
+  (bits, tables); verified against brute force in tests.
+
+All vectors are cast to double before arithmetic so results are
+bit-stable across engines (float32 accumulation order would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself when ids collide).
+
+    Deterministic output: ties broken by corpus id ascending; cosine
+    rounded to 6 dp. The query side is broadcast — the corpus (the
+    100 TB side) streams through one scan, no shuffle of vectors; only
+    (query_id, id, cos) triples shuffle into the per-query top-k
+    window, and those are k-boundable by a partial TakeOrdered if k·|Q|
+    grows.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via an LCG —
+    reproducible across runs and cluster retries (no RNG state)."""
+    state = (seed * 1_000_003 + table) % ((1 << 61) - 1)
+    planes = []
+    for _ in range(bits):
+        h = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # map to [-1, 1)
+            h.append((state / float(1 << 62)) - 1.0)
+        planes.append(h)
+    return planes
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · h_i)."""
+    bits = []
+    for i, h in enumerate(planes):
+        hv = F.array(*[F.lit(x) for x in h])
+        bits.append(
+            F.when(dot(vec, hv) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def cosine_ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bits: int = 12,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN cosine top-k via random-hyperplane LSH.
+
+    Candidates = corpus vectors sharing a (table, bucket) with the
+    query in ANY of ``tables`` independent signature tables; exact
+    cosine then ranks candidates. Same output contract as
+    :func:`cosine_topk_bruteforce` (recall < 1 by design; tests
+    measure it). The bucket join is an equi-join → hash shuffle on
+    (table, bucket), no all-pairs blowup; signatures are one long per
+    (vector, table).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("_cv"))
+    q = queries.select(F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"))
+
+    c_sigs = []
+    q_sigs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        c_sigs.append(
+            c.select(
+                "neighbor_id",
+                F.lit(t).alias("tbl"),
+                rhp_signature(F.col("_cv"), planes).alias("bucket"),
+            )
+        )
+        q_sigs.append(
+            q.select(
+                query_id_col,
+                F.lit(t).alias("tbl"),
+                rhp_signature(F.col("_qv"), planes).alias("bucket"),
+            )
+        )
+    c_buckets = c_sigs[0]
+    for s in c_sigs[1:]:
+        c_buckets = c_buckets.unionByName(s)
+    q_buckets = q_sigs[0]
+    for s in q_sigs[1:]:
+        q_buckets = q_buckets.unionByName(s)
+
+    cand = (
+        c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
+    same RHP-LSH bucketing, self-join form (id_a < id_b)."""
+    v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
+    buckets = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        s = v.select(
+            "id", F.lit(t).alias("tbl"), rhp_signature(F.col("_v"), planes).alias("bucket")
+        )
+        buckets = s if buckets is None else buckets.unionByName(s)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

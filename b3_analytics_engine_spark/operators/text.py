@@ -1,0 +1,132 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Extension surface (not in the reference, which processes market quotes
+— see BASELINE.json north star): language ID, quality scoring, token
+counting, document fingerprinting. All pure Spark SQL expressions —
+no Python in the hot path — so they run at full codegen speed over
+100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deliberately deterministic + SQL-expressible:
+# production would swap in fastText/CLD3 behind the same column
+# contract.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate belongs in
+    `bpe_token_estimate`)."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: str | Column) -> Column:
+    """Deterministic BPE-ish token-count estimate: word-piece regex
+    split (letters / digits / other runs), the standard ~chars/4 proxy
+    refined by punctuation splits. Chosen to be expressible in both
+    Spark and ANSI SQL for oracle parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    # long alpha runs cost extra subword splits: ~1 per 6 chars beyond
+    # the first 6 of each word, approximated globally
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return (pieces + F.greatest(F.lit(0), (alpha_chars - pieces * 6) / 6)).cast("long")
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are in ``stopwords``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0, 1]: mean-word-length sanity,
+    punctuation density, and non-alphanumeric noise. Mirrors the usual
+    Gopher/C4-style rule family, kept SQL-pure."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    mean_word_len = n_chars / F.greatest(n_tok, F.lit(1.0))
+    # ideal mean word length ~3..10 chars
+    len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.0)
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0 - punct_ratio * 2).otherwise(0.0)
+    short = F.when(n_tok >= 10, 1.0).otherwise(n_tok / 10.0)
+    return (len_ok * 0.4 + punct_ok * 0.3 + short * 0.3)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Stopword-marker language ID: argmax over per-language marker-hit
+    counts; 'und' (undetermined) when nothing matches.
+
+    Deterministic tie-break: language code ascending (so 'de' beats
+    'en' on equal score) — ties must be stable for oracle parity.
+    """
+    toks = tokens(col)
+    best = F.lit(None).cast("string")
+    best_score = F.lit(-1).cast("int")
+    # Build argmax as a fold over a fixed language list (sorted for the
+    # deterministic tie-break).
+    scored = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scored.append((lang, score))
+    expr = F.lit("und")
+    # iterate reversed so earlier (alphabetically smaller) langs win ties
+    for lang, score in reversed(scored):
+        prev_better = F.lit(False)
+        for l2, s2 in scored:
+            if l2 < lang:
+                prev_better = prev_better | (s2 >= score)
+            elif l2 > lang:
+                prev_better = prev_better | (s2 > score)
+        expr = F.when((score > 0) & ~prev_better, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str | Column) -> Column:
+    """128-bit content fingerprint of normalized text (md5 hex).
+
+    md5 is available in both Spark and DuckDB, so fingerprints are
+    oracle-checkable. Normalization: lowercase + whitespace collapse.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stat panel: token count, char count, mean word
+    length, stopword ratio (en), quality score, fingerprint, lang guess."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_computed"),
+        F.round(F.length(c) / F.greatest(token_count(c), F.lit(1)), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(stopword_ratio(c, LANG_MARKERS["en"]), 6).alias("stopword_ratio_en"),
+        F.round(quality_score(c), 6).alias("quality_score"),
+        fingerprint(c).alias("fingerprint"),
+        lang_id(c).alias("lang_guess"),
+    )

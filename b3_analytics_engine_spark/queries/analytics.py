@@ -1,0 +1,389 @@
+"""Analytics queries: the reference's warehouse-metrics pipeline and
+dashboard/report queries, re-expressed over the driver's ``events``
+fixture (events ≈ quote stream: user_id ≈ symbol, ts ≈ event time,
+value ≈ price — FIXTURES.md §C).
+
+Covers SURVEY.md §2.5 (W1-W5), §2.4 (A2-A7), §2.3 (J4), §2.6 (O1-O4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import windows as W
+from ..operators.joins import latest_per_key, pivot_wide
+from ..operators.aggregates import corr_matrix, distinct_sorted, top_k_global
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Flagship: the E2-condensed warehouse pipeline (daily bars → rolling
+# metrics), the reference's calculate_metrics + report analytics
+# (reference include/tasks/data_warehouse.py:10-27,
+#  include/tasks/generate_dashboard.py:25-36) on the events fixture.
+# ---------------------------------------------------------------------------
+
+
+def daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) OHLC-style bars. ``close`` = value at the max ts
+    of the day (max_by — map-side combinable, one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.sum("value").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "warehouse_metrics",
+    oracle="""
+WITH bars AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         arg_max(value, ts) AS close,
+         max(value) AS high,
+         min(value) AS low,
+         sum(value) AS volume,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+), ret AS (
+  SELECT *,
+         avg(close) OVER w5  AS sma5_raw,
+         avg(close) OVER w20 AS sma20_raw,
+         close / lag(close) OVER wo - 1 AS ret_raw,
+         volume * close / avg(volume) OVER (PARTITION BY user_id) AS turn_raw
+  FROM bars
+  WINDOW
+    wo  AS (PARTITION BY user_id ORDER BY day),
+    w5  AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w20 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, close, high, low,
+       round(volume, 6) AS volume,
+       n_events,
+       round(sma5_raw, 6)  AS sma_5,
+       round(sma20_raw, 6) AS sma_20,
+       round(ret_raw, 6)   AS daily_return,
+       CASE WHEN ret_raw IS NULL THEN NULL
+            ELSE round(product(1 + ret_raw) OVER
+                 (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6)
+       END AS cumulative_return,
+       round(turn_raw, 6) AS turnover_ratio
+FROM ret
+""",
+    survey="W1 W2 W3 W4 W5 A2 P10 O1",
+    description="Flagship: daily bars → SMA-5/20, daily & cumulative "
+    "returns, turnover ratio per key (reference warehouse metrics "
+    "pipeline, include/tasks/data_warehouse.py:10-27 + "
+    "include/tasks/generate_dashboard.py:25-36).",
+)
+def warehouse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    df = W.rolling_mean(bars, "close", "user_id", "day", 5, "sma_5")
+    df = W.rolling_mean(df, "close", "user_id", "day", 20, "sma_20")
+    df = W.pct_change(df, "close", "user_id", "day", "daily_return")
+    df = W.cumulative_return(df, "daily_return", "user_id", "day", "cumulative_return")
+    avg_vol = Window.partitionBy("user_id")
+    df = df.withColumn(
+        "turnover_ratio",
+        F.col("volume") * F.col("close") / F.avg("volume").over(avg_vol),
+    )
+    return df.select(
+        "user_id",
+        "day",
+        "close",
+        "high",
+        "low",
+        F.round("volume", 6).alias("volume"),
+        "n_events",
+        F.round("sma_5", 6).alias("sma_5"),
+        F.round("sma_20", 6).alias("sma_20"),
+        F.round("daily_return", 6).alias("daily_return"),
+        F.round("cumulative_return", 6).alias("cumulative_return"),
+        F.round("turnover_ratio", 6).alias("turnover_ratio"),
+    )
+
+
+@register(
+    "latest_per_key",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    survey="A2 J1",
+    description="Latest row per key — the dict-overwrite snapshot "
+    "semantics of the two-feed join build side (reference "
+    "include/tasks/data_processing.py:47-56; dashboard latest-per-"
+    "symbol analytics_service/dashboard.py:109).",
+)
+def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_per_key(ev, "user_id", "ts", tiebreak="event_id")
+
+
+@register(
+    "snapshot_join",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, arg_max(value, ts) AS last_purchase_value,
+         max(ts) AS last_purchase_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), clicks AS (
+  SELECT user_id, arg_max(value, ts) AS last_click_value,
+         max(ts) AS last_click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT p.user_id, p.last_purchase_value, p.last_purchase_ts,
+       c.last_click_value, c.last_click_ts,
+       round(p.last_purchase_value - c.last_click_value, 6) AS change_day
+FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+""",
+    survey="J1 J2 T4 P10",
+    description="Two-feed snapshot join: latest-per-key on each feed "
+    "then inner equi-join + derived change column (reference "
+    "include/tasks/data_processing.py:44-83, the brapi⋈yfinance "
+    "enrichment).",
+)
+def snapshot_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("last_purchase_value"),
+            F.max("ts").alias("last_purchase_ts"),
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("last_click_value"),
+            F.max("ts").alias("last_click_ts"),
+        )
+    )
+    return purchases.join(F.broadcast(clicks), "user_id", "inner").select(
+        "user_id",
+        "last_purchase_value",
+        "last_purchase_ts",
+        "last_click_value",
+        "last_click_ts",
+        F.round(
+            F.col("last_purchase_value") - F.col("last_click_value"), 6
+        ).alias("change_day"),
+    )
+
+
+@register(
+    "union_dedup_keeplast",
+    oracle="""
+WITH unioned AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value, 0 AS _src_priority, event_id
+  FROM events
+  UNION ALL
+  SELECT user_id, CAST(ts AS DATE) AS day, value * 2 AS value, 1 AS _src_priority, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, day, value, _src_priority
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, day
+    ORDER BY _src_priority DESC, event_id DESC
+  ) AS rn
+  FROM unioned
+) WHERE rn = 1
+""",
+    survey="J3 A1",
+    description="History ∪ new-batch with deterministic keep-last "
+    "dedup via explicit source priority (reference "
+    "include/tasks/data_warehouse.py:73-74 concat + "
+    "drop_duplicates(keep='last') made order-independent).",
+)
+def union_dedup_keeplast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import keep_last_dedup
+    from ..operators.joins import union_history
+
+    ev = load_table(spark, sf_dir, "events")
+    history = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.lit(0).alias("_src_priority"),
+        "event_id",
+    )
+    new_batch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (F.col("value") * 2).alias("value"),
+            F.lit(1).alias("_src_priority"),
+            "event_id",
+        )
+    )
+    merged = union_history(history, new_batch)
+    deduped = keep_last_dedup(
+        merged,
+        keys=["user_id", "day"],
+        priority=[F.col("_src_priority"), F.col("event_id")],
+    )
+    return deduped.select("user_id", "day", "value", "_src_priority")
+
+
+@register(
+    "pivot_daily_mean",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       round(avg(value) FILTER (WHERE user_id % 5 = 0), 6) AS u0,
+       round(avg(value) FILTER (WHERE user_id % 5 = 1), 6) AS u1,
+       round(avg(value) FILTER (WHERE user_id % 5 = 2), 6) AS u2,
+       round(avg(value) FILTER (WHERE user_id % 5 = 3), 6) AS u3,
+       round(avg(value) FILTER (WHERE user_id % 5 = 4), 6) AS u4
+FROM events
+GROUP BY 1
+""",
+    survey="J4 A6",
+    description="Long→wide pivot of per-day mean value by key bucket "
+    "(reference include/tasks/generate_dashboard.py:52 pivot for the "
+    "correlation matrix input).",
+)
+def pivot_daily_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    long = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 5).alias("bucket")
+    ).agg(F.avg("value").alias("mean_value"))
+    wide = (
+        long.groupBy("day")
+        .pivot("bucket", [0, 1, 2, 3, 4])
+        .agg(F.first("mean_value"))
+    )
+    return wide.select(
+        "day",
+        *[F.round(F.col(str(i)), 6).alias(f"u{i}") for i in range(5)],
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         avg(value) FILTER (WHERE user_id % 3 = 0) AS s0,
+         avg(value) FILTER (WHERE user_id % 3 = 1) AS s1,
+         avg(value) FILTER (WHERE user_id % 3 = 2) AS s2
+  FROM events GROUP BY 1
+)
+SELECT col_a, col_b, round(corr_val, 6) AS corr
+FROM (
+  SELECT 's0' col_a, 's0' col_b, corr(s0, s0) corr_val FROM wide UNION ALL
+  SELECT 's0', 's1', corr(s0, s1) FROM wide UNION ALL
+  SELECT 's0', 's2', corr(s0, s2) FROM wide UNION ALL
+  SELECT 's1', 's0', corr(s1, s0) FROM wide UNION ALL
+  SELECT 's1', 's1', corr(s1, s1) FROM wide UNION ALL
+  SELECT 's1', 's2', corr(s1, s2) FROM wide UNION ALL
+  SELECT 's2', 's0', corr(s2, s0) FROM wide UNION ALL
+  SELECT 's2', 's1', corr(s2, s1) FROM wide UNION ALL
+  SELECT 's2', 's2', corr(s2, s2) FROM wide
+)
+""",
+    survey="A5 J4",
+    description="Pairwise Pearson correlation matrix over pivoted "
+    "per-key daily means (reference include/tasks/"
+    "generate_dashboard.py:52-53 returns_df.corr()), computed in ONE "
+    "aggregation pass.",
+)
+def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    long = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 3).alias("bucket")
+    ).agg(F.avg("value").alias("mean_value"))
+    wide = pivot_wide(long, "day", "bucket", "mean_value", [0, 1, 2]).select(
+        "day",
+        *[F.col(str(i)).alias(f"s{i}") for i in range(3)],
+    )
+    return corr_matrix(wide, ["s0", "s1", "s2"], round_to=6)
+
+
+@register(
+    "top1_by_metric",
+    oracle="""
+SELECT user_id, event_id, value, abs_change
+FROM (
+  SELECT user_id, event_id, value,
+         round(abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS abs_change
+  FROM events
+)
+WHERE abs_change IS NOT NULL
+ORDER BY abs_change DESC, event_id ASC
+LIMIT 1
+""",
+    survey="A3 O4 P12",
+    description="Whole-frame argmax (largest absolute move) — the "
+    "dashboard 'largest move' tile (reference analytics_service/"
+    "dashboard.py:158 idxmax over change_day.abs()). Compiles to "
+    "TakeOrderedAndProject (per-partition top-k), not a global sort.",
+)
+def top1_by_metric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_change = ev.withColumn(
+        "abs_change", F.round(F.abs(F.col("value") - F.lag("value").over(w)), 6)
+    ).filter(F.col("abs_change").isNotNull())
+    return (
+        with_change.orderBy(F.col("abs_change").desc(), F.col("event_id").asc())
+        .limit(1)
+        .select("user_id", "event_id", "value", "abs_change")
+    )
+
+
+@register(
+    "distinct_sorted_keys",
+    oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    survey="A4",
+    description="Distinct + sort over the key domain (reference "
+    "analytics_service/dashboard.py:73 sorted(unique())).",
+)
+def distinct_sorted_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_sorted(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "group_share",
+    oracle="""
+SELECT user_id,
+       round(sum(value), 6) AS total_value,
+       round(100.0 * sum(value) / (SELECT sum(value) FROM events), 6) AS pct_share
+FROM events
+GROUP BY user_id
+""",
+    survey="A7 F7",
+    description="Group totals + percent-of-whole (reference market-cap "
+    "pie: analytics_service/dashboard.py:147-152 sum + autopct).",
+)
+def group_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("total_value"))
+    grand = ev.agg(F.sum("value").alias("grand")).select("grand")
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "user_id",
+            F.round("total_value", 6).alias("total_value"),
+            F.round(F.lit(100.0) * F.col("total_value") / F.col("grand"), 6).alias(
+                "pct_share"
+            ),
+        )
+    )

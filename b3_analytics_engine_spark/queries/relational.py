@@ -1,0 +1,396 @@
+"""Relational queries over the TPC-H-ish fixture tables: scans,
+filters, projections, casts, null handling, joins, set ops, sorts
+(SURVEY.md §2.1-2.3, §2.6-2.8).
+
+ANSI note: the driver runs these under a stock Spark 4 session where
+``spark.sql.ansi.enabled=true``, so every cast that may fail uses
+``try_cast`` (≡ pandas ``errors="coerce"`` ≡ DuckDB ``TRY_CAST``) and
+every division has a non-zero denominator by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       round(l_extendedprice * (1 - l_discount), 6) AS net_price
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 25
+""",
+    survey="P1 P9 P10 S6",
+    description="Equality + range filter, projection, derived "
+    "arithmetic column (reference include/tasks/batch_ingestion.py:28 "
+    "CODBDI==2 filter; data_processing.py:69-83 projection). Filter "
+    "and column pruning push to the Parquet scan.",
+)
+def filter_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "in_list_filter",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+""",
+    survey="P2 P1",
+    description="IN-list + equality filter (reference analytics_service/"
+    "dashboard.py:103 isin(selected)).",
+)
+def in_list_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "time_range_filter",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+""",
+    survey="P3 P4 S5",
+    description="Time-range predicate — the 40-day history window scan "
+    "(reference include/tasks/data_warehouse.py:67-68). At scale this "
+    "is the partition-pruning path: the warehouse is date-partitioned "
+    "so the scan touches only in-range partitions.",
+)
+def time_range_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "cast_coerce_nulls",
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS DOUBLE) AS lang_num,
+       TRY_CAST(split_part(text, ' ', 1) AS DOUBLE) AS first_tok_num,
+       TRY_CAST(n_chars AS DOUBLE) AS n_chars_d
+FROM documents
+WHERE TRY_CAST(lang AS DOUBLE) IS NULL
+""",
+    survey="P5 P6 P7",
+    description="Cast-with-null-on-error (pandas to_numeric(errors="
+    "'coerce'), reference include/tasks/batch_ingestion.py:33-35) — "
+    "try_cast under ANSI Spark ≡ DuckDB TRY_CAST.",
+)
+def cast_coerce_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    first_tok = F.split(F.col("text"), " ").getItem(0)
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").try_cast("double").alias("lang_num"),
+            first_tok.try_cast("double").alias("first_tok_num"),
+            F.col("n_chars").try_cast("double").alias("n_chars_d"),
+        )
+        .filter(F.col("lang_num").isNull())
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       coalesce(v, 0.0) AS v_filled,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_null
+FROM base
+""",
+    survey="P7 P8 P13",
+    description="Null drop/fill/coalesce-default family (reference "
+    "dropna/fillna include/tasks/data_warehouse.py:16,24-25; dict "
+    ".get(k, 0) data_processing.py:66-79).",
+)
+def null_handling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_null"),
+    )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+SELECT event_id,
+       regexp_replace(event_type, '\\.SA$', '') AS norm_type,
+       split_part(event_type, 'r', 1) AS first_piece,
+       strftime(ts, '%Y%m%d') AS ymd,
+       strftime(ts, '%Y/%m/%d') AS ymd_slash,
+       round(value, 1) AS value_r1,
+       abs(value - 100) AS dist100,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    survey="F1 F2 F3 F6 F7 P12",
+    description="Scalar surface: regex suffix strip (J2 key "
+    "normalization, reference data_processing.py:55), split+first "
+    "token (dashboard.py:117), date_format (batch_ingestion.py:49), "
+    "JSON field extraction (every Kafka consumer), round/abs.",
+)
+def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("event_type", r"\.SA$", "").alias("norm_type"),
+        F.split(F.col("event_type"), "r").getItem(0).alias("first_piece"),
+        F.date_format("ts", "yyyyMMdd").alias("ymd"),
+        F.date_format("ts", "yyyy/MM/dd").alias("ymd_slash"),
+        F.round("value", 1).alias("value_r1"),
+        F.abs(F.col("value") - 100).alias("dist100"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 6) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+    survey="J1 A7",
+    description="Fact⋈dim⋈dim star join with broadcast dims + "
+    "aggregation. The Spark plan must show BroadcastHashJoin for both "
+    "dims — no shuffle of the fact side for the join.",
+)
+def join_broadcast_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_normalized_key",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT 'U' || CAST(user_id AS VARCHAR) || '.SA' AS sym,
+         user_id * 1000 AS cap
+  FROM events
+)
+SELECT e.user_id, count(*) AS n_events, max(d.cap) AS cap
+FROM events e
+JOIN dim d
+  ON 'U' || CAST(e.user_id AS VARCHAR) = regexp_replace(d.sym, '\\.SA$', '')
+GROUP BY e.user_id
+""",
+    survey="J2 F1",
+    description="Join with key normalization: probe-side symbol "
+    "stripped of its '.SA' exchange suffix before the equi-join "
+    "(reference include/tasks/data_processing.py:55).",
+)
+def join_normalized_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import normalize_symbol
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string"), F.lit(".SA")).alias(
+                "sym"
+            ),
+            (F.col("user_id") * 1000).alias("cap"),
+        )
+    )
+    probe = ev.withColumn(
+        "_key", F.concat(F.lit("U"), F.col("user_id").cast("string"))
+    )
+    dim_norm = dim.withColumn("_key", normalize_symbol("sym"))
+    return (
+        probe.join(F.broadcast(dim_norm), "_key")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("cap").alias("cap"))
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_urgent_order
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c.c_custkey = o.o_custkey
+""",
+    survey="J1 extension (semi/anti)",
+    description="Semi/anti-join surface: customers flagged by "
+    "existence of an urgent order (left_semi ∪ left_anti expressed as "
+    "one marker join; Catalyst plans EXISTS-style).",
+)
+def semi_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    has = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit(1).alias("has_urgent_order")
+    )
+    hasnot = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit(0).alias("has_urgent_order")
+    )
+    return has.unionByName(hasnot)
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey="A7 P1 P3 (TPC-H Q1 pattern)",
+    description="Pricing summary (TPC-H Q1 shape): wide aggregation "
+    "with map-side partial aggregation — the headline scan+agg "
+    "benchmark query.",
+)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+""",
+    survey="J1 A7 (TPC-H Q5 pattern)",
+    description="Multi-join star revenue rollup (TPC-H Q5 shape): "
+    "fact⋈fact shuffle join on orderkey + broadcast dim chain — the "
+    "headline multi-join benchmark; exercises Catalyst join reordering "
+    "and AQE.",
+)
+def regional_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "multi_key_sort_limit",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    survey="O1 O2 O3 O4",
+    description="Multi-key sort + limit (reference sort_values "
+    "data_warehouse.py:11, ORDER BY+iloc[-1] patterns). "
+    "TakeOrderedAndProject — no global sort materialization.",
+)
+def multi_key_sort_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    )

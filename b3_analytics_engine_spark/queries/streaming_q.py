@@ -1,0 +1,113 @@
+"""Event-time windowed aggregations (SURVEY.md §2.9 T8 extension).
+
+The reference has no event-time windows (its only "windows" are
+row-count rolling frames), but its micro-batch pipeline is the
+motivating shape. These queries are the BATCH expression of the
+streaming aggregations in ``streaming/pipeline.py`` — Spark's
+``window()`` produces identical results in batch and streaming, so the
+DuckDB oracle validates the streaming semantics too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="T8 (event-time tumbling window)",
+    description="6-hour tumbling event-time window per event_type — "
+    "the Structured-Streaming groupBy(window(ts)) aggregation in batch "
+    "form. Epoch-aligned buckets match Spark's 1970-origin windows.",
+)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+WITH offsets AS (SELECT unnest([0, 3600, 7200]) AS off),
+     slid AS (
+  SELECT to_timestamp(floor((epoch(ts) - off) / 10800) * 10800 + off) AS window_start,
+         value
+  FROM events, offsets
+  WHERE epoch(ts) >= floor((epoch(ts) - off) / 10800) * 10800 + off
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM slid
+GROUP BY 1
+""",
+    survey="T8 (sliding window)",
+    description="3-hour window sliding every 1 hour — each event lands "
+    "in 3 overlapping windows (Spark window(ts, '3 hours', '1 hour')).",
+)
+def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "json_payload_parse",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+    survey="F5 F6 S2",
+    description="Kafka-value JSON parse path: from_json with explicit "
+    "schema (the reference parses every consumed message, "
+    "include/tasks/data_processing.py:14).",
+)
+def json_payload_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import EVENT_PROPS
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", EVENT_PROPS))
+    return parsed.select(
+        "event_id",
+        "user_id",
+        F.col("_p.k").alias("k"),
+        F.when(F.col("_p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )

@@ -1,0 +1,62 @@
+"""Fixture-table loading and temp-view registration.
+
+All queries in the registry take ``(spark, sf_dir)`` and resolve tables
+through here, so the same query code runs against any scale factor —
+or, in production, against a partitioned data-lake path — without
+change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    We intentionally do NOT pass an explicit read schema: the Parquet
+    footer already carries exact types, and letting Spark use it keeps
+    the vectorized reader + column pruning on the fast path. The
+    declared schemas in ``schemas.FIXTURE_SCHEMAS`` are contracts used
+    by tests to detect fixture drift.
+    """
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    if name == "events":
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's
+        # vectorized Parquet reader rejects. Read nanos as long
+        # (legacy conf) and convert losslessly to a µs timestamp —
+        # the fixture's values are µs-aligned (verified in tests).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for spark.sql-based queries)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs

@@ -1,0 +1,47 @@
+"""Shared test fixtures: one SparkSession per test run + DuckDB oracle
+connection mirroring the driver's setup (fixture tables pre-registered
+as views)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from b3_analytics_engine_spark.schemas import FIXTURE_TABLES
+from b3_analytics_engine_spark.session import get_spark
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, SMOKE_SF_DIR, table_path
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # ANSI on to mirror the driver's stock Spark 4 session — our
+    # queries must survive it.
+    s = get_spark(
+        app_name="b3-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
+    yield s
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck_oracle():
+    con = make_duck(ORACLE_SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_smoke():
+    con = make_duck(SMOKE_SF_DIR)
+    yield con
+    con.close()

@@ -1,0 +1,83 @@
+"""Local mirror of the driver's correctness gate: for every registry
+query with an oracle, run the Spark query AND the DuckDB SQL at sf0.01
+and compare row count + column names + order-insensitive values.
+
+Comparison is STRICTER than a hash: exact equality on non-floats,
+equality-after-round(6) already applied inside the queries for floats —
+so any mismatch here would also be a driver hash mismatch and vice
+versa (modulo the driver's normalization, which we can't see; exact
+match is the conservative bound).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from b3_analytics_engine_spark.queries import registry
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # guard against -0.0 vs 0.0 cross-engine
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+ORACLE_SPECS = [s for s in registry().values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_query_matches_oracle(spec, spark, duck_oracle):
+    sdf = spec.fn(spark, ORACLE_SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck_oracle.sql(spec.oracle)
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{spec.name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{spec.name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    mism = [
+        (i, a, b) for i, (a, b) in enumerate(zip(ns, nd)) if a != b
+    ]
+    assert not mism, f"{spec.name}: {len(mism)} mismatched rows; first 3: {mism[:3]}"
+
+
+def test_all_declared_queries_run(spark):
+    # every registry entry (oracle or not) must at least execute and
+    # return a stable schema at smoke scale
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR
+
+    for spec in registry().values():
+        df = spec.fn(spark, SMOKE_SF_DIR)
+        assert df.columns, f"{spec.name} returned no columns"
+        df.limit(5).collect()
