@@ -149,31 +149,40 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(
-    text_col: str | Column, num_hashes: int = 64, n: int = 3, seed: int = 42
-) -> Column:
-    """MinHash signature as array<bigint>, one expression, no shuffle.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as 64 columns ``m0..m{k-1}`` per id.
 
-    Base shingle hash: xxhash64 (Spark-native, deterministic);
-    permutations: (a*h + b) mod (2^61-1) — the classic universal
-    family. Cost is O(#shingles × num_hashes) multiply-adds inside
-    codegen, embarrassingly parallel per row.
+    Shape chosen for scale AND local speed: explode shingles → hash
+    each shingle ONCE (xxhash64, a codegen'd JVM hash) → groupBy(id)
+    with k ``min((a_i*h + b_i) % p)`` aggregates. The k permutations
+    are plain arithmetic inside a single whole-stage-codegen'd hash
+    aggregate with map-side partial combine — the shuffle carries one
+    k-long vector per id, never the shingles.
+
+    (A previous formulation computed the signature as one nested
+    higher-order-function expression per permutation; Catalyst
+    duplicates the shingle subtree into all 64 trees and evaluates
+    them interpreted — 200× slower. Aggregation is the right Spark
+    physical shape for "k minima over an exploded set".)
     """
-    sh = shingles(text_col, n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    mins = []
-    for a, b in _permute_params(num_hashes, seed):
-        mins.append(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(
-                        h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
-                    ),
-                )
-            )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    hashed = sh.select("id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"m{i}"
         )
-    return F.array(*mins)
+        for i, (a, b) in enumerate(_permute_params(num_hashes, seed))
+    ]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -198,35 +207,21 @@ def minhash_lsh_pairs(
     testable.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(text_col, num_hashes, n, seed).alias("sig"),
-    )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"m{bnd * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bh"),
+        )
+        for bnd in range(bands)
+    ]
     banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    bnd * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bk"),
+        "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.bh")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -241,7 +236,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact Jaccard (cheap: |candidates| ≪ N²)
-    docs = sig.select("id", shingles(F.col("_text"), n).alias("shset"))
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("shset")
+    )
     da = docs.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
     verified = (
@@ -299,6 +296,37 @@ def simhash64(text_col: str | Column) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash as an aggregation (the fast, scale-correct shape —
+    same rationale as :func:`minhash_signatures`): explode distinct
+    tokens → xxhash64 once → groupBy(id) with 64 ``sum(±1)`` bit
+    aggregates → pack into one long."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    h = tok.select("id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = h.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -310,7 +338,7 @@ def simhash_pairs(
     chunk by pigeonhole when ≤3 chunks differ), then exact Hamming
     filter. Equi-join on (chunk_id, chunk_value) — never N².
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    sig = simhash_signatures(df, id_col, text_col)
     chunked = sig.select(
         "id",
         "sig",

@@ -59,8 +59,9 @@ def falsy_guarded_diff(a: str, b: str) -> Column:
 
 def turnover_ratio(volume: str, close: str, market_cap: str) -> Column:
     """``volume * close / marketCap``
-    (reference include/tasks/data_warehouse.py:21-22)."""
-    return F.col(volume) * F.col(close) / F.col(market_cap)
+    (reference include/tasks/data_warehouse.py:21-22). NULL on zero
+    market cap (ANSI-safe; SQL ``x/0 → NULL`` oracle semantics)."""
+    return F.try_divide(F.col(volume) * F.col(close), F.col(market_cap))
 
 
 def to_sao_paulo(ts: str) -> Column:

@@ -21,6 +21,8 @@ bit-stable across engines (float32 accumulation order would not be).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,7 +46,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: zero-norm vectors → NULL (ANSI-safe, matches SQL)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk_bruteforce(
@@ -108,7 +111,13 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[f
 
 
 def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(v · h_i)."""
+    """Random-hyperplane signature: bit i = sign(v · h_i).
+
+    Pure-SQL form — fine for a handful of planes. For the bucketing
+    hot path use :func:`rhp_buckets_udf` (one Arrow-vectorized numpy
+    matmul for ALL tables × bits — interpreted higher-order-function
+    folds are ~100× slower per row).
+    """
     bits = []
     for i, h in enumerate(planes):
         hv = F.array(*[F.lit(x) for x in h])
@@ -121,6 +130,49 @@ def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits:
         sig = sig.bitwiseOR(b)
     return sig
+
+
+def rhp_buckets_udf(planes_by_table: list[list[list[float]]]):
+    """Arrow-vectorized bucket assignment: returns a pandas UDF mapping
+    an embedding column → array<long> of per-table bucket ids.
+
+    One ``(batch × dim) @ (dim × tables·bits)`` float64 matmul per
+    Arrow batch — the idiomatic Spark escape hatch for dense linear
+    algebra the SQL expression layer can't vectorize.
+    """
+    P = np.asarray(
+        [row for tbl in planes_by_table for row in tbl], dtype=np.float64
+    )  # (tables*bits) × dim
+    n_tables = len(planes_by_table)
+    bits = len(planes_by_table[0])
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        D = M @ P.T  # n × (tables*bits)
+        B = (D >= 0).reshape(len(M), n_tables, bits)
+        vals = (B * weights).sum(axis=2)  # n × tables
+        return pd.Series(list(vals))
+
+    return buckets
+
+
+def _bucketize(
+    df: DataFrame,
+    id_alias: str,
+    vec_inner: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec) → (id, tbl, bucket) via one vectorized UDF pass."""
+    planes = [_hyperplanes(dim, bits, t, seed) for t in range(tables)]
+    udf = rhp_buckets_udf(planes)
+    return df.select(
+        id_alias, F.posexplode(udf(F.col(vec_inner))).alias("tbl", "bucket")
+    )
 
 
 def cosine_ann_lsh(
@@ -150,30 +202,8 @@ def cosine_ann_lsh(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("_cv"))
     q = queries.select(F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"))
 
-    c_sigs = []
-    q_sigs = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, t, seed)
-        c_sigs.append(
-            c.select(
-                "neighbor_id",
-                F.lit(t).alias("tbl"),
-                rhp_signature(F.col("_cv"), planes).alias("bucket"),
-            )
-        )
-        q_sigs.append(
-            q.select(
-                query_id_col,
-                F.lit(t).alias("tbl"),
-                rhp_signature(F.col("_qv"), planes).alias("bucket"),
-            )
-        )
-    c_buckets = c_sigs[0]
-    for s in c_sigs[1:]:
-        c_buckets = c_buckets.unionByName(s)
-    q_buckets = q_sigs[0]
-    for s in q_sigs[1:]:
-        q_buckets = q_buckets.unionByName(s)
+    c_buckets = _bucketize(c, "neighbor_id", "_cv", dim, bits, tables, seed)
+    q_buckets = _bucketize(q, query_id_col, "_qv", dim, bits, tables, seed)
 
     cand = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
@@ -213,13 +243,7 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
     same RHP-LSH bucketing, self-join form (id_a < id_b)."""
     v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
-    buckets = None
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, t, seed)
-        s = v.select(
-            "id", F.lit(t).alias("tbl"), rhp_signature(F.col("_v"), planes).alias("bucket")
-        )
-        buckets = s if buckets is None else buckets.unionByName(s)
+    buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

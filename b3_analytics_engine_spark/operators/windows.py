@@ -58,11 +58,14 @@ def pct_change(
     Reference: ``groupby(key)[v].pct_change()``
     (reference include/tasks/generate_dashboard.py:31 — daily returns).
     ``lag`` returns NULL for the first row and NULL/NULL division is
-    NULL, which matches pandas' leading NaN.
+    NULL, which matches pandas' leading NaN. A zero previous value
+    yields NULL (``try_divide``) — deliberate divergence from pandas'
+    ``inf`` so the result is ANSI-safe and matches SQL ``x/0 → NULL``
+    oracle semantics; documented in tests.
     """
     w = _ordered_window(key, order)
     prev = F.lag(value_col, 1).over(w)
-    return df.withColumn(out, F.col(value_col) / prev - F.lit(1.0))
+    return df.withColumn(out, F.try_divide(F.col(value_col), prev) - F.lit(1.0))
 
 
 def cumulative_return(

@@ -93,7 +93,9 @@ def warehouse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_vol = Window.partitionBy("user_id")
     df = df.withColumn(
         "turnover_ratio",
-        F.col("volume") * F.col("close") / F.avg("volume").over(avg_vol),
+        F.try_divide(
+            F.col("volume") * F.col("close"), F.avg("volume").over(avg_vol)
+        ),
     )
     return df.select(
         "user_id",
@@ -382,8 +384,8 @@ def group_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.round("total_value", 6).alias("total_value"),
-            F.round(F.lit(100.0) * F.col("total_value") / F.col("grand"), 6).alias(
-                "pct_share"
-            ),
+            F.round(
+                F.try_divide(F.lit(100.0) * F.col("total_value"), F.col("grand")), 6
+            ).alias("pct_share"),
         )
     )

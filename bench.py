@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop writer (full execution,
+no driver-side collect cost). One warmup action runs first so JVM/codegen
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# Headline queries: one per workload family (scan+agg, multi-join,
+# window suite, snapshot join, event-time windows, dedup, similarity).
+HEADLINE = [
+    "pricing_summary",
+    "regional_revenue",
+    "warehouse_metrics",
+    "latest_per_key",
+    "snapshot_join",
+    "union_dedup_keeplast",
+    "tumbling_window_agg",
+    "dedup_exact",
+    "text_stats",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "cosine_ann_lsh",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from b3_analytics_engine_spark.session import get_spark
+    from b3_analytics_engine_spark.queries import spark_queries
+
+    spark = get_spark(
+        app_name="b3-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    qs = spark_queries()
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
