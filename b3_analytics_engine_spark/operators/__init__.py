@@ -6,4 +6,13 @@ function ``DataFrame -> DataFrame`` (or Column helpers) so operators
 compose into pipelines and stay fully Catalyst-optimizable.
 """
 
-from . import aggregates, dedup, joins, rowops, similarity, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    rowops,
+    similarity,
+    text,
+    windows,
+)

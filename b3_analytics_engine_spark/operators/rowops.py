@@ -15,11 +15,12 @@ from pyspark.sql import functions as F
 def numeric_cast_coerce(df: DataFrame, cols: list[str], dtype: str = "double") -> DataFrame:
     """``pd.to_numeric(errors="coerce")`` equivalent: cast with
     null-on-error (reference include/tasks/batch_ingestion.py:33-35,
-    include/tasks/data_warehouse.py:13-15). Spark's ANSI-off cast
-    produces NULL for malformed input, identical semantics.
+    include/tasks/data_warehouse.py:13-15). ``try_cast`` yields NULL
+    for malformed input under BOTH ANSI and legacy mode — identical
+    semantics to pandas coerce.
     """
     for c in cols:
-        df = df.withColumn(c, F.col(c).cast(dtype))
+        df = df.withColumn(c, F.col(c).try_cast(dtype))
     return df
 
 

@@ -183,19 +183,27 @@ def cosine_ann_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    bits: int = 12,
-    tables: int = 6,
+    bits: int = 8,
+    tables: int = 12,
+    multiprobe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN cosine top-k via random-hyperplane LSH.
+    """ANN cosine top-k via random-hyperplane LSH with multiprobe.
 
     Candidates = corpus vectors sharing a (table, bucket) with the
-    query in ANY of ``tables`` independent signature tables; exact
-    cosine then ranks candidates. Same output contract as
-    :func:`cosine_topk_bruteforce` (recall < 1 by design; tests
-    measure it). The bucket join is an equi-join → hash shuffle on
-    (table, bucket), no all-pairs blowup; signatures are one long per
-    (vector, table).
+    query — or a bucket within Hamming distance ``multiprobe`` of it —
+    in ANY of ``tables`` signature tables; exact cosine then ranks
+    candidates. Same output contract as :func:`cosine_topk_bruteforce`
+    (recall < 1 by design; tests measure it). The bucket join is an
+    equi-join → hash shuffle on (table, bucket), no all-pairs blowup.
+
+    Multiprobe perturbs the QUERY side only (bits+1 probes per table),
+    so the corpus index stays one row per (vector, table) — the
+    standard trick to buy recall without growing the index. Defaults
+    (8 bits × 12 tables × 1-probe) target ≳0.7 recall on the weakish
+    neighbor similarities (cos ≈ 0.3-0.5) the fixture exhibits;
+    corpora with strong near-dups can raise ``bits`` for sharper
+    pruning.
     """
     from pyspark.sql import Window
 
@@ -204,6 +212,16 @@ def cosine_ann_lsh(
 
     c_buckets = _bucketize(c, "neighbor_id", "_cv", dim, bits, tables, seed)
     q_buckets = _bucketize(q, query_id_col, "_qv", dim, bits, tables, seed)
+    if multiprobe >= 1:
+        exact_probe = q_buckets
+        flips = [
+            exact_probe.withColumn(
+                "bucket", F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            )
+            for i in range(bits)
+        ]
+        for f in flips:
+            q_buckets = q_buckets.unionByName(f)
 
     cand = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])

@@ -196,14 +196,14 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by design; recall vs brute force
     # asserted in tests/test_llmdata.py
     survey="ext:similarity-ann-lsh",
-    description="ANN cosine top-5 via random-hyperplane LSH (12 bits × "
-    "6 tables): bucket equi-join replaces the all-pairs scan — the "
-    "100 TB scale path for similarity search.",
+    description="ANN cosine top-5 via random-hyperplane LSH (8 bits × "
+    "12 tables, 1-bit multiprobe): bucket equi-join replaces the "
+    "all-pairs scan — the 100 TB scale path for similarity search.",
 )
 def cosine_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_ann_lsh(
-        emb, _queries_side(spark, sf_dir), k=5, dim=64, bits=12, tables=6
+        emb, _queries_side(spark, sf_dir), k=5, dim=64, bits=8, tables=12
     )
 
 

@@ -1,0 +1,60 @@
+"""File sinks (K1 Parquet lake, K2 JSON zones).
+
+Layout upgrades vs the reference (SURVEY.md §1.3): the reference keys
+objects by hand-built path strings; here the same layout is expressed
+as partition columns so readers get partition PRUNING for free — the
+40-day history scan touches 40 directories, not the whole lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet_lake(
+    df: DataFrame,
+    path: str,
+    date_col: str | None = None,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """K1: Parquet write, optionally date-partitioned
+    (raw zone `topic/YYYY/MM/DD/…`, reference
+    ingestion_services/kafka_to_minio_raw/main.py:90-93)."""
+    cols = list(partition_cols or [])
+    if date_col is not None:
+        df = (
+            df.withColumn("year", F.date_format(date_col, "yyyy"))
+            .withColumn("month", F.date_format(date_col, "MM"))
+            .withColumn("day", F.date_format(date_col, "dd"))
+        )
+        cols = ["year", "month", "day", *cols]
+    w = df.write.mode(mode)
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_json_zone(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """K2: line-delimited JSON (processing zone keyed by symbol,
+    reference include/tasks/data_processing.py:88-97 → partitionBy)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
+def overwrite_warehouse(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """K3 analog for the Parquet warehouse: full overwrite of the
+    table (the reference drops + recreates the Postgres table per
+    minute). With ``partitionOverwriteMode=dynamic`` set on the
+    session, only partitions present in ``df`` are replaced — the
+    bounded-re-statement behavior T5 needs at scale."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

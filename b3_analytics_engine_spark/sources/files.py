@@ -1,0 +1,55 @@
+"""File-based sources: Parquet / CSV / JSON (S1, S6 analogs; K1/K2
+read side).
+
+The historical COTAHIST CSV reader mirrors
+reference include/tasks/batch_ingestion.py:26 (`pd.read_csv(...,
+encoding="latin-1")`) with an explicit schema — at 100 TB schema
+inference is an extra full pass and a correctness hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import COTAHIST
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_cotahist_csv(spark: SparkSession, path: str) -> DataFrame:
+    """COTAHIST historical CSV scan (S1): latin-1, header row, explicit
+    schema with strings for the cast-with-coerce columns (the cast is
+    a separate, testable operator — rowops.numeric_cast_coerce)."""
+    return (
+        spark.read.option("header", True)
+        # pandas calls it latin-1; Spark's CSVOptions takes the
+        # canonical charset name iso-8859-1 (same encoding)
+        .option("encoding", "iso-8859-1")
+        .schema(COTAHIST)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Line-delimited JSON scan (raw/processing zone objects, K2 read
+    side). PERMISSIVE mode: malformed rows → nulls, matching the
+    reference's tolerance of schemaless payloads."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def stream_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream (each new file = a micro-batch) — the
+    broker-free stand-in used by tests for Kafka topics; schema is
+    mandatory for streaming reads."""
+    return spark.readStream.schema(schema).parquet(path)

@@ -1,0 +1,181 @@
+"""The incremental pipeline (SURVEY.md §3 E2) as Structured Streaming.
+
+Reference topology (per minute, reference dags/market_data_pipeline.py:44-82):
+two quote feeds → Kafka → drain both topics → latest-per-symbol
+snapshot join → enrich → re-window against 40 days of warehouse
+history → keep-last dedup → rolling metrics → full-replace warehouse.
+
+Rebuild topology: ONE streaming query — the two feeds union into a
+single tagged stream, and ``foreachBatch`` applies the exact batch
+semantics below. Every function here is a pure DataFrame transform so
+tests drive them with static micro-batches (no broker), and the
+streaming wrapper is a thin trigger/checkpoint shell.
+
+Semantics preserved (and made deterministic):
+- T3: the reference re-reads topics from offset 0 each run and relies
+  on dedup for idempotence. We keep the IDEMPOTENCE (warehouse_merge
+  is a deterministic upsert — replaying a batch is a no-op) but use
+  checkpointed offsets, so nothing is re-read.
+- T5: late/corrected rows re-state history inside the bounded window
+  (40 days) only — at 100 TB the merge touches only affected date
+  partitions, never the whole table.
+- T6: the reference conflates event time and processing time
+  (``processed_at`` becomes the warehouse ``date``); we keep BOTH
+  columns and parameterize the clock for reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import keep_last_dedup
+from ..operators.joins import normalize_symbol, snapshot_join, union_history
+from ..operators.rowops import falsy_guarded_diff, turnover_ratio
+from ..operators.windows import rolling_mean
+
+
+def enrich_quotes(
+    brapi: DataFrame,
+    yfinance: DataFrame,
+    clock: Column | None = None,
+) -> DataFrame:
+    """J1/J2 + P9/P10/F4: latest-per-symbol snapshot join of the two
+    feeds, derive change_day (falsy-guarded — the reference's Python
+    truthiness treats open==0.0 as missing,
+    reference include/tasks/data_processing.py:66-83), stamp
+    processed_at.
+
+    ``brapi`` must carry ``_ingest_ts`` (the Kafka message timestamp —
+    "latest" on that feed is arrival order, exactly the reference's
+    dict-overwrite); ``yfinance`` orders by its event-time
+    ``timestamp`` column.
+    """
+    joined = snapshot_join(
+        brapi,
+        yfinance,
+        key="symbol",
+        left_ts="_ingest_ts",
+        right_ts="timestamp",
+        right_key_normalizer=lambda c: normalize_symbol(c),
+        left_tiebreak=None,
+        right_tiebreak=None,
+    )
+    processed_at = clock if clock is not None else F.current_timestamp()
+    return joined.select(
+        "symbol",
+        "longName",
+        "regularMarketPrice",
+        "regularMarketChange",
+        "regularMarketChangePercent",
+        "marketCap",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        falsy_guarded_diff("close", "open").alias("change_day"),
+        processed_at.alias("processed_at"),
+    )
+
+
+def calculate_metrics(df: DataFrame) -> DataFrame:
+    """The reference's calculate_metrics
+    (reference include/tasks/data_warehouse.py:10-27): per-symbol
+    date-ordered SMA-5/SMA-20 (min_periods=1), turnover ratio, nulls
+    filled with 0."""
+    out = rolling_mean(df, "close", "symbol", "date", 5, "sma_5")
+    out = rolling_mean(out, "close", "symbol", "date", 20, "sma_20")
+    out = out.withColumn(
+        "turnover_ratio", turnover_ratio("volume", "close", "marketCap")
+    )
+    return out.na.fill(0, subset=["sma_5", "sma_20", "turnover_ratio"])
+
+
+def warehouse_merge(
+    history: DataFrame, new_batch: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """T5/A1/J3: bounded-history union + deterministic keep-last dedup
+    + metric recompute. New-batch rows beat history on key collision
+    (explicit priority — the reference relied on pandas concat order,
+    reference include/tasks/data_warehouse.py:73-74).
+
+    Idempotent: merging the same batch twice yields an identical
+    table, which is what makes at-least-once delivery safe.
+    """
+    keys = keys or ["symbol", "date"]
+    h = history.withColumn("_src_priority", F.lit(0))
+    n = new_batch.withColumn("_src_priority", F.lit(1))
+    merged = union_history(h, n)
+    deduped = keep_last_dedup(merged, keys, [F.col("_src_priority")]).drop(
+        "_src_priority"
+    )
+    return calculate_metrics(deduped)
+
+
+def enriched_to_warehouse_rows(enriched: DataFrame) -> DataFrame:
+    """P9/P6: enriched records → warehouse rows (processed_at → date,
+    reference include/tasks/data_warehouse.py:61-63), with the P5
+    numeric coercions and P7 null drop."""
+    df = enriched.withColumnRenamed("processed_at", "date")
+    df = df.withColumn("date", F.col("date").cast("timestamp"))
+    for c in ("close", "volume", "marketCap"):
+        df = df.withColumn(c, F.col(c).try_cast("double"))
+    return df.na.drop(subset=["close", "volume", "marketCap", "date"])
+
+
+def process_micro_batch(
+    tagged_batch: DataFrame,
+    history: DataFrame | None = None,
+    clock: Column | None = None,
+) -> DataFrame:
+    """One E2 micro-batch end-to-end (the foreachBatch body):
+    tagged union of the two feeds → split → enrich → warehouse rows →
+    bounded-history merge. Returns the new warehouse table slice.
+
+    ``tagged_batch`` columns: ``_feed`` ('brapi'|'yfinance') + the
+    union of both feeds' columns (unused side null).
+    """
+    from ..schemas import BRAPI_QUOTE, YFINANCE_QUOTE
+
+    brapi_cols = [f.name for f in BRAPI_QUOTE.fields] + ["_ingest_ts"]
+    yfin_cols = [f.name for f in YFINANCE_QUOTE.fields]
+    brapi = tagged_batch.filter(F.col("_feed") == "brapi").select(*brapi_cols)
+    yfin = tagged_batch.filter(F.col("_feed") == "yfinance").select(*yfin_cols)
+    enriched = enrich_quotes(brapi, yfin, clock=clock)
+    new_rows = enriched_to_warehouse_rows(enriched)
+    if history is None:  # first run: empty history with warehouse schema
+        history = new_rows.sparkSession.createDataFrame([], new_rows.schema)
+    return warehouse_merge(history, new_rows)
+
+
+def start_incremental(
+    spark,
+    stream_df: DataFrame,
+    history_path: str,
+    warehouse_path: str,
+    checkpoint: str,
+    history_days: int = 40,
+    trigger: dict | None = None,
+):
+    """Wire the streaming shell: tagged stream → foreachBatch(E2) →
+    warehouse overwrite. ``trigger`` defaults to availableNow (T2
+    drain-then-stop); pass {"processingTime": "60 seconds"} for the
+    reference's cadence (T1)."""
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            history = spark.read.parquet(warehouse_path).filter(
+                F.col("date")
+                >= F.current_timestamp() - F.expr(f"INTERVAL {history_days} DAYS")
+            )
+        except Exception:  # first run: no warehouse yet
+            history = None
+        out = process_micro_batch(batch_df, history)
+        out.write.mode("overwrite").parquet(warehouse_path)
+
+    writer = stream_df.writeStream.foreachBatch(_run).option(
+        "checkpointLocation", checkpoint
+    )
+    t = trigger or {"availableNow": True}
+    return writer.trigger(**t).start()

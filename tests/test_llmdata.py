@@ -1,0 +1,135 @@
+"""Tests for the LLM-data extension operators that the DuckDB oracle
+can't check (approximate-by-design):
+
+- MinHash+LSH pairs ⊆ exact n-gram-Jaccard pairs (verify step makes
+  precision exact) with measured recall;
+- ANN cosine top-k vs brute-force top-k recall;
+- SimHash structural properties;
+- multimodal plumbing end-to-end with the stubbed decoder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.operators import dedup as D
+from b3_analytics_engine_spark.operators import similarity as S
+from b3_analytics_engine_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+)
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
+
+THRESH = 0.12  # matches the registered queries
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, n=3, threshold=THRESH))
+    lsh = _pairs(
+        D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, n=3, threshold=THRESH)
+    )
+    # precision is exact by construction (candidates verified with true
+    # Jaccard) → no false positives possible
+    assert lsh <= exact
+    # recall: 64/16 banding has ~50% hit rate at J≈0.12 pairs is too
+    # low to assert tightly, but the high-similarity pairs must all be
+    # found (S-curve ≈ 1 for J ≥ 0.5)
+    strong = _pairs(D.ngram_jaccard_pairs(docs, n=3, threshold=0.5))
+    assert strong <= lsh or not strong  # every strong pair found
+    if exact:
+        assert len(lsh) / len(exact) > 0.3  # sanity floor on recall
+
+
+def test_simhash_pairs_structure(spark):
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    out = D.simhash_pairs(docs, max_hamming=3)
+    rows = out.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 3
+    # identical token sets ⇒ hamming 0 ⇒ must be present: construct one
+    dup = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),
+            Row(doc_id=3, text="totally different words entirely unrelated"),
+        ]
+    )
+    got = _pairs(D.simhash_pairs(dup, max_hamming=0))
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_exact_duplicates_groups(spark):
+    dup = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="  A  b   C "),  # normalizes equal
+            Row(doc_id=3, text="x y z"),
+        ]
+    )
+    out = {r["keep_id"]: (r["n_copies"], r["member_ids"]) for r in D.exact_duplicates(dup).collect()}
+    assert out[1] == (2, [1, 2])
+    assert out[3] == (1, [3])
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = S.cosine_topk_bruteforce(emb, queries, k=5)
+    ann = S.cosine_ann_lsh(emb, queries, k=5, dim=64, bits=8, tables=12)
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} below floor"
+
+
+def test_embedding_neardup_self_consistent(spark):
+    emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
+    # add one exact duplicate vector — must be found with cos=1
+    v0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    out = S.embedding_neardup_pairs(emb.unionByName(v0), threshold=0.999, dim=64)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert got.get((0, 99999)) == 1.0
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        Row(
+            media_id=1,
+            media_type="image",
+            payload=bytearray(b"\x89PNG fake image bytes"),
+            meta=Row(width=640, height=480, sample_rate=None, duration_ms=None, codec="png"),
+        ),
+        Row(
+            media_id=2,
+            media_type="video",
+            payload=bytearray(b"\x00\x00ftyp fake video"),
+            meta=Row(width=1920, height=1080, sample_rate=None, duration_ms=3500, codec="h264"),
+        ),
+    ]
+    from b3_analytics_engine_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 21
+    assert len(feats[1]["feat"]) == 8
+    assert feats[1]["sha1"] is not None
+    # deterministic: same bytes → same features
+    feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feat"] == feats2[1]["feat"]
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # video of 3500ms sampled at 1000ms → ts 0,1000,2000,3000; image excluded
+    assert {(r["media_id"], r["frame_ts_ms"]) for r in frames} == {
+        (2, 0), (2, 1000), (2, 2000), (2, 3000)
+    }

@@ -1,0 +1,199 @@
+"""Unit tests for the pandas-semantics edge cases the reference
+exhibits (SURVEY.md §7 risk register), on tiny literal frames:
+
+- W1 rolling mean min_periods=1 (shrinking leading frame)
+- W3 pct_change first-row null
+- W4 cumprod null skipping (pandas skipna behavior)
+- A1 keep-last tie-breaking via explicit priority
+- P10 change_day falsy guard (open == 0.0 → default, not just null)
+- J2 symbol suffix normalization
+- K4 upsert-ignore (in-batch dup + existing-key skip)
+- E2 micro-batch: enrich → merge, idempotent under replay
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.operators.aggregates import keep_last_dedup
+from b3_analytics_engine_spark.operators.joins import normalize_symbol
+from b3_analytics_engine_spark.operators.rowops import falsy_guarded_diff
+from b3_analytics_engine_spark.operators.windows import (
+    cumulative_return,
+    pct_change,
+    rolling_mean,
+)
+from b3_analytics_engine_spark.sinks.jdbc import upsert_ignore
+from b3_analytics_engine_spark.streaming.pipeline import (
+    process_micro_batch,
+    warehouse_merge,
+)
+
+
+def _series(spark, vals, key="A"):
+    return spark.createDataFrame(
+        [Row(symbol=key, date=i, close=float(v) if v is not None else None) for i, v in enumerate(vals)]
+    )
+
+
+def test_rolling_mean_min_periods_1(spark):
+    # pandas: rolling(3, min_periods=1).mean() -> [1, 1.5, 2, 3]
+    df = rolling_mean(_series(spark, [1, 2, 3, 4]), "close", "symbol", "date", 3, "sma")
+    got = [r["sma"] for r in df.orderBy("date").collect()]
+    assert got == [1.0, 1.5, 2.0, 3.0]
+
+
+def test_pct_change_first_row_null(spark):
+    df = pct_change(_series(spark, [100, 110, 99]), "close", "symbol", "date", "r")
+    got = [r["r"] for r in df.orderBy("date").collect()]
+    assert got[0] is None
+    assert math.isclose(got[1], 0.10)
+    assert math.isclose(got[2], -0.10)
+
+
+def test_pct_change_zero_prev_is_null(spark):
+    # pandas gives inf; we document NULL (ANSI- and SQL-oracle-safe)
+    df = pct_change(_series(spark, [0.0, 5.0]), "close", "symbol", "date", "r")
+    got = [r["r"] for r in df.orderBy("date").collect()]
+    assert got == [None, None]
+
+
+def test_cumprod_skips_nulls_like_pandas(spark):
+    # pandas: (1+r).cumprod()-1 with r=[None, .1, None, .2]
+    #   -> [NaN, 0.1, NaN(position), 0.32] (skipna accumulates past NaN)
+    rows = [Row(symbol="A", date=i, r=v) for i, v in enumerate([None, 0.1, None, 0.2])]
+    df = cumulative_return(spark.createDataFrame(rows), "r", "symbol", "date", "c")
+    got = [r["c"] for r in df.orderBy("date").collect()]
+    assert got[0] is None
+    assert math.isclose(got[1], 0.1)
+    assert got[2] is None
+    assert math.isclose(got[3], 1.1 * 1.2 - 1)
+
+
+def test_keep_last_dedup_priority(spark):
+    rows = [
+        Row(symbol="A", date=1, v="old", p=0),
+        Row(symbol="A", date=1, v="new", p=1),
+        Row(symbol="B", date=1, v="only", p=0),
+    ]
+    df = keep_last_dedup(
+        spark.createDataFrame(rows), ["symbol", "date"], [F.col("p")]
+    )
+    got = {r["symbol"]: r["v"] for r in df.collect()}
+    assert got == {"A": "new", "B": "only"}
+
+
+def test_change_day_falsy_guard(spark):
+    rows = [
+        Row(close=10.0, open=8.0),   # normal: 2
+        Row(close=10.0, open=0.0),   # falsy open -> 0 (NOT 10)
+        Row(close=None, open=8.0),   # null close -> 0
+        Row(close=0.0, open=8.0),    # falsy close -> 0 (NOT -8)
+    ]
+    df = spark.createDataFrame(rows).select(
+        falsy_guarded_diff("close", "open").alias("cd")
+    )
+    assert [r["cd"] for r in df.collect()] == [2.0, 0.0, 0.0, 0.0]
+
+
+def test_symbol_normalization(spark):
+    rows = [Row(s="PETR4.SA"), Row(s="^BVSP"), Row(s="SAPR4.SA"), Row(s="X.SAY")]
+    df = spark.createDataFrame(rows).select(normalize_symbol("s").alias("n"))
+    # only the trailing .SA is stripped; ^BVSP and inner .SA untouched
+    assert [r["n"] for r in df.collect()] == ["PETR4", "^BVSP", "SAPR4", "X.SAY"]
+
+
+def test_upsert_ignore(spark):
+    existing = spark.createDataFrame(
+        [Row(symbol="A", ts=1, v=1.0), Row(symbol="B", ts=1, v=2.0)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(symbol="A", ts=1, v=99.0),  # conflict -> skipped
+            Row(symbol="A", ts=2, v=3.0),   # new key -> kept
+            Row(symbol="A", ts=2, v=4.0),   # in-batch dup -> one survives
+        ]
+    )
+    out = upsert_ignore(new, existing, ["symbol", "ts"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["ts"] == 2
+
+
+def _feed_batch(spark, clock_str="2024-05-01 12:00:00"):
+    """A tagged micro-batch with both feeds (brapi + yfinance)."""
+    brapi = [
+        # two messages for PETR4: later _ingest_ts must win (dict overwrite)
+        Row(_feed="brapi", symbol="PETR4", longName="Petrobras PN",
+            regularMarketPrice=36.0, regularMarketChange=0.5,
+            regularMarketChangePercent=1.4, marketCap=500000000000,
+            _ingest_ts=1, open=None, high=None, low=None, close=None,
+            volume=None, timestamp=None),
+        Row(_feed="brapi", symbol="PETR4", longName="Petrobras PN",
+            regularMarketPrice=36.5, regularMarketChange=1.0,
+            regularMarketChangePercent=2.8, marketCap=505000000000,
+            _ingest_ts=2, open=None, high=None, low=None, close=None,
+            volume=None, timestamp=None),
+        Row(_feed="brapi", symbol="VALE3", longName="Vale ON",
+            regularMarketPrice=61.0, regularMarketChange=-0.2,
+            regularMarketChangePercent=-0.3, marketCap=280000000000,
+            _ingest_ts=1, open=None, high=None, low=None, close=None,
+            volume=None, timestamp=None),
+    ]
+    yfin = [
+        Row(_feed="yfinance", symbol="PETR4.SA", longName=None,
+            regularMarketPrice=None, regularMarketChange=None,
+            regularMarketChangePercent=None, marketCap=None, _ingest_ts=None,
+            open=35.8, high=36.9, low=35.5, close=36.5, volume=41000000,
+            timestamp="2024-05-01 11:59:00"),
+        Row(_feed="yfinance", symbol="VALE3.SA", longName=None,
+            regularMarketPrice=None, regularMarketChange=None,
+            regularMarketChangePercent=None, marketCap=None, _ingest_ts=None,
+            open=61.2, high=61.4, low=60.3, close=61.0, volume=18000000,
+            timestamp="2024-05-01 11:58:00"),
+    ]
+    df = spark.createDataFrame(brapi + yfin)
+    return df.withColumn("timestamp", F.to_timestamp("timestamp"))
+
+
+def test_micro_batch_enrich_and_merge(spark):
+    batch = _feed_batch(spark)
+    history = spark.createDataFrame(
+        [
+            Row(symbol="PETR4", longName="Petrobras PN",
+                regularMarketPrice=35.0, regularMarketChange=0.0,
+                regularMarketChangePercent=0.0, marketCap=490000000000,
+                open=34.0, high=35.5, low=33.9, close=35.0, volume=39000000,
+                change_day=1.0, date="2024-04-30 12:00:00",
+                sma_5=35.0, sma_20=35.0, turnover_ratio=0.0),
+        ]
+    ).withColumn("date", F.to_timestamp("date"))
+    clock = F.to_timestamp(F.lit("2024-05-01 12:00:00"))
+    out = process_micro_batch(batch, history.drop("sma_5", "sma_20", "turnover_ratio"), clock=clock)
+    rows = {(r["symbol"], str(r["date"])): r for r in out.collect()}
+    # 2 symbols x new batch + 1 history row
+    assert len(rows) == 3
+    petr_new = rows[("PETR4", "2024-05-01 12:00:00")]
+    # snapshot join: brapi _ingest_ts=2 won; yfinance close joined
+    assert petr_new["regularMarketPrice"] == 36.5
+    assert petr_new["close"] == 36.5
+    assert petr_new["change_day"] == 36.5 - 35.8
+    # SMA-5 over [35.0 (hist), 36.5] = 35.75 with min_periods=1
+    assert math.isclose(petr_new["sma_5"], 35.75)
+
+
+def test_warehouse_merge_idempotent(spark):
+    history = spark.createDataFrame(
+        [Row(symbol="A", date=1, close=10.0, volume=100.0, marketCap=1000.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(symbol="A", date=2, close=11.0, volume=110.0, marketCap=1000.0)]
+    )
+    once = warehouse_merge(history, new, keys=["symbol", "date"])
+    twice = warehouse_merge(once.drop("sma_5", "sma_20", "turnover_ratio"), new, keys=["symbol", "date"])
+    a = sorted([tuple(r) for r in once.collect()])
+    b = sorted([tuple(r) for r in twice.collect()])
+    assert a == b

@@ -1,0 +1,158 @@
+"""Streaming-layer tests, broker-free (SURVEY.md §5.4):
+
+- a file-source stream through a windowed event-time aggregation in a
+  memory sink equals the same aggregation run in batch (Spark
+  guarantees it; this pins OUR query shapes to that guarantee);
+- the E2 foreachBatch pipeline via start_incremental over a real
+  stream source, AvailableNow trigger, checkpointed;
+- replaying the same micro-batch is a no-op (idempotent merge).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.schemas import FIXTURE_SCHEMAS
+from b3_analytics_engine_spark.sources.files import stream_parquet_dir
+from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="b3stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_window_agg_equals_batch(spark, tmpdir):
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    src = f"{tmpdir}/src"
+    # two files → two micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+
+    schema = ev.schema
+    stream = stream_parquet_dir(spark, f"{src}/*", schema)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["window"]["start"]), r["event_type"]): (r["n"], r["v"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    want = {
+        (str(r["window"]["start"]), r["event_type"]): (r["n"], r["v"])
+        for r in (
+            ev.groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def _write_feed_files(spark, src: str):
+    """Split sf0.001 events into a two-feed tagged stream fixture:
+    purchases play 'brapi', clicks play 'yfinance' (FIXTURES.md §C)."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    brapi = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("brapi").alias("_feed"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("symbol"),
+        F.lit("Long Name").alias("longName"),
+        F.col("value").alias("regularMarketPrice"),
+        F.lit(0.0).alias("regularMarketChange"),
+        F.lit(0.0).alias("regularMarketChangePercent"),
+        (F.col("user_id") * 1000000).alias("marketCap"),
+        F.col("event_id").alias("_ingest_ts"),
+        F.lit(None).cast("double").alias("open"),
+        F.lit(None).cast("double").alias("high"),
+        F.lit(None).cast("double").alias("low"),
+        F.lit(None).cast("double").alias("close"),
+        F.lit(None).cast("long").alias("volume"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    yfin = ev.filter(F.col("event_type") == "click").select(
+        F.lit("yfinance").alias("_feed"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string"), F.lit(".SA")).alias(
+            "symbol"
+        ),
+        F.lit(None).cast("string").alias("longName"),
+        F.lit(None).cast("double").alias("regularMarketPrice"),
+        F.lit(None).cast("double").alias("regularMarketChange"),
+        F.lit(None).cast("double").alias("regularMarketChangePercent"),
+        F.lit(None).cast("long").alias("marketCap"),
+        F.lit(None).cast("long").alias("_ingest_ts"),
+        (F.col("value") * 0.99).alias("open"),
+        (F.col("value") * 1.01).alias("high"),
+        (F.col("value") * 0.98).alias("low"),
+        F.col("value").alias("close"),
+        (F.col("value") * 1000).cast("long").alias("volume"),
+        F.col("ts").alias("timestamp"),
+    )
+    tagged = brapi.unionByName(yfin)
+    tagged.write.parquet(f"{src}/batch1.parquet")
+    return tagged
+
+
+def test_incremental_stream_end_to_end(spark, tmpdir):
+    from b3_analytics_engine_spark.streaming.pipeline import start_incremental
+
+    src = f"{tmpdir}/feeds"
+    tagged = _write_feed_files(spark, src)
+    stream = stream_parquet_dir(spark, f"{src}/*", tagged.schema)
+    wh = f"{tmpdir}/warehouse"
+    q = start_incremental(
+        spark,
+        stream,
+        history_path=wh,
+        warehouse_path=wh,
+        checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(wh)
+    assert out.count() > 0
+    cols = set(out.columns)
+    assert {"symbol", "date", "close", "sma_5", "sma_20", "turnover_ratio"} <= cols
+    # no feed-plumbing columns may leak into the warehouse
+    assert "_feed" not in cols and "_ingest_ts" not in cols and "_src_priority" not in cols
+    # snapshot semantics: exactly one row per (symbol, date)
+    dupes = (
+        out.groupBy("symbol", "date").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_warehouse_replay_is_noop(spark):
+    """T3: replaying a micro-batch must not change the table (the
+    idempotence the reference gets from keep-last dedup)."""
+    from pyspark.sql import Row
+
+    from b3_analytics_engine_spark.streaming.pipeline import warehouse_merge
+
+    history = spark.createDataFrame(
+        [Row(symbol="A", date=1, close=10.0, volume=100.0, marketCap=1000.0)]
+    )
+    batch = spark.createDataFrame(
+        [Row(symbol="A", date=2, close=12.0, volume=90.0, marketCap=1000.0)]
+    )
+    t1 = warehouse_merge(history, batch, keys=["symbol", "date"])
+    base = t1.drop("sma_5", "sma_20", "turnover_ratio")
+    t2 = warehouse_merge(base, batch, keys=["symbol", "date"])
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
