@@ -44,9 +44,12 @@ def bpe_token_estimate(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     pieces = F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
     # long alpha runs cost extra subword splits: ~1 per 6 chars beyond
-    # the first 6 of each word, approximated globally
+    # the first 6 of each word, approximated globally. floor() is
+    # explicit: Spark's double→long cast truncates but DuckDB's
+    # rounds, so the oracle must see the same floor.
     alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    return (pieces + F.greatest(F.lit(0), (alpha_chars - pieces * 6) / 6)).cast("long")
+    extra = F.floor(F.greatest(F.lit(0.0), (alpha_chars - pieces * 6) / F.lit(6.0)))
+    return (pieces + extra).cast("long")
 
 
 def stopword_ratio(col: str | Column, stopwords: list[str]) -> Column:
@@ -82,8 +85,6 @@ def lang_id(col: str | Column) -> Column:
     'en' on equal score) — ties must be stable for oracle parity.
     """
     toks = tokens(col)
-    best = F.lit(None).cast("string")
-    best_score = F.lit(-1).cast("int")
     # Build argmax as a fold over a fixed language list (sorted for the
     # deterministic tie-break).
     scored = []

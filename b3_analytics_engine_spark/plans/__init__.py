@@ -1,0 +1,58 @@
+"""Physical-plan introspection helpers — used by tests to assert the
+plans are the ones we WANT at scale (pushdown reached the scan, dims
+broadcast, top-k avoided a global sort), not just plans that happen
+to pass on 60k rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the Parquet scan reports a pushed filter containing
+    ``fragment``."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the first scan's ReadSchema — column pruning
+    evidence."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            return [p.split(":")[0].strip() for p in inner.split(",") if ":" in p]
+    return []
+
+
+def join_kinds(df: DataFrame) -> list[str]:
+    """One entry per join operator, from the '(n) Kind' detail
+    headers of the formatted plan (the tree section would double-
+    count)."""
+    import re
+
+    plan = physical_plan(df)
+    kinds = []
+    for marker in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        kinds += [marker] * len(re.findall(rf"\(\d+\) {marker}\b", plan))
+    return kinds
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    return node in physical_plan(df)

@@ -46,7 +46,7 @@ def register(
 
 def registry() -> dict[str, QuerySpec]:
     """All registered queries (importing submodules to populate)."""
-    from . import analytics, llmdata, relational, streaming_q  # noqa: F401
+    from . import advanced, analytics, llmdata, relational, streaming_q  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,224 @@
+"""Advanced / extension queries: timezone conversion (P11), grouped
+pandas transforms (A6 via Arrow), session windows, rollup aggregation,
+and an as-of join — operators a quote-stream engine needs that the
+reference approximates or lacks (SURVEY.md §2.3 note: no as-of joins
+exist in the reference; DuckDB has native ASOF JOIN as the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+
+@register(
+    "tz_convert",
+    oracle="""
+SELECT event_id,
+       ts,
+       timezone('America/Sao_Paulo', timezone('UTC', ts)) AS ts_sp,
+       CAST(strftime(timezone('America/Sao_Paulo', timezone('UTC', ts)), '%H') AS BIGINT) AS local_hour
+FROM events
+""",
+    survey="P11 F3",
+    description="UTC → America/Sao_Paulo wall-time conversion "
+    "(reference analytics_service/dashboard.py:48-51 tz_localize/"
+    "tz_convert).",
+)
+def tz_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sp = F.from_utc_timestamp("ts", "America/Sao_Paulo")
+    return ev.select(
+        "event_id",
+        "ts",
+        sp.alias("ts_sp"),
+        F.date_format(sp, "HH").cast("long").alias("local_hour"),
+    )
+
+
+@register(
+    "grouped_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT user_id, avg(value) AS m, stddev_samp(value) AS s, count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       round((e.value - st.m) / st.s, 6) AS zscore
+FROM events e JOIN stats st USING (user_id)
+WHERE st.s > 0
+""",
+    survey="A6 (grouped pandas transform, Arrow path)",
+    description="Per-group pandas transform via applyInPandas (the "
+    "reference's per-symbol chart-frame iteration, reference "
+    "include/tasks/generate_dashboard.py:39-41, as a distributed "
+    "grouped-map): z-score of value within each key. Demonstrates the "
+    "Arrow grouped-map path with an exact SQL oracle.",
+)
+def grouped_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["value"].std(ddof=1)
+        if not np.isfinite(s) or s <= 0:
+            return pd.DataFrame(columns=["event_id", "user_id", "zscore"])
+        m = pdf["value"].mean()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - m) / s).round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, zscore double"
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    survey="T8 (session window) O1",
+    description="Sessionization with a 30-minute inactivity gap — "
+    "Spark's native session_window (works identically in Structured "
+    "Streaming with watermarks); oracle is the classic gaps-and-"
+    "islands SQL.",
+)
+def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    survey="A7 extension (rollup/grouping sets)",
+    description="Hierarchical rollup totals (flag → flag+status → "
+    "grand total) in one pass — GROUPING SETS surface the reference "
+    "lacks entirely.",
+)
+def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       c.click_ts AS last_click_ts,
+       c.click_value AS last_click_value
+FROM purchases p
+ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+""",
+    survey="ext:asof-join (SURVEY §2.3: absent in reference; core "
+    "quote-stream operator)",
+    description="As-of (backward) join: each purchase matched with "
+    "the latest prior click per user. Spark lacks a native ASOF "
+    "operator — implemented as union + last_value(ignoreNulls) over "
+    "an ordered per-key window: ONE shuffle+sort, no range-join "
+    "blowup; DuckDB's native ASOF JOIN is the oracle.",
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("_click_ts"),
+        F.lit(None).cast("double").alias("_click_value"),
+        F.lit(1).alias("_is_probe"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("_click_ts"),
+        F.col("value").alias("_click_value"),
+        F.lit(0).alias("_is_probe"),
+    )
+    # clicks sort before purchases at equal ts (_is_probe asc) so
+    # c.ts <= p.ts includes equality, matching ASOF JOIN
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "_is_probe",
+        F.last("_click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last("_click_value", ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return (
+        merged.filter((F.col("_is_probe") == 1) & F.col("last_click_ts").isNotNull())
+        .select(
+            "user_id", "event_id", "ts", "value", "last_click_ts", "last_click_value"
+        )
+    )

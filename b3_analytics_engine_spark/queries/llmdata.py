@@ -155,6 +155,93 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@register(
+    "lang_id",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+    len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x)))   AS s_en,
+    len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x)))   AS s_es,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x)))   AS s_fr
+  FROM toks
+)
+SELECT doc_id, lang AS lang_label,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM scored
+""",
+    survey="ext:text-lang-id",
+    description="Stopword-marker language ID (argmax over per-language "
+    "marker-token counts, alphabetical tie-break, 'und' when no "
+    "marker hits). Pure SQL expression — production would swap a "
+    "fastText UDF behind the same column contract.",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        TX.lang_id("text").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS pieces,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tok, n_chars,
+         n_stop / greatest(n_tok, 1) AS stop_ratio,
+         n_chars::DOUBLE / greatest(n_tok, 1) AS mwl,
+         n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         CAST(pieces + floor(greatest(0.0, (alpha - pieces * 6) / 6.0)) AS BIGINT) AS bpe_tokens
+  FROM base
+)
+SELECT doc_id,
+       round(stop_ratio, 6) AS stopword_ratio_en,
+       bpe_tokens,
+       round(
+         (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.4
+         + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 - punct_ratio * 2 ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END) * 0.3,
+       6) AS quality_score
+FROM scored
+""",
+    survey="ext:text-quality",
+    description="Gopher/C4-style heuristic quality scoring: mean-word-"
+    "length sanity, punctuation density, length floor, stopword "
+    "ratio, BPE-ish subword token estimate — all codegen'd SQL, "
+    "no Python in the hot path.",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio(c, TX.LANG_MARKERS["en"]), 6).alias(
+            "stopword_ratio_en"
+        ),
+        TX.bpe_token_estimate(c).alias("bpe_tokens"),
+        F.round(TX.quality_score(c), 6).alias("quality_score"),
+    )
+
+
 def _queries_side(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
