@@ -85,6 +85,38 @@ def snapshot_join(
     return l_snap.join(r_snap, on=key, how="inner")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_unique_col: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: explode the (small) right side
+    ``salt_buckets``× and salt the left key deterministically, so one
+    hot key spreads across ``salt_buckets`` shuffle partitions.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting is for the pathological key (one symbol = 30% of a 100 TB
+    stream) where even a split partition of the BUILD side overflows.
+    The salt derives from ``left_unique_col`` (not rand()) so retries
+    and replays are deterministic.
+
+    Result is row-identical to ``left.join(right, key, how)`` —
+    asserted in tests.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(F.col(left_unique_col)), F.lit(salt_buckets))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_salted, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def union_history(history: DataFrame, new: DataFrame) -> DataFrame:
     """``pd.concat`` by column name
     (reference include/tasks/data_warehouse.py:73) →

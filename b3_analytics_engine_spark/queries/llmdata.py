@@ -295,6 +295,21 @@ def cosine_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cosine_ann_ivf",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    survey="ext:similarity-ann-ivf",
+    description="IVF ANN cosine top-5 (16 cells, 4 probes): inverted-"
+    "file partitioning — the clustered-corpus scale path beside "
+    "RHP-LSH; each query scans ~nprobe/n_centroids of the corpus.",
+)
+def cosine_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_ann_ivf(
+        emb, _queries_side(spark, sf_dir), k=5, n_centroids=16, nprobe=4
+    )
+
+
+@register(
     "embedding_neardup",
     oracle=None,  # LSH recall < 1 by design; verified in tests
     survey="ext:dedup-embedding-cosine",

@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no stateful streaming (its only state is the CDC
+watermark, SURVEY.md T7); these are the extension operators a real
+quote-stream engine runs continuously. State is one small tuple per
+key (O(keys) memory, checkpoint-persisted), never per-event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+EWMA_STATE = T.StructType([T.StructField("ewma", T.DoubleType())])
+
+
+def ewma_fn(alpha: float):
+    """Per-key exponentially-weighted moving average across
+    micro-batches: state = last EWMA; each batch's rows are processed
+    in event-time order. Equivalent to the batch recurrence
+    ``e_t = alpha*v_t + (1-alpha)*e_{t-1}`` over the full ordered
+    stream (asserted in tests)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ewmas = []
+        for v in rows["value"]:
+            prev = v if prev is None else alpha * v + (1 - alpha) * prev
+            ewmas.append(prev)
+        state.update((float(prev),))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "ts": rows["ts"],
+                "value": rows["value"],
+                "ewma": [round(e, 9) for e in ewmas],
+            }
+        )
+
+    return fn
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming EWMA per user_id. ``events`` is a streaming
+    DataFrame with (user_id, ts, value)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ewma_fn(alpha),
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Batch reference implementation of the same recurrence (for
+    differential testing): per key, ordered scan via applyInPandas."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        prev = None
+        ewmas = []
+        for v in pdf["value"]:
+            prev = v if prev is None else alpha * v + (1 - alpha) * prev
+            ewmas.append(round(prev, 9))
+        pdf = pdf.assign(ewma=ewmas)
+        return pdf[["user_id", "ts", "value", "ewma"]]
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, schema=EWMA_OUTPUT)
+    )

@@ -1,0 +1,105 @@
+"""Tests for the scale-path operators: salted skew join (row-identical
+to the plain join), stateful streaming EWMA (stream ≡ batch
+recurrence across micro-batch boundaries), IVF ANN recall."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.operators.joins import salted_join
+from b3_analytics_engine_spark.operators.similarity import (
+    cosine_ann_ivf,
+    cosine_topk_bruteforce,
+)
+from b3_analytics_engine_spark.sources.files import stream_parquet_dir
+from b3_analytics_engine_spark.streaming.stateful import ewma_batch, ewma_stream
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, SMOKE_SF_DIR, load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="b3scale_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    dim = (
+        ev.select("user_id").distinct().withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "tag")
+    salted = salted_join(ev, dim, "user_id", left_unique_col="event_id").select(
+        "event_id", "tag"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") < 5)
+        .withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = ev.join(dim, "user_id", "left").select("event_id", "tag")
+    salted = salted_join(
+        ev, dim, "user_id", left_unique_col="event_id", how="left"
+    ).select("event_id", "tag")
+    assert sorted(map(tuple, plain.collect()), key=repr) == sorted(
+        map(tuple, salted.collect()), key=repr
+    )
+
+
+def test_ewma_stream_equals_batch(spark, tmpdir):
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select("user_id", "ts", "value")
+    # split by TIME so state carries forward across micro-batches
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = f"{tmpdir}/src"
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/b2.parquet")
+
+    stream = stream_parquet_dir(spark, f"{src}/*", ev.schema)
+    q = (
+        ewma_stream(stream, alpha=0.2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in ewma_batch(ev, alpha=0.2).collect()
+    }
+    assert len(got) == len(want) > 0
+    mism = {k for k in want if abs((got.get(k) or 0) - want[k]) > 1e-9}
+    assert not mism, f"{len(mism)} EWMA mismatches across batch boundary"
+
+
+def test_ivf_ann_recall(spark):
+    emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
