@@ -157,6 +157,115 @@ def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ranking_suite",
+    oracle="""
+SELECT user_id, event_id,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       first_value(value) OVER w AS first_val,
+       round(value - first_value(value) OVER w, 6) AS delta_from_first
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+""",
+    survey="W extension (ranking functions)",
+    description="Ranking-function suite per key (rank/dense_rank/"
+    "ntile/first_value) — window surface beyond the reference's "
+    "rolling frames; deterministic ordering via (value DESC, id).",
+)
+def ranking_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("value").over(w).alias("first_val"),
+        F.round(F.col("value") - F.first("value").over(w), 6).alias(
+            "delta_from_first"
+        ),
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 6) AS total_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    survey="A7 extension (cube/grouping sets)",
+    description="Full cube over (returnflag, linestatus): all four "
+    "grouping combinations in one pass.",
+)
+def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""",
+    survey="J4 inverse (unpivot/melt)",
+    description="Wide→long unpivot of three measures via stack() — "
+    "the inverse reshape of the pivot (J4).",
+)
+def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val_raw)",
+    ).selectExpr("l_orderkey", "l_linenumber", "measure", "round(val_raw, 6) AS val")
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       round(min(o_totalprice), 6) AS min_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey="A7 extension (exact percentiles)",
+    description="Exact interpolated percentiles per group (Spark "
+    "percentile ≡ DuckDB quantile_cont). The approx_percentile "
+    "sketch variant is the 100 TB path; the exact one is the oracle-"
+    "checkable baseline.",
+)
+def exact_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+@register(
     "asof_join",
     oracle="""
 WITH purchases AS (

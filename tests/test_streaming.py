@@ -139,6 +139,30 @@ def test_incremental_stream_end_to_end(spark, tmpdir):
     assert dupes == 0
 
 
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmpdir):
+    """T3: watermarked dropDuplicates — the streaming-native form of
+    the reference's downstream idempotence. The same events arrive in
+    two micro-batches; the sink must see each event_id once."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events").limit(200)
+    src = f"{tmpdir}/src"
+    ev.coalesce(1).write.parquet(f"{src}/a.parquet")
+    ev.coalesce(1).write.parquet(f"{src}/b.parquet")  # exact replay
+
+    stream = stream_parquet_dir(spark, f"{src}/*", ev.schema)
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert got["n"] == got["d"] == 200
+
+
 def test_warehouse_replay_is_noop(spark):
     """T3: replaying a micro-batch must not change the table (the
     idempotence the reference gets from keep-last dedup)."""
