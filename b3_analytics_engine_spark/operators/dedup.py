@@ -272,27 +272,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (cheap: |candidates| ≪ N²)
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("shset")
+    # verify candidates with exact Jaccard via the hashed postings
+    # (pure codegen joins; |candidates| ≪ N² keeps this cheap — no
+    # per-row array materialization)
+    posts = shingle_postings(df, id_col, text_col, n).select(
+        "id", F.xxhash64("sh").alias("sh")
     )
-    da = docs.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
-    verified = (
-        candidates.join(da, "id_a")
-        .join(db, "id_b")
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pa = posts.join(
+        F.broadcast(candidates), posts["id"] == candidates["id_a"]
+    ).select("id_a", "id_b", "sh")
+    pb = posts.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        pa.join(pb, (pa["id_b"] == pb["id_b"]) & (pa["sh"] == pb["sh_b"]))
+        .groupBy("id_a", pa["id_b"])
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 def simhash64(text_col: str | Column) -> Column:

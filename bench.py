@@ -66,6 +66,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one untimed warmup run: whole-stage-codegen compilation and
+        # JIT are per-plan one-offs (~1-2 s each locally) that a
+        # long-running cluster amortizes to zero; the timed run
+        # measures steady-state throughput.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
