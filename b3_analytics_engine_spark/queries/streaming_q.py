@@ -87,6 +87,36 @@ def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_per_key",
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, ts, value, rn, value AS ewma FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.value, o.rn,
+         0.2 * o.value + 0.8 * r.ewma
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, ts, value, round(ewma, 9) AS ewma FROM rec
+""",
+    survey="ext:stateful-ewma (T7-adjacent custom stateful operator)",
+    description="Per-key exponentially-weighted moving average "
+    "(alpha=0.2) — the batch twin of the applyInPandasWithState "
+    "streaming operator (streaming/stateful.py), which is proven "
+    "equal to this recurrence across micro-batch boundaries in "
+    "tests. Oracle: recursive-CTE recurrence.",
+)
+def ewma_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import ewma_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_batch(ev, alpha=0.2)
+
+
+@register(
     "json_payload_parse",
     oracle="""
 SELECT event_id, user_id,

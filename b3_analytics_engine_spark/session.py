@@ -63,6 +63,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # overwrite only the partitions present in the written frame —
+        # the bounded-re-statement behavior the warehouse merge (T5)
+        # relies on at scale (sinks/files.overwrite_warehouse)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
