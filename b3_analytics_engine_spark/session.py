@@ -61,6 +61,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # keep catalog state (bucketed-table metastore, warehouse dir)
+        # out of the repo/cwd
+        .config("spark.sql.warehouse.dir", "/tmp/b3_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/b3_derby"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # overwrite only the partitions present in the written frame —

@@ -46,6 +46,28 @@ def read_json(
     return reader.json(path)
 
 
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog existence probe (S9, reference
+    analytics_service/dashboard.py:29-34 information_schema query)."""
+    return spark.catalog.tableExists(name)
+
+
+def write_bucketed_table(
+    df, name: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a join key.
+
+    The 100 TB co-location tool: two tables bucketed identically on
+    their join key join WITHOUT a shuffle — the Exchange disappears
+    from the plan (asserted in tests/test_bucketing.py). This is how
+    the lineitem⋈orders-shaped fact⋈fact join avoids moving 100 TB.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)
+
+
 def stream_parquet_dir(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
