@@ -178,12 +178,14 @@ def ranking_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
+    # long casts: Spark's rank/ntile yield int32 but DuckDB yields
+    # int64 — the hash compares values, but keep schemas aligned too
     return ev.select(
         "user_id",
         "event_id",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.first("value").over(w).alias("first_val"),
         F.round(F.col("value") - F.first("value").over(w), 6).alias(
             "delta_from_first"
@@ -262,6 +264,77 @@ def exact_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90_price"),
         F.round(F.min("o_totalprice"), 6).alias("min_price"),
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+@register(
+    "set_operations",
+    oracle="""
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT user_id, 'both' AS membership FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)
+UNION ALL
+SELECT user_id, 'buy_only' FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+UNION ALL
+SELECT user_id, 'click_only' FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+""",
+    survey="§2.7 extension (intersect/except — absent in reference)",
+    description="Set-operation surface: INTERSECT / EXCEPT membership "
+    "partition of two key sets (the reference only ever unions).",
+)
+def set_operations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = buyers.intersect(clickers).select(
+        "user_id", F.lit("both").alias("membership")
+    )
+    buy_only = buyers.exceptAll(clickers).select(
+        "user_id", F.lit("buy_only").alias("membership")
+    )
+    click_only = clickers.exceptAll(buyers).select(
+        "user_id", F.lit("click_only").alias("membership")
+    )
+    return both.unionByName(buy_only).unionByName(click_only)
+
+
+@register(
+    "time_range_window",
+    oracle="""
+SELECT user_id, event_id, ts, value,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ), 6) AS avg_7d,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) AS n_7d
+FROM events
+""",
+    survey="W extension (time-based RANGE frame)",
+    description="Trailing 7-DAY time-window average per key — a RANGE "
+    "frame over event time (vs the reference's row-count frames "
+    "W1/W2): Spark rangeBetween over epoch seconds ≡ SQL RANGE "
+    "BETWEEN INTERVAL.",
+)
+def time_range_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # µs-precision epoch: unix_timestamp would truncate to seconds and
+    # disagree with the oracle's µs-exact INTERVAL frame at boundaries
+    usec = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(usec)
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
     )
 
 
