@@ -39,21 +39,34 @@ def ewma_fn(alpha: float):
         (user_id,) = key
         prev = state.get[0] if state.exists else None
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ewmas = []
-        for v in rows["value"]:
-            prev = v if prev is None else alpha * v + (1 - alpha) * prev
-            ewmas.append(prev)
-        state.update((float(prev),))
+        ewma = _ewm_seeded(rows["value"], alpha, prev)
+        state.update((float(ewma.iloc[-1]),))
         yield pd.DataFrame(
             {
                 "user_id": user_id,
                 "ts": rows["ts"],
                 "value": rows["value"],
-                "ewma": [round(e, 9) for e in ewmas],
+                "ewma": ewma.round(9),
             }
         )
 
     return fn
+
+
+def _ewm_seeded(values: pd.Series, alpha: float, prev: float | None) -> pd.Series:
+    """Vectorized EWMA recurrence ``e_t = α·v_t + (1-α)·e_{t-1}``
+    (pandas ewm adjust=False), optionally seeded with carried state by
+    prepending the previous EWMA and dropping it after."""
+    if prev is None:
+        return values.ewm(alpha=alpha, adjust=False).mean()
+    seeded = pd.concat([pd.Series([prev]), values], ignore_index=True)
+    return (
+        seeded.ewm(alpha=alpha, adjust=False)
+        .mean()
+        .iloc[1:]
+        .reset_index(drop=True)
+        .set_axis(values.index)
+    )
 
 
 def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
@@ -78,12 +91,7 @@ def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts")
-        prev = None
-        ewmas = []
-        for v in pdf["value"]:
-            prev = v if prev is None else alpha * v + (1 - alpha) * prev
-            ewmas.append(round(prev, 9))
-        pdf = pdf.assign(ewma=ewmas)
+        pdf = pdf.assign(ewma=_ewm_seeded(pdf["value"], alpha, None).round(9))
         return pdf[["user_id", "ts", "value", "ewma"]]
 
     return (

@@ -35,12 +35,17 @@ HEADLINE = [
     "snapshot_join",
     "union_dedup_keeplast",
     "tumbling_window_agg",
+    "session_windows",
+    "asof_join",
+    "ewma_per_key",
     "dedup_exact",
     "text_stats",
     "ngram_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "cosine_topk",
     "cosine_ann_lsh",
+    "cosine_ann_ivf",
 ]
 
 
