@@ -49,7 +49,7 @@ def _close(a, b, tol=1e-9):
     return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(vals=prices, n=st.sampled_from([3, 5, 20]))
 def test_rolling_mean_matches_pandas(spark, vals, n):
     got = [
@@ -62,7 +62,7 @@ def test_rolling_mean_matches_pandas(spark, vals, n):
     assert all(_close(g, w) for g, w in zip(got, want)), (vals, n, got, want)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(vals=prices)
 def test_pct_change_matches_pandas(spark, vals):
     got = [
@@ -79,7 +79,7 @@ def test_pct_change_matches_pandas(spark, vals):
             assert _close(g, w), (vals, got, want)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(vals=prices)
 def test_cumulative_return_matches_pandas(spark, vals):
     rets = pd.Series(vals).pct_change()
