@@ -65,6 +65,28 @@ def test_simhash_pairs_structure(spark):
     assert (1, 2) in got and all(3 not in p for p in got)
 
 
+def test_column_and_aggregate_formulations_agree(spark):
+    """The Column-level APIs (shingles, simhash64) and their fast
+    aggregate twins (shingle_postings, simhash_signatures) must be
+    semantically identical — they are two physical shapes of one
+    operator."""
+    docs = load_table(spark, ORACLE_SF_DIR, "documents").limit(50)
+    via_col = (
+        docs.select(F.col("doc_id").alias("id"), F.explode(D.shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    via_agg = D.shingle_postings(docs, "doc_id", "text", 3)
+    assert sorted(map(tuple, via_col.collect())) == sorted(
+        map(tuple, via_agg.collect())
+    )
+
+    sig_col = docs.select(F.col("doc_id").alias("id"), D.simhash64("text").alias("sig"))
+    sig_agg = D.simhash_signatures(docs, "doc_id", "text")
+    assert sorted(map(tuple, sig_col.collect())) == sorted(
+        map(tuple, sig_agg.collect())
+    )
+
+
 def test_exact_duplicates_groups(spark):
     dup = spark.createDataFrame(
         [

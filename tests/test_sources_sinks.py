@@ -1,0 +1,111 @@
+"""Unit tests for source/sink adapters that have no live backend in
+this environment: REST payload parsing (S7/S8), the Kafka value-parse
+path (F6 over the envelope), the polling CDC watermark (S4/T7), and
+JSON zone round-trips (K2)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.schemas import EVENT_PROPS
+from b3_analytics_engine_spark.sinks.files import write_json_zone
+from b3_analytics_engine_spark.sinks.kafka import to_kafka_records
+from b3_analytics_engine_spark.sources.files import read_json
+from b3_analytics_engine_spark.sources.jdbc import PollingWatermark
+from b3_analytics_engine_spark.sources.kafka import parse_value
+from b3_analytics_engine_spark.sources.rest import (
+    fetch_yfinance_bars,
+    quotes_from_payloads,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="b3src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_brapi_payload_parse(spark):
+    payloads = [
+        {"results": [{"symbol": "PETR4", "longName": "Petrobras PN",
+                      "regularMarketPrice": 36.5, "regularMarketChange": 1.0,
+                      "regularMarketChangePercent": 2.8,
+                      "marketCap": 505000000000, "extraIgnored": "x"}]},
+        {"results": []},  # empty results → null row (try_element_at)
+        {"unexpected": "shape"},  # malformed → nulls, not a crash
+    ]
+    rows = quotes_from_payloads(spark, payloads).collect()
+    assert len(rows) == 3
+    assert rows[0]["symbol"] == "PETR4" and rows[0]["marketCap"] == 505000000000
+    assert rows[1]["symbol"] is None and rows[2]["symbol"] is None
+
+
+def test_yfinance_fetch_adapter(spark):
+    fixtures = {
+        "PETR4.SA": {"symbol": "PETR4.SA", "open": 35.8, "high": 36.9,
+                     "low": 35.5, "close": 36.5, "volume": 41000000,
+                     "timestamp": "2024-05-01 11:59:00"},
+    }
+    df = fetch_yfinance_bars(spark, ["PETR4.SA"], fixtures.__getitem__)
+    r = df.collect()[0]
+    assert r["close"] == 36.5 and str(r["timestamp"]) == "2024-05-01 11:59:00"
+
+
+def test_kafka_value_roundtrip(spark):
+    """K5 envelope → S2 parse: to_kafka_records then parse_value must
+    recover the original typed columns."""
+    src = spark.createDataFrame(
+        [Row(event_id=1, user_id=7, k=42), Row(event_id=2, user_id=8, k=None)]
+    )
+    envelope = to_kafka_records(src, key_col="user_id").withColumn(
+        "key", F.col("key").cast("binary")
+    ).withColumn("value", F.col("value").cast("binary")).withColumn(
+        "timestamp", F.current_timestamp()
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    parsed = parse_value(envelope, schema)
+    got = {r["event_id"]: (r["_key"], r["k"]) for r in parsed.collect()}
+    assert got == {1: ("7", 42), 2: ("8", None)}
+
+
+def test_polling_watermark_advances(spark):
+    source = spark.createDataFrame(
+        [Row(id=i, ts=f"2024-05-01 10:0{i}:00") for i in range(5)]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def read_fn(last_ts: str):
+        return source.filter(F.col("ts") > F.lit(last_ts).cast("timestamp"))
+
+    wm = PollingWatermark("2024-05-01 10:01:00")
+    b1 = wm.poll(read_fn, "ts")
+    assert b1.count() == 3  # ids 2,3,4
+    assert wm.value == "2024-05-01 10:04:00"
+    b2 = wm.poll(read_fn, "ts")
+    assert b2.count() == 0  # watermark advanced: nothing re-sent
+    assert wm.value == "2024-05-01 10:04:00"  # unchanged on empty poll
+
+
+def test_json_zone_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame(
+        [Row(symbol="PETR4", v=1.5), Row(symbol="VALE3", v=2.5)]
+    )
+    write_json_zone(df, f"{tmpdir}/zone", partition_cols=["symbol"])
+    back = read_json(spark, f"{tmpdir}/zone", schema=None)
+    assert {(r["symbol"], r["v"]) for r in back.collect()} == {
+        ("PETR4", 1.5),
+        ("VALE3", 2.5),
+    }
