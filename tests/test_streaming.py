@@ -163,6 +163,72 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmpdir):
     assert got["n"] == got["d"] == 200
 
 
+def test_watermark_append_semantics(spark, tmpdir):
+    """T5/T8: event-time watermark + append-mode guarantees — each
+    window is emitted EXACTLY ONCE after the watermark passes it, with
+    all its on-time events.
+
+    (Observed on Spark 4.1: a 1.4h-late event past a 1h watermark was
+    still admitted and emitted — the "drop data older than watermark"
+    direction is best-effort per the Structured Streaming docs; only
+    never-dropping on-time data and once-only append emission are
+    guaranteed, so those are what this test pins.)"""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    schema = "user_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-05-01 10:05:00", value=1.0),
+            Row(user_id=1, ts="2024-05-01 10:50:00", value=2.0),
+            Row(user_id=1, ts="2024-05-01 11:55:00", value=3.0),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [
+            # 09:30 is > 1h older than the watermark set by batch 1
+            # (10:55) → must be dropped, its window never emitted
+            Row(user_id=1, ts="2024-05-01 09:30:00", value=99.0),
+            Row(user_id=1, ts="2024-05-01 12:40:00", value=4.0),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    src = f"{tmpdir}/src"
+    b1.coalesce(1).write.parquet(f"{src}/a.parquet")
+    _time.sleep(1.2)  # file-source orders micro-batches by mod time
+    b2.coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    all_rows = spark.sql("SELECT * FROM late_out").collect()
+    starts = [str(r["window"]["start"]) for r in all_rows]
+    # append mode: every finalized window emitted exactly once
+    assert len(starts) == len(set(starts)), f"duplicate window emission: {starts}"
+    rows = {str(r["window"]["start"]): (r["n"], r["v"]) for r in all_rows}
+    # the 10:00 window finalized with exactly its on-time events
+    assert rows.get("2024-05-01 10:00:00") == (2, 3.0)
+    # the still-open 12:00 window (12:40 event) must NOT be emitted yet
+    assert "2024-05-01 12:00:00" not in rows
+
+
 def test_warehouse_replay_is_noop(spark):
     """T3: replaying a micro-batch must not change the table (the
     idempotence the reference gets from keep-last dedup)."""
