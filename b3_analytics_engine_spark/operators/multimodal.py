@@ -46,7 +46,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, media_type string, n_bytes int, sha1 string, "
+    "media_id long, media_type string, n_bytes int, sha256 string, "
     "mean_byte double, feat array<float>"
 )
 
@@ -79,8 +79,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha1": payloads.map(
-                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "mean_byte": payloads.map(
                         lambda b: (sum(b) / len(b)) if b else None

@@ -242,6 +242,83 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    UTF-8 bytes of the text (an opaque blob as far as the pipeline is
+    concerned), media type round-robin, duration from n_chars. This is
+    the fixture stand-in for a real image/audio/video column — the
+    plumbing under test is identical."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    d = load_table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        media_type.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+    survey="ext:multimodal-features",
+    description="Multimodal feature-extraction plumbing: opaque binary "
+    "payload + typed metadata through mapInPandas (Arrow batches, "
+    "partition-parallel, zero shuffle). Decode is stubbed "
+    "deterministically (no codec libs in this container); byte-level "
+    "outputs (n_bytes, sha256) are oracle-checked; the feature vector "
+    "itself is covered in unit tests.",
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    media = _synthetic_media(spark, sf_dir)
+    return extract_features(media).select(
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+SELECT doc_id AS media_id, f AS frame_ts_ms
+FROM documents, UNNEST(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS u(f)
+WHERE doc_id % 3 = 2
+""",
+    survey="ext:multimodal-frame-sample",
+    description="Video frame-sampling plan: one (media_id, frame_ts_ms) "
+    "row per sampling point from duration metadata — the partition/"
+    "shuffle shape of frame extraction with the codec stubbed out.",
+)
+def multimodal_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    media = _synthetic_media(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
 def _queries_side(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(

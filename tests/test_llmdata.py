@@ -145,7 +145,7 @@ def test_multimodal_features_and_frames(spark):
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
     assert feats[1]["n_bytes"] == 21
     assert len(feats[1]["feat"]) == 8
-    assert feats[1]["sha1"] is not None
+    assert feats[1]["sha256"] is not None
     # deterministic: same bytes → same features
     feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
     assert feats[1]["feat"] == feats2[1]["feat"]
