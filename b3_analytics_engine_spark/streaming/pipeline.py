@@ -152,7 +152,6 @@ def process_micro_batch(
 def start_incremental(
     spark,
     stream_df: DataFrame,
-    history_path: str,
     warehouse_path: str,
     checkpoint: str,
     history_days: int = 40,

@@ -120,7 +120,6 @@ def test_incremental_stream_end_to_end(spark, tmpdir):
     q = start_incremental(
         spark,
         stream,
-        history_path=wh,
         warehouse_path=wh,
         checkpoint=f"{tmpdir}/ckpt",
     )
