@@ -273,6 +273,49 @@ def ivf_assignments(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+) -> "np.ndarray":
+    """Deterministic distributed Lloyd k-means for IVF cell centroids.
+
+    Seeds are the first ``n_centroids`` corpus vectors by id (stable
+    across retries); each iteration assigns every vector to its nearest
+    centroid by cosine with one Arrow-vectorized matmul scan
+    (:func:`ivf_assignments`, nprobe=1) and recomputes cell means with a
+    ``groupBy(cell, pos)`` partial aggregation — the shuffle carries only
+    ``n_centroids × dim`` partial sums per task, never the vectors.
+    Empty cells keep their previous centroid, so the centroid count is
+    stable. Driver state is a ``n_centroids × dim`` float array — tiny at
+    any corpus scale.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_id"), _dbl(F.col(vec_col)).alias("_v")
+    )
+    seeds = v.orderBy(F.col("_id").asc()).limit(n_centroids).collect()
+    C = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = ivf_assignments(v, C, "_id", "_v", nprobe=1)
+        means = (
+            v.join(assigned, "_id")
+            .select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        C = C.copy()
+        for cell, d in by_cell.items():
+            C[cell] = [d[p] for p in range(dim)]
+    return C
+
+
 def cosine_ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,6 +325,7 @@ def cosine_ann_ivf(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into
     ``n_centroids`` cells, search only the query's ``nprobe`` nearest
@@ -289,20 +333,17 @@ def cosine_ann_ivf(
     when the corpus is clustered (each probe scans ~nprobe/C of the
     data instead of hash buckets).
 
-    Centroids are deterministic: the first ``n_centroids`` corpus
-    vectors by id (k-means would improve balance; seeding is enough
-    for the operator contract and keeps retries reproducible).
-    Output contract matches :func:`cosine_topk_bruteforce`.
+    Cells come from :func:`kmeans_centroids` (deterministic seeding +
+    ``kmeans_iters`` Lloyd rounds); pass ``kmeans_iters=0`` for raw
+    first-N seeding. Output contract matches
+    :func:`cosine_topk_bruteforce`.
     """
     from pyspark.sql import Window
 
-    seeds = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(_dbl(F.col(vec_col)).alias("v"))
-        .collect()
+    centroids = kmeans_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+        iters=kmeans_iters,
     )
-    centroids = np.asarray([r["v"] for r in seeds], dtype=np.float64)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("_cv")
