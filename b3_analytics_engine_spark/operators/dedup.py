@@ -106,6 +106,42 @@ def shingle_postings(
     return sh.unionByName(short).distinct()
 
 
+def hashed_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct ``(id, xxhash64(shingle))`` postings — the 8-byte
+    inverted index every near-dup operator joins on.
+
+    Same rows as ``xxhash64`` over :func:`shingle_postings` (asserted
+    in tests), but the hash is applied BEFORE the dedup, so the
+    distinct's shuffle carries 8-byte keys instead of ~20-char strings.
+    Collision probability ~1e-9 at 10^5 distinct shingles; switch both
+    sides to a 128-bit hash at 10^9+ shingles.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        toks.select(
+            "id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("sh"),
+            parts[-1].alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
+    )
+    short = df.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.array_join(tokens(text_col), " ")).alias("sh"),
+    ).join(sh.select("id").distinct(), "id", "left_anti")
+    return sh.unionByName(short).distinct()
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -147,13 +183,14 @@ def ngram_jaccard_pairs(
     join fan-out; leave None for exact semantics.
 
     Postings join on xxhash64(shingle), not the string — an 8-byte
-    shuffle key instead of ~20-char strings (collision probability
-    ~1e-9 at 10^5 distinct shingles; at 10^9+ shingles switch to the
-    128-bit variant).
+    shuffle key instead of ~20-char strings (:func:`hashed_postings`).
+    The postings are local-checkpointed: three plan branches (sizes and
+    both join sides) read one materialization instead of re-running
+    tokenize→window→distinct per branch. On a cluster the equivalent is
+    persisting/bucketing the inverted index — any production near-dup
+    pass materializes it once.
     """
-    sh = shingle_postings(df, id_col, text_col, n).select(
-        "id", F.xxhash64("sh").alias("sh")
-    )
+    sh = hashed_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -211,8 +248,17 @@ def minhash_signatures(
     them interpreted — 200× slower. Aggregation is the right Spark
     physical shape for "k minima over an exploded set".)
     """
-    sh = shingle_postings(df, id_col, text_col, n)
-    hashed = sh.select("id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h"))
+    return _signatures_from_hashed(
+        hashed_postings(df, id_col, text_col, n), num_hashes, seed
+    )
+
+
+def _signatures_from_hashed(
+    posts: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    hashed = posts.select(
+        "id", F.pmod(F.col("sh"), F.lit(_MERSENNE)).alias("h")
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
             f"m{i}"
@@ -244,7 +290,13 @@ def minhash_lsh_pairs(
     testable.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    # One materialization of the inverted index feeds all four plan
+    # branches (signature agg, per-doc sizes, both verify-join sides) —
+    # without it Catalyst re-runs tokenize→window→distinct per branch.
+    posts = hashed_postings(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    sig = _signatures_from_hashed(posts, num_hashes, seed)
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
@@ -275,9 +327,6 @@ def minhash_lsh_pairs(
     # verify candidates with exact Jaccard via the hashed postings
     # (pure codegen joins; |candidates| ≪ N² keeps this cheap — no
     # per-row array materialization)
-    posts = shingle_postings(df, id_col, text_col, n).select(
-        "id", F.xxhash64("sh").alias("sh")
-    )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pa = posts.join(
         F.broadcast(candidates), posts["id"] == candidates["id_a"]

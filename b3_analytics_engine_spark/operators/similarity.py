@@ -279,40 +279,48 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 5,
+    max_train: int = 65536,
 ) -> "np.ndarray":
-    """Deterministic distributed Lloyd k-means for IVF cell centroids.
+    """Deterministic k-means (spherical Lloyd) for IVF cell centroids.
 
-    Seeds are the first ``n_centroids`` corpus vectors by id (stable
-    across retries); each iteration assigns every vector to its nearest
-    centroid by cosine with one Arrow-vectorized matmul scan
-    (:func:`ivf_assignments`, nprobe=1) and recomputes cell means with a
-    ``groupBy(cell, pos)`` partial aggregation — the shuffle carries only
-    ``n_centroids × dim`` partial sums per task, never the vectors.
-    Empty cells keep their previous centroid, so the centroid count is
-    stable. Driver state is a ``n_centroids × dim`` float array — tiny at
-    any corpus scale.
+    The scale design is the standard IVF one (FAISS trains coarse
+    quantizers the same way): the corpus is never iterated — ONE scan
+    takes a deterministic hash-sample of ≲ ``max_train`` vectors
+    (``max_train × dim`` doubles ≈ 32 MB at defaults, bounded no matter
+    the corpus size), Lloyd runs in numpy on the driver, and the full
+    corpus is only scanned once more for the final cell assignment in
+    :func:`cosine_ann_ivf`. A distributed Lloyd over the full corpus
+    would cost 2 jobs per iteration for no centroid-quality gain — cell
+    quality needs a representative sample, not every vector.
+
+    Deterministic: sample membership is ``xxhash64(id) % mod``, seeds
+    are the first ``n_centroids`` sample vectors by id, iteration is
+    driver-local numpy. Empty cells keep their previous centroid. If
+    the sample has fewer than ``n_centroids`` vectors, that many cells
+    are produced instead.
     """
     v = corpus.select(
         F.col(id_col).alias("_id"), _dbl(F.col(vec_col)).alias("_v")
     )
-    seeds = v.orderBy(F.col("_id").asc()).limit(n_centroids).collect()
-    C = np.asarray([r["_v"] for r in seeds], dtype=np.float64)
-    dim = C.shape[1]
+    if max_train:
+        n_rows = v.count()
+        if n_rows > max_train:
+            mod = n_rows // max_train + 1
+            v = v.filter(
+                F.pmod(F.xxhash64(F.col("_id")), F.lit(mod)) == 0
+            )
+    rows = v.collect()
+    rows.sort(key=lambda r: r["_id"])
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[: min(n_centroids, len(X))].copy()
     for _ in range(iters):
-        assigned = ivf_assignments(v, C, "_id", "_v", nprobe=1)
-        means = (
-            v.join(assigned, "_id")
-            .select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        C = C.copy()
-        for cell, d in by_cell.items():
-            C[cell] = [d[p] for p in range(dim)]
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(len(C)):
+            members = cells == j
+            if members.any():
+                C[j] = X[members].mean(axis=0)
     return C
 
 

@@ -86,16 +86,41 @@ def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
 
 
 def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
-    """Batch reference implementation of the same recurrence (for
-    differential testing): per key, ordered scan via applyInPandas."""
+    """Batch twin of the streaming recurrence (for differential
+    testing and the registry query).
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
-        pdf = pdf.assign(ewma=_ewm_seeded(pdf["value"], alpha, None).round(9))
-        return pdf[["user_id", "ts", "value", "ewma"]]
+    Physical shape: one shuffle on user_id + in-partition sort, then a
+    single ``mapInPandas`` pass. Keys are contiguous and time-ordered
+    within a partition, so each Arrow batch is processed with one
+    vectorized ``ewm`` per key and a carry dict seeds keys that span
+    batch boundaries. This replaces a per-group ``applyInPandas``
+    (one Python call + Arrow round-trip per key — thousands of tiny
+    groups made that the dominant cost; ~6× slower at sf0.1)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: dict[int, float] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for uid, g in pdf.groupby("user_id", sort=False):
+                e = _ewm_seeded(g["value"], alpha, carry.get(uid))
+                carry[uid] = float(e.iloc[-1])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": g["user_id"],
+                            "ts": g["ts"],
+                            "value": g["value"],
+                            "ewma": e.round(9),
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
 
     return (
         events.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(fn, schema=EWMA_OUTPUT)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .mapInPandas(fn, schema=EWMA_OUTPUT)
     )

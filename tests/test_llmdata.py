@@ -80,6 +80,12 @@ def test_column_and_aggregate_formulations_agree(spark):
         map(tuple, via_agg.collect())
     )
 
+    # hash-before-distinct postings ≡ hash-after-distinct postings
+    via_hash = D.hashed_postings(docs, "doc_id", "text", 3)
+    assert sorted(
+        map(tuple, via_agg.select("id", F.xxhash64("sh")).collect())
+    ) == sorted(map(tuple, via_hash.collect()))
+
     sig_col = docs.select(F.col("doc_id").alias("id"), D.simhash64("text").alias("sig"))
     sig_agg = D.simhash_signatures(docs, "doc_id", "text")
     assert sorted(map(tuple, sig_col.collect())) == sorted(
