@@ -435,7 +435,11 @@ def simhash_pairs(
     chunk by pigeonhole when ≤3 chunks differ), then exact Hamming
     filter. Equi-join on (chunk_id, chunk_value) — never N².
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    # one row per doc; materialized once so the self-join's two sides
+    # don't each re-run the tokenize + 64-bit-sum aggregation
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     chunked = sig.select(
         "id",
         "sig",

@@ -213,15 +213,19 @@ def cosine_ann_lsh(
     c_buckets = _bucketize(c, "neighbor_id", "_cv", dim, bits, tables, seed)
     q_buckets = _bucketize(q, query_id_col, "_qv", dim, bits, tables, seed)
     if multiprobe >= 1:
-        exact_probe = q_buckets
-        flips = [
-            exact_probe.withColumn(
-                "bucket", F.col("bucket").bitwiseXOR(F.lit(1 << i))
-            )
-            for i in range(bits)
-        ]
-        for f in flips:
-            q_buckets = q_buckets.unionByName(f)
+        # one explode emits the exact probe plus every 1-bit-flip probe
+        # — a single plan branch (a union-per-flip re-evaluates the
+        # bucketize UDF subtree once per leg)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(bits)
+            ],
+        )
+        q_buckets = q_buckets.select(
+            query_id_col, "tbl", F.explode(probes).alias("bucket")
+        )
 
     cand = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
@@ -403,7 +407,10 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
     same RHP-LSH bucketing, self-join form (id_a < id_b)."""
     v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
-    buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed)
+    # materialized once: both self-join sides read one bucketize pass
+    buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed).localCheckpoint(
+        eager=False
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
