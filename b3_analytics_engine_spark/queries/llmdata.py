@@ -400,3 +400,153 @@ def cosine_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs(emb, threshold=0.4, dim=64)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+           AS bucket_permille
+  FROM documents
+)
+SELECT doc_id, lang, bucket_permille FROM b
+WHERE bucket_permille < CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 500
+                                  WHEN 'es' THEN 1000 WHEN 'fr' THEN 1000
+                                  ELSE 100 END
+""",
+    survey="ext:curation-stratified-sample",
+    description="Deterministic per-language hash sampling (keep iff "
+    "md5-bucket(doc_id) < stratum rate): reproducible across "
+    "runs/engines, no shuffle — the filter pushes into the scan, "
+    "unlike reservoir/Bernoulli sampling. Downsamples dominant "
+    "English to 50%, keeps small languages whole, 10% elsewhere.",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample(
+        d,
+        {"en": 500, "de": 1000, "es": 1000, "fr": 1000},
+        default_permille=100,
+    ).select("doc_id", "lang", "bucket_permille")
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+           AS shard,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM base
+), rec AS (
+  SELECT doc_id, lang, shard, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.lang, o.shard, o.n_tokens, o.rn,
+         CASE WHEN r.bin_fill + o.n_tokens > 512 THEN r.bin_id + 1
+              ELSE r.bin_id END,
+         CASE WHEN r.bin_fill + o.n_tokens > 512 THEN o.n_tokens
+              ELSE r.bin_fill + o.n_tokens END
+  FROM ordered o
+  JOIN rec r ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, lang, shard, n_tokens, bin_id, bin_fill FROM rec
+""",
+    survey="ext:curation-sequence-packing",
+    description="Greedy token-aware sequence packing into 512-token "
+    "bins, per (lang, md5-shard) stream — the pre-training batching "
+    "step. Streams pack independently (parallelism = shard count, "
+    "not corpus size); one shuffle + one ordered mapInPandas pass "
+    "with cross-batch carry, same physical shape as the batch EWMA. "
+    "Oracle: recursive CTE over the same recurrence.",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(d, capacity=512, shard_mod=16)
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+), toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_guess
+  FROM (
+    SELECT doc_id,
+      len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+      len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x)))   AS s_en,
+      len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x)))   AS s_es,
+      len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x)))   AS s_fr
+    FROM toks
+  )
+), q AS (
+  SELECT doc_id,
+         n_tok,
+         CAST(pieces + floor(greatest(0.0, (alpha - pieces * 6) / 6.0)) AS BIGINT)
+           AS bpe_tokens,
+         round(
+           (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.4
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 - punct_ratio * 2 ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END) * 0.3,
+         6) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(t) AS n_tok,
+           length(text)::DOUBLE / greatest(len(t), 1) AS mwl,
+           length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) AS punct_ratio,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS pieces,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+    FROM toks
+  )
+)
+SELECT q.doc_id, lang_guess, quality_score, bpe_tokens,
+       CAST(n_tok AS BIGINT) AS n_tokens
+FROM q
+JOIN lang ON lang.doc_id = q.doc_id
+WHERE lang_guess <> 'und' AND quality_score >= 0.5
+  AND q.doc_id IN (SELECT doc_id FROM keepers)
+""",
+    survey="ext:curation-pipeline (dedup ∘ lang-id ∘ quality)",
+    description="End-to-end corpus curation: exact-dup keep-first "
+    "(fingerprint groupBy ∘ left-semi join), language filter "
+    "(lang_id <> 'und'), quality floor (score >= 0.5); emits the "
+    "per-doc metrics a training-data pipeline materializes. "
+    "Demonstrates operator composition — every stage is the same "
+    "codegen'd expression the standalone queries use.",
+)
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.groupBy(TX.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = d.join(keep, "doc_id", "left_semi")
+    c = F.col("text")
+    return kept.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang_guess"),
+        F.round(TX.quality_score(c), 6).alias("quality_score"),
+        TX.bpe_token_estimate(c).alias("bpe_tokens"),
+        TX.token_count(c).cast("long").alias("n_tokens"),
+    ).filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))

@@ -46,6 +46,8 @@ HEADLINE = [
     "cosine_topk",
     "cosine_ann_lsh",
     "cosine_ann_ivf",
+    "sequence_packing",
+    "corpus_curation",
 ]
 
 

@@ -161,3 +161,61 @@ def test_multimodal_features_and_frames(spark):
     assert {(r["media_id"], r["frame_ts_ms"]) for r in frames} == {
         (2, 0), (2, 1000), (2, 2000), (2, 3000)
     }
+
+
+def test_pack_sequences_invariants_and_batch_carry(spark):
+    from b3_analytics_engine_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    cap = 512
+
+    def run():
+        rows = pack_sequences(docs, capacity=cap, shard_mod=16).collect()
+        assert len(rows) == docs.count()
+        by_stream: dict = {}
+        for r in rows:
+            by_stream.setdefault((r["lang"], r["shard"]), []).append(r)
+        for stream in by_stream.values():
+            stream.sort(key=lambda r: r["doc_id"])
+            fill, bin_id = 0, 0
+            for r in stream:
+                if bin_id == 0 or fill + r["n_tokens"] > cap:
+                    bin_id, fill = bin_id + 1, r["n_tokens"]
+                else:
+                    fill += r["n_tokens"]
+                assert (r["bin_id"], r["bin_fill"]) == (bin_id, fill)
+                # fill never exceeds capacity unless a single long doc
+                assert r["bin_fill"] <= cap or r["bin_fill"] == r["n_tokens"]
+        return sorted(map(tuple, rows))
+
+    baseline = run()
+    # force keys to span Arrow batches: the carry dict must seed the
+    # continuation batch, leaving results identical
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        assert run() == baseline
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from b3_analytics_engine_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    rates = {"en": 500, "de": 1000, "es": 1000, "fr": 1000}
+    got = stratified_sample(docs, rates, default_permille=100).collect()
+    again = stratified_sample(docs, rates, default_permille=100).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    by_lang: dict = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # full-keep strata survive whole; others roughly at their rate
+    for lang in ("de", "es", "fr"):
+        assert by_lang[lang] == totals[lang]
+    assert 0.3 <= by_lang["en"] / totals["en"] <= 0.7
+    assert by_lang.get("zh", 0) <= 0.3 * totals["zh"]
