@@ -105,6 +105,47 @@ def lang_id(col: str | Column) -> Column:
     return expr
 
 
+LANGS = sorted(LANG_MARKERS)
+
+
+def lang_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-language marker-hit counts as an aggregation: explode tokens
+    once → one ``sum(when(tok in markers))`` per language → one row per
+    doc ``(id, s_de, s_en, ...)``.
+
+    The fast, scale-correct shape (same rationale as
+    :func:`~..dedup.minhash_signatures`): whole-stage codegen with
+    map-side combine, and the groupBy is a natural optimizer barrier —
+    downstream argmax/filter expressions reference cheap aggregated
+    columns, where the :func:`lang_id` Column form re-inlines its
+    interpreted higher-order-function subtrees at every reference
+    (measured 2× under predicate pushdown).
+    """
+    tok = df.select(
+        F.col(id_col).alias(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("tok").isin(LANG_MARKERS[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in LANGS
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lang_id_from_scores() -> Column:
+    """Argmax over the ``s_<lang>`` columns of :func:`lang_scores` —
+    alphabetical tie-break, 'und' when no marker hits. Semantically
+    identical to :func:`lang_id` (asserted in tests)."""
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    expr = F.lit(LANGS[-1])
+    for lang in reversed(LANGS[:-1]):
+        expr = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
 def fingerprint(col: str | Column) -> Column:
     """128-bit content fingerprint of normalized text (md5 hex).
 

@@ -185,10 +185,11 @@ FROM scored
 )
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    scores = TX.lang_scores(d)
+    return d.join(scores, "doc_id").select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        TX.lang_id("text").alias("lang_guess"),
+        TX.lang_id_from_scores().alias("lang_guess"),
     )
 
 
@@ -543,10 +544,20 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = d.join(keep, "doc_id", "left_semi")
     c = F.col("text")
-    return kept.select(
+    metrics = kept.select(
         "doc_id",
-        TX.lang_id("text").alias("lang_guess"),
         F.round(TX.quality_score(c), 6).alias("quality_score"),
         TX.bpe_token_estimate(c).alias("bpe_tokens"),
         TX.token_count(c).cast("long").alias("n_tokens"),
-    ).filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
+    )
+    # language scores via the aggregation form: codegen'd, and the
+    # groupBy barrier keeps the lang filter from re-inlining expensive
+    # expressions below the projection (the Column-form argmax doubled
+    # this query's runtime under predicate pushdown)
+    scores = TX.lang_scores(kept)
+    return (
+        metrics.join(scores, "doc_id")
+        .withColumn("lang_guess", TX.lang_id_from_scores())
+        .filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "lang_guess", "quality_score", "bpe_tokens", "n_tokens")
+    )

@@ -92,6 +92,16 @@ def test_column_and_aggregate_formulations_agree(spark):
         map(tuple, sig_agg.collect())
     )
 
+    from b3_analytics_engine_spark.operators import text as TX
+
+    lang_col = docs.select("doc_id", TX.lang_id("text").alias("g"))
+    lang_agg = docs.join(TX.lang_scores(docs), "doc_id").select(
+        "doc_id", TX.lang_id_from_scores().alias("g")
+    )
+    assert sorted(map(tuple, lang_col.collect())) == sorted(
+        map(tuple, lang_agg.collect())
+    )
+
 
 def test_exact_duplicates_groups(spark):
     dup = spark.createDataFrame(
