@@ -561,3 +561,79 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "lang_guess", "quality_score", "bpe_tokens", "n_tokens")
     )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, u.tok
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+)
+SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok
+GROUP BY tok
+ORDER BY tf DESC, tok ASC
+LIMIT 100
+""",
+    survey="ext:text-vocab-stats",
+    description="Corpus vocabulary head: top-100 tokens by term "
+    "frequency with document frequency — the tokenizer-training / "
+    "stopword-mining primitive. explode -> hash agg (map-side "
+    "combine) -> TakeOrderedAndProject; the shuffle carries one row "
+    "per distinct token, never token instances.",
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, count(*) AS n_shared_shingles
+FROM sh s JOIN eval_sh e ON s.sh = e.sh
+WHERE s.doc_id % 10 <> 0
+GROUP BY s.doc_id
+""",
+    survey="ext:curation-decontamination",
+    description="Train/eval decontamination: training docs sharing "
+    "any 3-token shingle with the held-out set (doc_id % 10 = 0 "
+    "stands in for the benchmark corpus), with the shared-shingle "
+    "count as contamination evidence. Inverted-index inner join on "
+    "8-byte shingle hashes — the eval side is tiny and broadcast, "
+    "so the 100 TB train side is never shuffled.",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    posts = D.hashed_postings(d, "doc_id", "text", 3)
+    eval_sh = (
+        posts.filter(F.col("id") % 10 == 0).select("sh").distinct()
+    )
+    return (
+        posts.filter(F.col("id") % 10 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
