@@ -637,3 +637,53 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@register(
+    "repetition_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t) - 2, 1) AS BIGINT) AS n_shingles,
+       n_distinct,
+       round(1 - n_distinct / greatest(len(t) - 2, 1), 6)
+         AS repetition_ratio
+FROM toks t JOIN sizes USING (doc_id)
+""",
+    survey="ext:text-repetition-ratio",
+    description="Gopher-style within-document repetition signal: "
+    "fraction of 3-token shingle positions whose shingle already "
+    "occurred in the doc (1 - distinct/total). Reuses the hashed "
+    "inverted-index postings; the shuffle carries one count per doc.",
+)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sz = (
+        D.hashed_postings(d, "doc_id", "text", 3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    total = F.greatest(TX.token_count("text") - 2, F.lit(1)).cast("long")
+    return (
+        d.select("doc_id", total.alias("n_shingles"))
+        .join(sz, F.col("doc_id") == F.col("id"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_shingles"), 6
+            ).alias("repetition_ratio"),
+        )
+    )
