@@ -90,3 +90,32 @@ def test_no_cartesian_anywhere(spark, qs):
         assert "CartesianProduct" not in kinds, f"{name}: {kinds}"
         if name not in allowed_nested:
             assert "BroadcastNestedLoopJoin" not in kinds, f"{name}: {kinds}"
+
+
+def test_vocab_topk_uses_take_ordered(spark, qs):
+    df = qs["vocab_topk"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "TakeOrderedAndProject"), "top-k became a global sort"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, qs):
+    df = qs["decontaminate"].fn(spark, SMOKE_SF_DIR)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+
+
+def test_sequence_packing_single_shuffle(spark, qs):
+    import re
+
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["sequence_packing"].fn(spark, SMOKE_SF_DIR)
+    plan = physical_plan(df)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"packing should shuffle once: {exchanges}"
+
+
+def test_stratified_sample_no_shuffle(spark, qs):
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["stratified_sample"].fn(spark, SMOKE_SF_DIR)
+    assert "Exchange" not in physical_plan(df), "hash sampling must be scan-stage"
