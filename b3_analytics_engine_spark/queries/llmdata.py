@@ -687,3 +687,47 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetition_ratio"),
         )
     )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor((i - 1) / 32.0) AS BIGINT) AS chunk_id,
+       count(*) AS n_chunk_tokens,
+       array_to_string(list(t[i] ORDER BY i), ' ') AS chunk_text
+FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+GROUP BY 1, 2
+""",
+    survey="ext:curation-chunking",
+    description="Context-window chunking: split each document into "
+    "32-token chunks (the complement of sequence packing — long docs "
+    "become model-sized pieces). posexplode -> groupBy(doc, chunk) "
+    "with an order-restoring sort_array(collect_list(struct)) — "
+    "token rows of one doc co-locate in one shuffle, chunk text is "
+    "reassembled deterministically.",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    return (
+        tok.groupBy(
+            "doc_id", F.floor(F.col("pos") / 32).alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
