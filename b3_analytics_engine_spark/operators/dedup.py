@@ -405,20 +405,20 @@ def simhash_signatures(
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
     h = tok.select("id", F.xxhash64("tok").alias("h"))
+    # per-bit ONES count (branch-free bit arithmetic per row); the ±1
+    # sum is recovered after the aggregate as 2·ones − n, which is
+    # integer-exact — same signature as summing ±1 directly
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)
-    ]
+    ] + [F.count(F.lit(1)).alias("n_")]
     sums = h.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(64):
         sig = sig.bitwiseOR(
             F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.col(f"b{i}") * 2 > F.col("n_"),
+                F.shiftleft(F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select("id", sig.alias("sig"))
