@@ -480,3 +480,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labelled with itself; each
+    round a node adopts the minimum label among itself and its
+    neighbors; fixpoint = per-component minimum node id.
+
+    Duplicate-cluster canonicalization needs this because near-dup
+    similarity is not transitive pairwise output (A~B, B~C but A≁C) —
+    the cluster is the transitive closure of the pair graph.
+
+    Scale shape: each round is one shuffle join (labels ⋈ edges) + one
+    groupBy min — O(diameter) rounds, and near-dup graphs are
+    shallow (duplicate clusters are dense, diameter ≪ 10). Lineage is
+    cut with ``localCheckpoint`` per round so the plan doesn't grow
+    with the iteration count (Pregel-style loops otherwise recompute
+    round k-1 inside round k). Returns ``(node, component)``.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        msgs = labels.join(sym, labels["node"] == sym["a"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        new = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to its near-duplicate cluster and mark the
+    canonical keeper (minimum id in the component; singletons keep
+    themselves).
+
+    Output: ``(doc_id, cluster_id, is_keep)`` — the row-level decision a
+    curation pipeline applies after any pair generator
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`). The component map is tiny relative to the
+    corpus (only docs that appear in ≥1 pair), so it broadcasts.
+    """
+    comp = connected_components(pairs)
+    d = df.select(F.col(id_col).alias("doc_id"))
+    joined = d.join(
+        F.broadcast(comp), d["doc_id"] == comp["node"], "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(cluster == F.col("doc_id"), 1).otherwise(0).alias("is_keep"),
+    )

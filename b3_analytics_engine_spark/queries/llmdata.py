@@ -731,3 +731,206 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+_JACCARD_PAIRS_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.12
+)"""
+
+
+@register(
+    "dup_cluster_keep",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_PAIRS_CTE
+    + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS is_keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+    survey="ext:dedup-clusters",
+    description="Near-duplicate cluster canonicalization: transitive "
+    "closure (connected components, iterative min-label propagation) "
+    "over the exact n-gram-Jaccard pair graph, keep = min doc_id per "
+    "component. Oracle: DuckDB recursive-CTE reachability. The pair "
+    "graph is tiny vs the corpus, so the component map broadcasts "
+    "back onto documents.",
+)
+def dup_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.12)
+    return D.duplicate_clusters(d, pairs)
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / t)), 6) AS avg_logprob,
+       round(min(ln(c / t)), 6) AS min_logprob
+FROM tok JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    survey="ext:quality-lm",
+    description="Corpus-unigram language-model scoring (perplexity "
+    "proxy): two-pass — build the global token-frequency table, score "
+    "each document by mean/min token log-probability. Rare-token-heavy "
+    "docs score low, a standard quality signal. Shuffle is by token "
+    "(frequency join), never by document text.",
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    ).localCheckpoint(eager=False)
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    lp = F.log(F.col("c") / F.col("t"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(F.min(lp), 6).alias("min_logprob"),
+        )
+    )
+
+
+@register(
+    "pii_flag",
+    oracle="""
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phones,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(length(text), 1), 6) AS digit_ratio,
+  CASE WHEN len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+      + len(regexp_extract_all(text,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+      + len(regexp_extract_all(text,
+        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) > 0
+      THEN 1 ELSE 0 END AS has_pii
+FROM documents
+""",
+    survey="ext:pii-scrub",
+    description="PII detection pass: per-document counts of email / "
+    "IPv4 / phone-shaped substrings plus digit density — the filter "
+    "feature set of a training-data scrubber. Pure regexp_count "
+    "codegen expressions; patterns restricted to the RE2∩Java common "
+    "subset so the DuckDB oracle sees identical matches.",
+)
+def pii_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email = F.regexp_count(
+        F.col("text"), F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    ipv4 = F.regexp_count(
+        F.col("text"), F.lit(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    )
+    phone = F.regexp_count(
+        F.col("text"), F.lit(r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b")
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        email.cast("long").alias("n_emails"),
+        ipv4.cast("long").alias("n_ipv4"),
+        phone.cast("long").alias("n_phones"),
+        F.round(
+            digits / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("digit_ratio"),
+        F.when(email + ipv4 + phone > 0, 1).otherwise(0).alias("has_pii"),
+    )
+
+
+@register(
+    "importance_resample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         least(1.0, n_chars / 400.0) AS keep_weight,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1000000.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, round(keep_weight, 6) AS keep_weight
+FROM w
+WHERE u < keep_weight
+""",
+    survey="ext:curation-resample",
+    description="Importance resampling: keep each document with "
+    "probability proportional to a quality weight (length-based here), "
+    "decided by a deterministic per-id md5 uniform draw — the "
+    "reproducible, cluster-order-independent way to downsample a "
+    "corpus toward a target distribution (no rand(), no seed "
+    "coordination across executors).",
+)
+def importance_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(1000000),
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        d.withColumn("keep_weight", weight)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("keep_weight"))
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.round("keep_weight", 6).alias("keep_weight"),
+        )
+    )

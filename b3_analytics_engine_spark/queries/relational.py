@@ -506,3 +506,259 @@ def multi_key_sort_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@register(
+    "promotion_effect",
+    oracle="""
+SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY 1
+""",
+    survey="J1 A7 (TPC-H Q14 pattern)",
+    description="Promotion-revenue share by ship month (TPC-H Q14 "
+    "shape): conditional aggregation ratio over a fact⋈dim join — "
+    "part is the broadcast side, lineitem never shuffles for the "
+    "join.",
+)
+def promotion_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "small_order_quantity",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cq
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5.0 * l.l_quantity * pa.cq < pa.sq
+GROUP BY 1
+""",
+    survey="J1 A7 correlated-subquery (TPC-H Q17 pattern)",
+    description="Small-quantity order revenue (TPC-H Q17 shape): the "
+    "correlated per-part AVG subquery decorrelated into a groupBy + "
+    "self-join — and the threshold rewritten multiplicatively "
+    "(5·qty·cnt < sum) so both engines compare exact integer-valued "
+    "doubles instead of ulp-sensitive averages.",
+)
+def small_order_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cq")
+    )
+    pa = pa.select(F.col("l_partkey").alias("pa_partkey"), "sq", "cq")
+    return (
+        li.join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(5.0 * F.col("l_quantity") * F.col("cq") < F.col("sq"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "large_volume_customer",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3, 4
+HAVING sum(l.l_quantity) > 300
+""",
+    survey="J1 A7 HAVING (TPC-H Q18 pattern)",
+    description="Large-volume customers (TPC-H Q18 shape): "
+    "post-aggregation HAVING filter over a two-fact join. Quantities "
+    "are integer-valued doubles, so the >300 cut is exact in both "
+    "engines.",
+)
+def large_volume_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("_sq", 6).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    survey="A7 scalar-subquery (TPC-H Q15 pattern)",
+    description="Top supplier by quarterly revenue (TPC-H Q15 shape): "
+    "scalar MAX subquery as an empty-frame window max — equality is "
+    "tested on round(·,6) revenue in both engines so cross-engine "
+    "sum-order ulp noise can't flip the argmax.",
+)
+def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+        .alias("total_rev")
+    )
+    rev = rev.withColumn(
+        "_max_rev", F.max("total_rev").over(Window.partitionBy())
+    )
+    return (
+        rev.filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "dormant_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 2) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       round(sum(c.c_acctbal), 6) AS totacctbal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY 1
+""",
+    survey="J1 anti-join scalar-subquery (TPC-H Q22 pattern)",
+    description="Dormant high-balance customers (TPC-H Q22 shape): "
+    "scalar AVG threshold (rounded to cents on both sides — acctbal "
+    "has cent granularity, so the cut is ulp-proof) + NOT EXISTS over "
+    "the trailing year as a left-anti join, grouped by nation.",
+)
+def dormant_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("a")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS min_unit
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_partkey, l_suppkey, min_unit,
+         row_number() OVER (
+           PARTITION BY l_partkey ORDER BY min_unit, l_suppkey
+         ) AS rn
+  FROM unit
+)
+SELECT p.p_partkey, p.p_name,
+       r.l_suppkey AS best_suppkey, s.s_name,
+       round(r.min_unit, 6) AS min_unit_price
+FROM ranked r
+JOIN part p     ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+""",
+    survey="J1 W correlated-min (TPC-H Q2 pattern)",
+    description="Cheapest supplier per part (TPC-H Q2 shape): the "
+    "correlated min-supply-cost subquery decorrelated into a "
+    "row_number window over per-(part,supplier) min unit price, "
+    "suppkey tie-break. Spark side uses try_divide (ANSI) ≡ DuckDB "
+    "null-on-zero division; unit prices are bit-identical in both "
+    "engines so the rank order matches exactly.",
+)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+        .alias("min_unit")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_unit", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_name",
+            F.col("l_suppkey").alias("best_suppkey"), "s_name",
+            F.round("min_unit", 6).alias("min_unit_price"),
+        )
+    )

@@ -229,3 +229,32 @@ def test_stratified_sample_rates_and_determinism(spark):
         assert by_lang[lang] == totals[lang]
     assert 0.3 <= by_lang["en"] / totals["en"] <= 0.7
     assert by_lang.get("zh", 0) <= 0.3 * totals["zh"]
+
+
+def test_connected_components_transitive_closure(spark):
+    from b3_analytics_engine_spark.operators.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # chain 1-2-3 (1~3 only transitively), pair 10-11, isolated 20/21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], ["doc_id"]
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keep"])
+        for r in duplicate_clusters(docs, edges).collect()
+    }
+    assert rows == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        20: (20, 1), 21: (21, 1),
+    }
