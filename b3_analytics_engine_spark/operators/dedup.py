@@ -548,14 +548,15 @@ def duplicate_clusters(
     Output: ``(doc_id, cluster_id, is_keep)`` — the row-level decision a
     curation pipeline applies after any pair generator
     (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`,
-    :func:`simhash_pairs`). The component map is tiny relative to the
-    corpus (only docs that appear in ≥1 pair), so it broadcasts.
+    :func:`simhash_pairs`). The component map holds only docs that
+    appear in ≥1 pair — often small, but at web scale dup rates of
+    30%+ make it a sizable fraction of the corpus, so the join is left
+    un-hinted: AQE broadcasts it when it fits and shuffle-joins on
+    doc_id when it doesn't.
     """
     comp = connected_components(pairs)
     d = df.select(F.col(id_col).alias("doc_id"))
-    joined = d.join(
-        F.broadcast(comp), d["doc_id"] == comp["node"], "left"
-    )
+    joined = d.join(comp, d["doc_id"] == comp["node"], "left")
     cluster = F.coalesce(F.col("component"), F.col("doc_id"))
     return joined.select(
         "doc_id",

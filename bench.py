@@ -48,6 +48,9 @@ HEADLINE = [
     "cosine_ann_ivf",
     "sequence_packing",
     "corpus_curation",
+    "min_cost_supplier",
+    "unigram_logprob",
+    "dup_cluster_keep",
 ]
 
 
