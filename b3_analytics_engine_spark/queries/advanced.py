@@ -404,3 +404,39 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "ts", "value", "last_click_ts", "last_click_value"
         )
     )
+
+
+@register(
+    "approx_aggregates",
+    oracle=None,  # HLL++/quantile-sketch outputs are engine-specific;
+    # bounded against exact counterparts in
+    # tests/test_llmdata.py::test_approx_aggregates_error_bounds
+    survey="ext:approx-aggregates (A7 at 100 TB)",
+    description="Sketch-based aggregation: per event_type "
+    "approx_count_distinct(user_id) (HyperLogLog++, rsd 2%) and "
+    "approx_percentile(value, {0.5, 0.95, 0.99}) (accuracy 10000). "
+    "At 100 TB exact COUNT(DISTINCT) is a full shuffle of every key "
+    "and exact percentiles a global sort; sketches are one scan + "
+    "constant-size merge, the only viable shape. Deterministic for a "
+    "given dataset/partitioning (no RNG), so rows are stable.",
+)
+def approx_aggregates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10000
+            ).alias("value_quantiles"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.col("value_quantiles")[0], 6).alias("p50"),
+            F.round(F.col("value_quantiles")[1], 6).alias("p95"),
+            F.round(F.col("value_quantiles")[2], 6).alias("p99"),
+            "n_events",
+        )
+    )

@@ -258,3 +258,36 @@ def test_connected_components_transitive_closure(spark):
         10: (10, 1), 11: (10, 0),
         20: (20, 1), 21: (21, 1),
     }
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """Sketch outputs vs exact counterparts at sf0.01: HLL++ distinct
+    within its 2% rsd (3 sigma), approx percentiles within the rank
+    error implied by accuracy=10000."""
+    from b3_analytics_engine_spark.queries import registry
+    from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in registry()["approx_aggregates"].fn(spark, ORACLE_SF_DIR).collect()
+    }
+    ev = load_table(spark, ORACLE_SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(approx) > 0
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n_events"] == e["n"]
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"]), (
+            et, a["approx_users"], e["users"])
+        spread = max(e["qs"]) - min(e["qs"]) or 1.0
+        for got, want in zip((a["p50"], a["p95"], a["p99"]), e["qs"]):
+            assert abs(got - want) <= 0.05 * spread + 1.0, (et, got, want)

@@ -81,9 +81,16 @@ def test_snapshot_join_is_aggregate_then_broadcast(spark, qs):
 
 def test_no_cartesian_anywhere(spark, qs):
     # intentional nested-loop joins: brute-force cosine (broadcast
-    # query side × corpus scan) and the scalar percent-of-total cross
-    # joins (1-row broadcast); everything else must be hash/sort-merge
-    allowed_nested = {"cosine_topk", "group_share"}
+    # query side × corpus scan) and the scalar-subquery cross joins
+    # (1-row broadcast build side: percent-of-total, avg-balance
+    # threshold, corpus token total); everything else must be
+    # hash/sort-merge
+    allowed_nested = {
+        "cosine_topk",
+        "group_share",
+        "dormant_customers",
+        "unigram_logprob",
+    }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
         kinds = join_kinds(df)
@@ -119,3 +126,28 @@ def test_stratified_sample_no_shuffle(spark, qs):
 
     df = qs["stratified_sample"].fn(spark, SMOKE_SF_DIR)
     assert "Exchange" not in physical_plan(df), "hash sampling must be scan-stage"
+
+
+def test_promotion_effect_pushdown_and_broadcast(spark, qs):
+    df = qs["promotion_effect"].fn(spark, SMOKE_SF_DIR)
+    assert has_pushed_filter(df, "l_shipdate"), "date range not pushed to scan"
+    assert "BroadcastHashJoin" in join_kinds(df), "part dim must broadcast"
+
+
+def test_min_cost_supplier_prunes_rank_rows(spark, qs):
+    # Spark 3.5+ WindowGroupLimit: rn==1 filter pushed below the
+    # window so only per-partition top rows survive the sort — the
+    # difference between shuffling 2k rows and 600M at scale.
+    df = qs["min_cost_supplier"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "WindowGroupLimit"), "rank filter not pushed into window"
+    assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_dormant_customers_anti_join_shape(spark, qs):
+    df = qs["dormant_customers"].fn(spark, SMOKE_SF_DIR)
+    plan_kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in plan_kinds, plan_kinds
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    assert "LeftAnti" in physical_plan(df), "NOT EXISTS must plan as anti-join"
+    assert has_pushed_filter(df, "o_orderdate"), "recent-order filter not pushed"

@@ -245,3 +245,64 @@ def test_warehouse_replay_is_noop(spark):
     base = t1.drop("sma_5", "sma_20", "turnover_ratio")
     t2 = warehouse_merge(base, batch, keys=["symbol", "date"])
     assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_stream_stream_watermarked_join_equals_batch(spark, tmpdir):
+    """SURVEY §2.9 T4, idiomatic alternative: two event-time streams
+    inner-joined with watermarks + a bounded time-range condition
+    (clicks ⋈ views within 1 hour). Append-mode stream-stream join
+    must emit exactly the rows the identical batch join produces."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    cond_sql = (
+        "views.user_id = clicks.user_id AND "
+        "click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 1 HOUR"
+    )
+
+    vsrc, csrc = f"{tmpdir}/views", f"{tmpdir}/clicks"
+    views.filter(F.col("user_id") % 2 == 0).write.parquet(f"{vsrc}/a.parquet")
+    views.filter(F.col("user_id") % 2 == 1).write.parquet(f"{vsrc}/b.parquet")
+    clicks.write.parquet(f"{csrc}/a.parquet")
+
+    vs = stream_parquet_dir(spark, f"{vsrc}/*", views.schema).alias("views")
+    cs = stream_parquet_dir(spark, f"{csrc}/*", clicks.schema).alias("clicks")
+    joined = (
+        vs.withWatermark("view_ts", "2 hours")
+        .join(
+            cs.withWatermark("click_ts", "2 hours"),
+            F.expr(cond_sql),
+            "inner",
+        )
+        .select("click_id", F.col("views.user_id").alias("user_id"),
+                "view_ts", "click_ts", "view_value")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT click_id, user_id, view_ts, click_ts, view_value FROM ss_join"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in views.alias("views")
+        .join(clicks.alias("clicks"), F.expr(cond_sql), "inner")
+        .select("click_id", F.col("views.user_id").alias("user_id"),
+                "view_ts", "click_ts", "view_value")
+        .collect()
+    )
+    assert len(want) > 0, "fixture produced no view→click pairs"
+    assert got == want
