@@ -17,10 +17,12 @@ from pyspark.sql import functions as F
 # production would swap in fastText/CLD3 behind the same column
 # contract.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is"],
-    "es": ["el", "la", "de", "que", "los"],
-    "fr": ["le", "la", "les", "et", "des"],
-    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est", "dans", "pour", "qui"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "eine", "mit", "den"],
+    "it": ["il", "di", "che", "per", "con", "una", "sono", "del", "non", "più"],
+    "pt": ["os", "de", "que", "uma", "com", "para", "não", "mais", "foi", "ele"],
 }
 
 
@@ -53,10 +55,10 @@ def bpe_token_estimate(col: str | Column) -> Column:
 
 
 def stopword_ratio(col: str | Column, stopwords: list[str]) -> Column:
-    """Fraction of tokens that are in ``stopwords``."""
+    """Fraction of tokens that are in ``stopwords`` (case-folded)."""
     toks = tokens(col)
     sw = F.array(*[F.lit(s) for s in stopwords])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     return n_stop / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -90,7 +92,9 @@ def lang_id(col: str | Column) -> Column:
     scored = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        score = F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, F.lower(t)))
+        )
         scored.append((lang, score))
     expr = F.lit("und")
     # iterate reversed so earlier (alphabetically smaller) langs win ties
@@ -128,7 +132,7 @@ def lang_scores(
     )
     aggs = [
         F.sum(
-            F.when(F.col("tok").isin(LANG_MARKERS[lang]), 1).otherwise(0)
+            F.when(F.lower(F.col("tok")).isin(LANG_MARKERS[lang]), 1).otherwise(0)
         ).alias(f"s_{lang}")
         for lang in LANGS
     ]

@@ -389,3 +389,114 @@ def group_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_share"),
         )
     )
+
+
+@register(
+    "gap_fill_forward",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), daily AS (
+  SELECT user_id, day, round(value, 6) AS close FROM ranked WHERE rn = 1
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), j AS (
+  SELECT c.user_id, c.day, d.close
+  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+)
+SELECT user_id, day, close,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_close,
+       CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+""",
+    survey="ext:timeseries-gapfill (W-family)",
+    description="Calendar gap-fill + forward fill: per-key daily "
+    "closes densified onto a generated per-key calendar (sequence + "
+    "explode), missing days carried forward with last(ignorenulls) — "
+    "the standard quote-series regularization the reference's rolling "
+    "metrics implicitly assume (its SMA windows are row-count frames; "
+    "a gap-filled series makes row frames ≡ time frames). The "
+    "calendar explode is per-key bounded (span days), the fill one "
+    "window scan — no driver loops at any scale.",
+)
+def gap_fill_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.round("value", 6).alias("close"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "close",
+        F.last("close", ignorenulls=True).over(wfill).alias("filled_close"),
+        F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, a.day) AS day_offset,
+       count(*) AS active_users
+FROM activity a
+JOIN first_day f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    survey="ext:cohort-retention (A2 A7)",
+    description="Cohort retention matrix: first-seen day per key "
+    "(cohort) × activity-day offset → active-user counts — the "
+    "standard engagement rollup. Two aggregations over the same "
+    "distinct-activity base; the cohort map joins back on user_id "
+    "(AQE picks broadcast when it fits).",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

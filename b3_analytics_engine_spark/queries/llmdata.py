@@ -19,6 +19,36 @@ from ..tables import load_table
 from . import register
 
 
+def _sql_markers(lang: str) -> str:
+    """DuckDB list literal for one language's marker tokens — the
+    oracle side of TX.LANG_MARKERS, generated from the same dict so
+    the two engines can never drift."""
+    return "[" + ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]"
+
+
+def _sql_lang_score_cols(indent: str = "    ") -> str:
+    """One `len(list_filter(...)) AS s_<lang>` line per language,
+    case-folded like the Spark side."""
+    return ",\n".join(
+        f"{indent}len(list_filter(t, x -> list_contains("
+        f"{_sql_markers(lang)}, lower(x)))) AS s_{lang}"
+        for lang in TX.LANGS
+    )
+
+
+def _sql_lang_argmax() -> str:
+    """CASE-chain argmax over the s_<lang> columns: 'und' on zero,
+    alphabetical tie-break (mirrors TX.lang_id_from_scores)."""
+    allc = ", ".join(f"s_{lang}" for lang in TX.LANGS)
+    lines = [f"CASE WHEN greatest({allc}) = 0 THEN 'und'"]
+    lines += [
+        f"       WHEN s_{lang} = greatest({allc}) THEN '{lang}'"
+        for lang in TX.LANGS[:-1]
+    ]
+    lines.append(f"       ELSE '{TX.LANGS[-1]}' END")
+    return "\n".join(lines)
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -157,24 +187,17 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_id",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents
 ), scored AS (
   SELECT doc_id, lang,
-    len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
-    len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x)))   AS s_en,
-    len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x)))   AS s_es,
-    len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x)))   AS s_fr
+{_sql_lang_score_cols()}
   FROM toks
 )
 SELECT doc_id, lang AS lang_label,
-  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-       ELSE 'fr' END AS lang_guess
+  {_sql_lang_argmax()} AS lang_guess
 FROM scored
 """,
     survey="ext:text-lang-id",
@@ -201,7 +224,7 @@ WITH base AS (
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
          length(text) AS n_chars,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-             x -> list_contains(['the','and','of','to','is'], x))) AS n_stop,
+             x -> list_contains(__EN_MARKERS__, lower(x)))) AS n_stop,
          length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS pieces,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
@@ -223,7 +246,7 @@ SELECT doc_id,
          + (CASE WHEN n_tok >= 10 THEN 1.0 ELSE n_tok / 10.0 END) * 0.3,
        6) AS quality_score
 FROM scored
-""",
+""".replace("__EN_MARKERS__", _sql_markers("en")),
     survey="ext:text-quality",
     description="Gopher/C4-style heuristic quality scoring: mean-word-"
     "length sanity, punctuation density, length floor, stopword "
@@ -488,17 +511,10 @@ WITH keepers AS (
   FROM documents
 ), lang AS (
   SELECT doc_id,
-    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-         ELSE 'fr' END AS lang_guess
+    __LANG_ARGMAX__ AS lang_guess
   FROM (
     SELECT doc_id,
-      len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
-      len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x)))   AS s_en,
-      len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x)))   AS s_es,
-      len(list_filter(t, x -> list_contains(['le','la','les','et','des'], x)))   AS s_fr
+__LANG_SCORE_COLS__
     FROM toks
   )
 ), q AS (
@@ -528,7 +544,9 @@ FROM q
 JOIN lang ON lang.doc_id = q.doc_id
 WHERE lang_guess <> 'und' AND quality_score >= 0.5
   AND q.doc_id IN (SELECT doc_id FROM keepers)
-""",
+""".replace("__LANG_ARGMAX__", _sql_lang_argmax()).replace(
+        "__LANG_SCORE_COLS__", _sql_lang_score_cols(indent="      ")
+    ),
     survey="ext:curation-pipeline (dedup ∘ lang-id ∘ quality)",
     description="End-to-end corpus curation: exact-dup keep-first "
     "(fingerprint groupBy ∘ left-semi join), language filter "

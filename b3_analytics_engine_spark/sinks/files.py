@@ -58,3 +58,43 @@ def overwrite_warehouse(df: DataFrame, path: str, partition_cols: list[str] | No
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a Parquet directory into files
+    of ~``target_file_bytes`` each. Streaming sinks and per-micro-batch
+    appends (the reference writes one object per record,
+    ingestion_services/kafka_to_minio_raw/main.py:90-101) accumulate
+    thousands of tiny files; at 100 TB that turns every scan into a
+    metadata storm (one task + one S3 GET per file). Periodic
+    compaction is the standard fix (what Delta OPTIMIZE / Iceberg
+    rewrite_data_files do — expressed here over plain Parquet).
+
+    Sizing reads the actual on-disk bytes (sum of file sizes via the
+    Hadoop FS API — works for any scheme Spark can read), then
+    repartitions to ``ceil(bytes / target)`` before an atomic
+    overwrite. Partitioned layouts keep their partition columns.
+    Returns the file count written.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    return int(n_files)

@@ -109,3 +109,24 @@ def test_json_zone_roundtrip(spark, tmpdir):
         ("PETR4", 1.5),
         ("VALE3", 2.5),
     }
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from b3_analytics_engine_spark.sinks.files import compact_parquet
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    ev.repartition(64).write.parquet(path)  # 64 tiny files
+
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    rows_before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    compact_parquet(spark, path, target_file_bytes=512 * 1024 * 1024)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before and after <= 2
+    rows_after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
