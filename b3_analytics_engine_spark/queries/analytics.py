@@ -500,3 +500,69 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage_reached
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+""",
+    survey="ext:funnel (A2 J1 ordered-sequence)",
+    description="Ordered funnel analysis: first view, first click "
+    "AFTER that view, first purchase AFTER that click — per-user "
+    "stage timestamps and depth reached. Three progressively-"
+    "filtered aggregations; each stage output is one row per "
+    "surviving user, so the joins shrink monotonically — the "
+    "standard product-analytics sequence query at any scale.",
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase",
+                stage.alias("stage_reached"))
+    )

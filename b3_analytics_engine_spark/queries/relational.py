@@ -762,3 +762,157 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("min_unit", 6).alias("min_unit_price"),
         )
     )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS ship_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3
+""",
+    survey="J1 A7 (TPC-H Q7 pattern)",
+    description="Cross-nation trade volume (TPC-H Q7 shape): "
+    "supplier-nation x customer-nation x ship-year revenue over a "
+    "two-fact join with the nation dim joined twice under different "
+    "roles (both broadcast) and an inequality predicate between the "
+    "two dim copies.",
+)
+def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       round(c.c_acctbal, 6) AS c_acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    survey="J1 A7 O4 (TPC-H Q10 pattern)",
+    description="Returned-item revenue ranking (TPC-H Q10 shape): "
+    "who returned the most value in a half-year window — selective "
+    "fact filters, star join, top-20 with deterministic custkey "
+    "tie-break (TakeOrderedAndProject, no global sort).",
+)
+def returned_item_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+@register(
+    "disjunctive_join_filter",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+    survey="J1 disjunctive predicate (TPC-H Q19 pattern)",
+    description="Discounted revenue under an OR-of-ANDs predicate "
+    "spanning both join sides (TPC-H Q19 shape) — the classic "
+    "can't-push-it-all filter; the join stays a hash equi-join on "
+    "partkey with the disjunction evaluated post-join, part side "
+    "broadcast.",
+)
+def disjunctive_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, s0, s1, q0, q1: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & (q >= q0) & (q <= q1)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#1", 1, 15, 1, 20)
+            | arm("Brand#2", 10, 30, 10, 35)
+            | arm("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
