@@ -566,3 +566,106 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "t_view", "t_click", "t_purchase",
                 stage.alias("stage_reached"))
     )
+
+
+@register(
+    "rolling_volatility",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS close
+  FROM events GROUP BY 1, 2
+), ret AS (
+  SELECT user_id, day,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1
+           AS daily_return
+  FROM daily
+)
+SELECT user_id, day,
+       round(stddev_samp(daily_return) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+       ), 6) AS vol_20d,
+       round(daily_return, 6) AS daily_return
+FROM ret
+""",
+    survey="ext:finance-volatility (W1-W3 family)",
+    description="20-day rolling volatility: per-symbol daily returns "
+    "(lag-based pct-change, W3) -> rolling sample stddev over a "
+    "19-preceding frame — the risk metric beside the reference's "
+    "SMA windows, same shrinking-frame semantics as min_periods=1. "
+    "Divisions are safe: daily closes are event-value averages, "
+    "never zero in the fixture; stddev of <2 rows is NULL in both "
+    "engines.",
+)
+def rolling_volatility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("close")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    ret = daily.select(
+        "user_id",
+        "day",
+        (F.try_divide(F.col("close"), F.lag("close").over(wlag)) - 1).alias(
+            "daily_return"
+        ),
+    )
+    wvol = wlag.rowsBetween(-19, 0)
+    return ret.select(
+        "user_id",
+        "day",
+        F.round(F.stddev_samp("daily_return").over(wvol), 6).alias("vol_20d"),
+        F.round("daily_return", 6).alias("daily_return"),
+    )
+
+
+@register(
+    "max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS close
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT user_id, day, close,
+         close / max(close) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS drawdown
+  FROM daily
+)
+SELECT user_id,
+       round(min(drawdown), 6) AS max_drawdown,
+       round(max(close), 6) AS peak_close,
+       count(*) AS n_days
+FROM dd
+GROUP BY 1
+""",
+    survey="ext:finance-drawdown (W4 running-extreme family)",
+    description="Maximum drawdown per symbol: running peak (cumulative "
+    "max window) -> close/peak - 1 -> global min per key. The running-"
+    "extreme + ratio pattern complements the cumulative-return "
+    "cumprod (W4); one shuffle for the daily bars, windows reuse its "
+    "partitioning.",
+)
+def max_drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("close")
+    )
+    wpeak = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "user_id",
+        "close",
+        (F.try_divide(F.col("close"), F.max("close").over(wpeak)) - 1).alias(
+            "drawdown"
+        ),
+    )
+    return dd.groupBy("user_id").agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.max("close"), 6).alias("peak_close"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
