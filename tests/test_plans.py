@@ -151,3 +151,29 @@ def test_dormant_customers_anti_join_shape(spark, qs):
 
     assert "LeftAnti" in physical_plan(df), "NOT EXISTS must plan as anti-join"
     assert has_pushed_filter(df, "o_orderdate"), "recent-order filter not pushed"
+
+
+def test_partition_pruning_on_lake_layout(spark, tmp_path):
+    """The 3-zone lake layout (SURVEY §1.3) is expressed as partition
+    columns precisely so the 40-day-history scan prunes directories —
+    assert a day filter actually cuts the file set and reaches the
+    scan as a PartitionFilter, not a post-scan Filter."""
+    import pyspark.sql.functions as F
+
+    from b3_analytics_engine_spark.plans import physical_plan
+    from b3_analytics_engine_spark.sinks.files import write_parquet_lake
+    from b3_analytics_engine_spark.tables import load_table
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    path = str(tmp_path / "lake")
+    write_parquet_lake(ev, path, date_col="ts")
+
+    one_day = spark.read.parquet(path).filter(F.col("day") == 3)
+    plan = physical_plan(one_day)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*\(day#\d+ = 3\)", plan), plan[:800]
+    # the filter must be satisfied by directory pruning alone — no
+    # residual day predicate pushed to the data scan
+    assert "PushedFilters: [IsNotNull(day)" not in plan
+    assert one_day.count() == ev.filter(F.date_format("ts", "dd") == "03").count()
