@@ -141,3 +141,51 @@ def json_payload_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_p.k").alias("k"),
         F.when(F.col("_p.k") >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@register(
+    "time_rollup_hierarchy",
+    oracle="""
+SELECT user_id,
+       CAST(ts AS DATE) AS day,
+       CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value,
+       CASE WHEN CAST(strftime(ts, '%H') AS BIGINT) IS NULL THEN 1 ELSE 0 END
+         + CASE WHEN CAST(ts AS DATE) IS NULL THEN 1 ELSE 0 END AS rollup_level
+FROM events
+GROUP BY ROLLUP (user_id, CAST(ts AS DATE), CAST(strftime(ts, '%H') AS BIGINT))
+HAVING user_id IS NOT NULL
+""",
+    survey="ext:hypertable-rollup (A7 grouping-hierarchy)",
+    description="Hypertable-style multi-resolution rollup: hourly, "
+    "daily, and per-key totals from ONE scan via ROLLUP(user, day, "
+    "hour) — the batch twin of a TimescaleDB continuous aggregate. "
+    "Spark computes all three grain levels with a single shuffle "
+    "(Expand + partial agg); at 100 TB this replaces three separate "
+    "passes over the fact table. rollup_level disambiguates grains "
+    "(0=hourly, 1=daily, 2=key total) since day/hour are NULL at "
+    "coarser levels.",
+)
+def time_rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    hour = F.date_format("ts", "HH").cast("long").alias("hour")
+    out = (
+        ev.rollup(F.col("user_id"), day, hour)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .filter(F.col("user_id").isNotNull())
+    )
+    level = (
+        F.when(F.col("hour").isNull(), 1).otherwise(0)
+        + F.when(F.col("day").isNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "user_id", "day", "hour", "n_events", "total_value", "avg_value",
+        level.alias("rollup_level"),
+    )

@@ -130,3 +130,18 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert after < before and after <= 2
     rows_after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert rows_after == rows_before
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively — the
+    lake layer must round-trip it with schema and values intact
+    (pushdown/pruning behave like Parquet; same partition-column
+    mechanics)."""
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    path = str(tmp_path / "orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
