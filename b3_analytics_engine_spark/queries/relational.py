@@ -916,3 +916,56 @@ def disjunctive_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "sql_interface_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT o_custkey,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         sum(o_totalprice) AS month_total
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT o_custkey, order_month,
+       round(month_total, 6) AS month_total,
+       round(sum(month_total) OVER (
+         PARTITION BY o_custkey ORDER BY order_month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS running_total,
+       CAST(rank() OVER (
+         PARTITION BY o_custkey ORDER BY month_total DESC, order_month
+       ) AS BIGINT) AS month_rank
+FROM monthly
+""",
+    survey="S6 A7 W (SQL front end)",
+    description="The spark.sql() text interface: the same engine "
+    "surface through ANSI SQL over registered temp views (CTE + "
+    "aggregation + running-sum and rank windows) — proves a user can "
+    "bring SQL, not just the DataFrame DSL, and Catalyst plans both "
+    "identically.",
+)
+def sql_interface_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT o_custkey,
+                 date_format(o_orderdate, 'yyyy-MM') AS order_month,
+                 sum(o_totalprice) AS month_total
+          FROM orders_v
+          GROUP BY 1, 2
+        )
+        SELECT o_custkey, order_month,
+               round(month_total, 6) AS month_total,
+               round(sum(month_total) OVER (
+                 PARTITION BY o_custkey ORDER BY order_month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 6) AS running_total,
+               CAST(rank() OVER (
+                 PARTITION BY o_custkey ORDER BY month_total DESC, order_month
+               ) AS BIGINT) AS month_rank
+        FROM monthly
+        """
+    )
