@@ -440,3 +440,42 @@ def approx_aggregates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_custkey,
+       round(o_totalprice, 6) AS o_totalprice, seg_rank
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_custkey, o.o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         ) AS BIGINT) AS seg_rank
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+WHERE seg_rank <= 3
+""",
+    survey="W A3 per-group top-k",
+    description="Top-3 orders per market segment: rank-filter "
+    "compiled to WindowGroupLimit, so each partition retains only "
+    "k rows BEFORE the window sort/shuffle — per-group top-k over "
+    "100 TB without sorting whole partitions.",
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("seg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("seg_rank") <= 3)
+        .select(
+            "c_mktsegment", "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"), "seg_rank",
+        )
+    )

@@ -177,3 +177,8 @@ def test_partition_pruning_on_lake_layout(spark, tmp_path):
     # residual day predicate pushed to the data scan
     assert "PushedFilters: [IsNotNull(day)" not in plan
     assert one_day.count() == ev.filter(F.date_format("ts", "dd") == "03").count()
+
+
+def test_topk_per_group_uses_window_group_limit(spark, qs):
+    df = qs["topk_per_group"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "WindowGroupLimit"), "top-k filter not pushed into window"
