@@ -479,3 +479,36 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 6).alias("o_totalprice"), "seg_rank",
         )
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi,
+       round(avg(o_totalprice), 6) AS mean_price
+FROM orders
+GROUP BY 1
+""",
+    survey="ext:histogram (A7 binning)",
+    description="Fixed-width histogram of order totals (10 x 50k "
+    "buckets, last bucket open-ended): binning as pure floor "
+    "arithmetic — identical double ops in both engines, no "
+    "width_bucket dependency — aggregated map-side like any groupBy.",
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)
+    ).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        )
+    )

@@ -952,3 +952,45 @@ def importance_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("keep_weight", 6).alias("keep_weight"),
         )
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH pos AS (
+  SELECT vec_id, label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, round(avg(val), 6) AS c
+  FROM pos GROUP BY 1, 2
+)
+SELECT p.vec_id, p.label,
+       round(sqrt(sum((p.val - c.c) * (p.val - c.c))), 6) AS dist_to_centroid
+FROM pos p
+JOIN cent c ON p.label = c.label AND p.pos = c.pos
+GROUP BY 1, 2
+""",
+    survey="ext:embedding-centroids (A7 vector aggregation)",
+    description="Distributed per-label embedding centroids + each "
+    "vector's L2 distance to its class centroid (the quantization-"
+    "error / cluster-cohesion metric behind IVF cell quality). "
+    "Physical shape: posexplode -> groupBy(label, dim) partial-avg — "
+    "component rows shuffle, never whole vectors; centroids are "
+    "round(6)'d BEFORE the distance so both engines square identical "
+    "operands. The exploded table is localCheckpoint'd once for its "
+    "two readers (centroid agg + distance join).",
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double")).localCheckpoint(eager=False)
+    cent = pos.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    diff = F.col("val") - F.col("c")
+    return (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist_to_centroid"))
+    )
