@@ -145,3 +145,34 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == ev.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_python_datasource_quote_feed(spark):
+    """Spark 4 Python Data Source: one input partition per ticker,
+    executor-side fetch, deterministic fixture rows."""
+    from b3_analytics_engine_spark.sources.pyds import register_quote_feed
+
+    register_quote_feed(spark)
+    df = (
+        spark.read.format("quote_feed")
+        .option("tickers", "PETR4,VALE3,ITUB4,BBDC4")
+        .option("as_of", "2024-01-30T12:00:00")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # partition-per-ticker plan
+    rows = {r["symbol"]: r for r in df.collect()}
+    assert set(rows) == {"PETR4", "VALE3", "ITUB4", "BBDC4"}
+    for r in rows.values():
+        assert r["low"] <= min(r["open"], r["close"])
+        assert r["high"] >= max(r["open"], r["close"])
+        assert r["volume"] >= 0 and r["ts"] is not None
+    # deterministic across reads
+    again = {r["symbol"]: r for r in (
+        spark.read.format("quote_feed")
+        .option("tickers", "PETR4,VALE3,ITUB4,BBDC4")
+        .option("as_of", "2024-01-30T12:00:00")
+        .load().collect()
+    )}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
