@@ -306,3 +306,49 @@ def test_stream_stream_watermarked_join_equals_batch(spark, tmpdir):
     )
     assert len(want) > 0, "fixture produced no view→click pairs"
     assert got == want
+
+
+def test_streaming_text_curation_equals_batch(spark, tmpdir):
+    """The curation operators are plain DataFrame→DataFrame functions,
+    so the same quality/lang filter runs unchanged inside a document
+    stream — micro-batched corpus curation must emit exactly the rows
+    the batch pipeline keeps (dedup excluded: cross-batch dedup is the
+    warehouse-merge/foreachBatch path, tested separately)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from b3_analytics_engine_spark.operators import text as TX
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = f"{tmpdir}/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+
+    def curate(df):
+        c = F.col("text")
+        return (
+            df.select(
+                "doc_id",
+                F.round(TX.quality_score(c), 6).alias("quality_score"),
+                TX.lang_id(c).alias("lang_guess"),
+            )
+            .filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
+        )
+
+    stream = stream_parquet_dir(spark, f"{src}/*", docs.schema)
+    q = (
+        curate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_cur")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()
+    )
+    want = sorted(tuple(r) for r in curate(docs).collect())
+    assert len(want) > 0
+    assert got == want
