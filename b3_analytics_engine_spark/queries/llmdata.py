@@ -55,17 +55,20 @@ def _sql_lang_argmax() -> str:
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id,
        count(*) AS n_copies,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM documents
 GROUP BY 1
 """,
     survey="ext:dedup-exact",
     description="Exact dedup: hash-groupBy on a normalized md5 content "
     "fingerprint. Only (16-byte hash, id) pairs shuffle — document "
-    "text never leaves the scan.",
+    "text never leaves the scan. member_ids is serialized to a "
+    "comma-joined string: the correctness driver canonicalizes via a "
+    "pandas sort over every column, which cannot order array cells.",
 )
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    out = D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    return out.withColumn("member_ids", F.array_join("member_ids", ","))
 
 
 @register(
