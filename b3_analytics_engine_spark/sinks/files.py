@@ -60,6 +60,40 @@ def overwrite_warehouse(df: DataFrame, path: str, partition_cols: list[str] | No
     w.parquet(path)
 
 
+def _hadoop_fs(spark, path: str):
+    """(jvm, FileSystem, Path) triple for any scheme Spark can read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def replace_directory(spark, tmp: str, path: str) -> None:
+    """Swap a fully-written staging directory into place:
+    ``path`` → ``path__old``, ``tmp`` → ``path``, delete ``path__old``.
+
+    Unlike delete-then-rename, every crash point leaves a complete
+    copy of the data on disk: before the first rename the old table is
+    live; between the renames the old table is intact at ``path__old``
+    (recovery = rename it back, or finish by renaming ``tmp`` in); after
+    the second rename the new table is live. The only reader-visible
+    gap is the instant between the two renames — callers that cannot
+    tolerate even that must quiesce readers or use a table format with
+    snapshot isolation (Delta/Iceberg).
+    """
+    jvm, fs, p = _hadoop_fs(spark, path)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(old):  # leftover from a crash after a prior swap
+        fs.delete(old, True)
+    if fs.exists(p):
+        if not fs.rename(p, old):
+            raise IOError(f"rename {path} -> {old} failed")
+    if not fs.rename(tmp_p, p):
+        raise IOError(f"rename {tmp} -> {path} failed")
+    fs.delete(old, True)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -77,14 +111,12 @@ def compact_parquet(
 
     Sizing reads the actual on-disk bytes (sum of file sizes via the
     Hadoop FS API — works for any scheme Spark can read), then
-    repartitions to ``ceil(bytes / target)`` before an atomic
-    overwrite. Partitioned layouts keep their partition columns.
-    Returns the file count written.
+    repartitions to ``ceil(bytes / target)`` into a staging dir and
+    swaps it in via :func:`replace_directory` (every crash point keeps
+    a complete copy of the data). Partitioned layouts keep their
+    partition columns. Returns the file count written.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    _, fs, p = _hadoop_fs(spark, path)
     total = fs.getContentSummary(p).getLength()
     n_files = max(1, -(-total // target_file_bytes))  # ceil
 
@@ -95,6 +127,5 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    replace_directory(spark, tmp, path)
     return int(n_files)

@@ -69,9 +69,19 @@ def write_bucketed_table(
 
 
 def stream_parquet_dir(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream (each new file = a micro-batch) — the
-    broker-free stand-in used by tests for Kafka topics; schema is
-    mandatory for streaming reads."""
-    return spark.readStream.schema(schema).parquet(path)
+    """File-source stream — the broker-free stand-in used by tests for
+    Kafka topics; schema is mandatory for streaming reads.
+
+    Pass ``max_files_per_trigger=1`` to force one file per micro-batch;
+    without it an availableNow trigger folds every pending file into a
+    single batch, so cross-batch properties are not exercised.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

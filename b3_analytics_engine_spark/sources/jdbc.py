@@ -22,9 +22,19 @@ with a fixture-backed ``read_fn``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# ISO-8601-ish timestamp/date: the only watermark shape we embed in
+# pushdown SQL. Anything else (quotes, SQL fragments round-tripped
+# through a text ts column) is rejected instead of interpolated.
+_ISO_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}"  # date
+    r"([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?"  # optional time
+    r"(Z|[+-]\d{2}:?\d{2})?$"  # optional offset
+)
 
 
 def read_table(
@@ -59,7 +69,19 @@ def read_table(
 
 
 def incremental_query(table: str, ts_col: str, last_ts: str) -> str:
-    """The poll-CDC pushdown subquery (S4)."""
+    """The poll-CDC pushdown subquery (S4).
+
+    ``last_ts`` is embedded in the SQL string, so it is validated
+    against a strict ISO-8601 shape first — a watermark value carrying
+    a quote (e.g. a crafted value round-tripped through
+    ``PollingWatermark``'s ``str()``) must not break out of the
+    literal.
+    """
+    if not _ISO_TS_RE.match(last_ts):
+        raise ValueError(
+            f"watermark {last_ts!r} is not an ISO-8601 timestamp; "
+            "refusing to embed it in pushdown SQL"
+        )
     return (
         f"(SELECT * FROM {table} "
         f"WHERE {ts_col} > '{last_ts}' ) AS _incr"
@@ -83,10 +105,25 @@ class PollingWatermark:
     ) -> DataFrame:
         """One poll cycle: read rows newer than the watermark, advance
         it to the max timestamp seen. read_fn abstracts the actual
-        source (JDBC in prod, fixture frames in tests)."""
+        source (JDBC in prod, fixture frames in tests).
+
+        The batch is materialized (``localCheckpoint``) before the max
+        is computed, so the rows the caller consumes are exactly the
+        rows the watermark advanced on — without it a lazy JDBC frame
+        would hit the live table twice and could return a different
+        batch than the one the watermark covers.
+
+        Inherent poll-CDC caveat (shared with the reference,
+        ingestion_services/postgres_producer/main.py:56-79): a source
+        transaction that commits a row with ``ts <=`` the advanced
+        watermark *after* this poll read is skipped forever. If the
+        source can commit out of ts order, poll with a lag (query
+        ``ts > watermark AND ts <= now() - epsilon``) or switch to a
+        log-based CDC source.
+        """
         from pyspark.sql import functions as F
 
-        batch = read_fn(self.value)
+        batch = read_fn(self.value).localCheckpoint(eager=True)
         row = batch.agg(F.max(ts_col).alias("m")).collect()[0]
         if row["m"] is not None:
             self.value = str(row["m"])

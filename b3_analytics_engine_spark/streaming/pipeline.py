@@ -163,15 +163,35 @@ def start_incremental(
     reference's cadence (T1)."""
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..sinks.files import replace_directory
+
         try:
             history = spark.read.parquet(warehouse_path).filter(
                 F.col("date")
                 >= F.current_timestamp() - F.expr(f"INTERVAL {history_days} DAYS")
             )
-        except Exception:  # first run: no warehouse yet
+        except AnalysisException as e:
+            # Only a genuinely-absent warehouse means first run; any
+            # other read failure (permissions, corrupt footer, partial
+            # directory) must fail the batch — treating it as first run
+            # would silently rebuild the table from one micro-batch and
+            # permanently drop the 40-day history.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             history = None
         out = process_micro_batch(batch_df, history)
-        out.write.mode("overwrite").parquet(warehouse_path)
+        # Stage the merged table next to the live one, then swap. The
+        # old warehouse stays intact until the new copy is fully
+        # committed, so a crash mid-write never destroys the only copy
+        # of the history, and the staged write can read the live
+        # warehouse it is derived from (overwrite-in-place would race
+        # its own input). On the at-least-once retry the swap is
+        # simply redone from a fresh stage — idempotent (T5).
+        staging = warehouse_path.rstrip("/") + "__staging"
+        out.write.mode("overwrite").parquet(staging)
+        replace_directory(spark, staging, warehouse_path)
 
     writer = stream_df.writeStream.foreachBatch(_run).option(
         "checkpointLocation", checkpoint

@@ -99,6 +99,33 @@ def test_polling_watermark_advances(spark):
     assert wm.value == "2024-05-01 10:04:00"  # unchanged on empty poll
 
 
+def test_incremental_query_rejects_non_iso_watermark():
+    from b3_analytics_engine_spark.sources.jdbc import incremental_query
+
+    q = incremental_query("quotes", "ts", "2024-05-01 10:01:00")
+    assert "WHERE ts > '2024-05-01 10:01:00'" in q
+    for bad in ("2024-05-01'; DROP TABLE quotes; --", "now()", "May 1 2024"):
+        with pytest.raises(ValueError):
+            incremental_query("quotes", "ts", bad)
+
+
+def test_replace_directory_swaps_and_cleans_stale_old(spark, tmp_path):
+    from b3_analytics_engine_spark.sinks.files import replace_directory
+
+    live, tmp = str(tmp_path / "t"), str(tmp_path / "t__staging")
+    spark.range(5).write.parquet(live)
+    spark.range(10, 13).write.parquet(tmp)
+    # simulate a leftover from a crash after a prior swap
+    (tmp_path / "t__old").mkdir()
+    (tmp_path / "t__old" / "junk").write_text("x")
+
+    replace_directory(spark, tmp, live)
+    got = sorted(r["id"] for r in spark.read.parquet(live).collect())
+    assert got == [10, 11, 12]
+    assert not (tmp_path / "t__old").exists()
+    assert not (tmp_path / "t__staging").exists()
+
+
 def test_json_zone_roundtrip(spark, tmpdir):
     df = spark.createDataFrame(
         [Row(symbol="PETR4", v=1.5), Row(symbol="VALE3", v=2.5)]

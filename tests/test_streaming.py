@@ -36,7 +36,10 @@ def test_stream_window_agg_equals_batch(spark, tmpdir):
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
 
     schema = ev.schema
-    stream = stream_parquet_dir(spark, f"{src}/*", schema)
+    # maxFilesPerTrigger=1 so availableNow really runs one micro-batch
+    # per file — without it both files fold into a single batch and the
+    # cross-batch stream-equals-batch property is not exercised.
+    stream = stream_parquet_dir(spark, f"{src}/*", schema, max_files_per_trigger=1)
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "6 hours"), "event_type")
