@@ -38,6 +38,22 @@ _MERSENNE = (1 << 31) - 1
 _LCG_MOD = (1 << 61) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5,
+    read as an integer. Every engine with md5 + hex parsing computes
+    the identical value — DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``
+    — which is what lets hash-seeded operators (MinHash, SimHash) be
+    verified by exact cross-engine differential instead of rows-only
+    checks. 60 bits keeps every value positive and every downstream
+    ``a*h+b`` product under 2^62 (ANSI long overflow throws).
+
+    ~2-3× the cost of xxhash64 (md5 + string slice + base-16 parse vs
+    one JVM hash) — still codegen'd, still O(bytes); use xxhash64 when
+    cross-engine reproducibility isn't required.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _permute_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p.
 
@@ -107,19 +123,27 @@ def shingle_postings(
 
 
 def hashed_postings(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, portable: bool = False
 ) -> DataFrame:
-    """Distinct ``(id, xxhash64(shingle))`` postings — the 8-byte
+    """Distinct ``(id, hash(shingle))`` postings — the 8-byte
     inverted index every near-dup operator joins on.
 
-    Same rows as ``xxhash64`` over :func:`shingle_postings` (asserted
-    in tests), but the hash is applied BEFORE the dedup, so the
-    distinct's shuffle carries 8-byte keys instead of ~20-char strings.
+    Same rows as hashing :func:`shingle_postings` (asserted in tests),
+    but the hash is applied BEFORE the dedup, so the distinct's
+    shuffle carries 8-byte keys instead of ~20-char strings.
     Collision probability ~1e-9 at 10^5 distinct shingles; switch both
     sides to a 128-bit hash at 10^9+ shingles.
+
+    ``portable=False`` (default): xxhash64 — fastest, Spark-specific;
+    right whenever the hash never leaves the job (n-gram Jaccard joins
+    postings against themselves). ``portable=True``:
+    :func:`portable_hash60` — reproducible in any engine with md5, so
+    hash-seeded outputs (MinHash signatures) can be differentially
+    verified against a DuckDB oracle.
     """
     from pyspark.sql import Window
 
+    hash_fn = portable_hash60 if portable else F.xxhash64
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
@@ -129,7 +153,7 @@ def hashed_postings(
     sh = (
         toks.select(
             "id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("sh"),
+            hash_fn(F.concat_ws(" ", *parts)).alias("sh"),
             parts[-1].alias("_t"),
         )
         .filter(F.col("_t").isNotNull())
@@ -137,7 +161,7 @@ def hashed_postings(
     )
     short = df.select(
         F.col(id_col).alias("id"),
-        F.xxhash64(F.array_join(tokens(text_col), " ")).alias("sh"),
+        hash_fn(F.array_join(tokens(text_col), " ")).alias("sh"),
     ).join(sh.select("id").distinct(), "id", "left_anti")
     return sh.unionByName(short).distinct()
 
@@ -232,6 +256,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as 64 columns ``m0..m{k-1}`` per id.
 
@@ -249,7 +274,7 @@ def minhash_signatures(
     physical shape for "k minima over an exploded set".)
     """
     return _signatures_from_hashed(
-        hashed_postings(df, id_col, text_col, n), num_hashes, seed
+        hashed_postings(df, id_col, text_col, n, portable), num_hashes, seed
     )
 
 
@@ -277,6 +302,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard.
@@ -288,23 +314,31 @@ def minhash_lsh_pairs(
     J≈0.7. Output: (id_a, id_b, jaccard) with jaccard ≥ threshold —
     same contract as :func:`ngram_jaccard_pairs`, so exactness is
     testable.
+
+    ``portable=True`` swaps the shingle hash to :func:`portable_hash60`,
+    making the whole pipeline (signatures → bands → candidates →
+    verified pairs) bit-for-bit reproducible in any md5-capable engine
+    — the driver's DuckDB oracle replays it exactly. The band key is a
+    comma-joined string of the band's signature slice (collision-free
+    and engine-neutral; the hash of it would only save shuffle width).
     """
     rows_per_band = num_hashes // bands
     # One materialization of the inverted index feeds all four plan
     # branches (signature agg, per-doc sizes, both verify-join sides) —
     # without it Catalyst re-runs tokenize→window→distinct per branch.
-    posts = hashed_postings(df, id_col, text_col, n).localCheckpoint(
+    posts = hashed_postings(df, id_col, text_col, n, portable).localCheckpoint(
         eager=False
     )
     sig = _signatures_from_hashed(posts, num_hashes, seed)
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
-            F.xxhash64(
+            F.concat_ws(
+                ",",
                 *[
                     F.col(f"m{bnd * rows_per_band + r}")
                     for r in range(rows_per_band)
-                ]
+                ],
             ).alias("bh"),
         )
         for bnd in range(bands)
@@ -394,27 +428,40 @@ def simhash64(text_col: str | Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash as an aggregation (the fast, scale-correct shape —
     same rationale as :func:`minhash_signatures`): explode distinct
-    tokens → xxhash64 once → groupBy(id) with 64 ``sum(±1)`` bit
-    aggregates → pack into one long."""
+    tokens → hash once → groupBy(id) with ``nbits`` ``sum(±1)`` bit
+    aggregates → pack into one long.
+
+    ``portable=True`` uses :func:`portable_hash60` (requires
+    ``nbits <= 60``) so the signature — and everything derived from it
+    — is reproducible in any md5-capable engine for differential
+    verification.
+    """
+    if portable and nbits > 60:
+        raise ValueError("portable_hash60 yields 60 bits; nbits must be <= 60")
+    hash_fn = portable_hash60 if portable else F.xxhash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
-    h = tok.select("id", F.xxhash64("tok").alias("h"))
+    h = tok.select("id", hash_fn(F.col("tok")).alias("h"))
     # per-bit ONES count (branch-free bit arithmetic per row); the ±1
     # sum is recovered after the aggregate as 2·ones − n, which is
     # integer-exact — same signature as summing ±1 directly
     aggs = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ] + [F.count(F.lit(1)).alias("n_")]
     sums = h.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"b{i}") * 2 > F.col("n_"),
@@ -429,15 +476,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    nbits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of four 16-bit
-    chunks (any pair within Hamming ≤ 3 of 64 bits must agree on ≥1
-    chunk by pigeonhole when ≤3 chunks differ), then exact Hamming
+    """SimHash near-dup pairs: candidates share one of four
+    ``nbits/4``-bit chunks (any pair within Hamming ≤ 3 must agree on
+    ≥1 chunk by pigeonhole when ≤3 chunks differ), then exact Hamming
     filter. Equi-join on (chunk_id, chunk_value) — never N².
+
+    ``portable=True`` (with ``nbits=60``) makes the signature
+    md5-derived so a DuckDB oracle can replay candidates + Hamming
+    exactly; the 4-chunk pigeonhole guarantee is bit-width independent.
     """
+    chunk_bits = nbits // 4
+    chunk_mask = (1 << chunk_bits) - 1
     # one row per doc; materialized once so the self-join's two sides
-    # don't each re-run the tokenize + 64-bit-sum aggregation
-    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(
+    # don't each re-run the tokenize + per-bit-sum aggregation
+    sig = simhash_signatures(df, id_col, text_col, nbits, portable).localCheckpoint(
         eager=False
     )
     chunked = sig.select(
@@ -448,8 +503,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sig"), i * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("cv"),
                     )
                     for i in range(4)
@@ -474,7 +529,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -155,15 +155,81 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_oracle(
+    num_hashes: int = 64, bands: int = 16, n: int = 3,
+    threshold: float = 0.12, seed: int = 42,
+) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline — generated from
+    the SAME permutation params as the Spark side (D._permute_params),
+    over the same portable md5 hash, so signatures, band keys,
+    candidates, and verified pairs are bit-identical and the driver
+    can hash-match what is normally a 'trust me' approximate operator.
+    """
+    p = D._MERSENNE
+    r = num_hashes // bands
+    sig_cols = ",\n".join(
+        f"    min((h*{a}+{b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(D._permute_params(num_hashes, seed))
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {bnd} AS band, {expr} AS bh FROM sig".format(
+            bnd=bnd,
+            expr="||','||".join(
+                f"m{bnd * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - {n}, 0) + 2),
+    i -> array_to_string(t[i:i+{n - 1}], ' ')
+  ))) AS u(sh)
+), hp AS (
+  SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT % {p} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+{sig_cols}
+  FROM hp GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= {threshold}
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # LSH recall < 1 by design → rows-only driver check;
-    # exactness vs ngram_jaccard_pairs asserted in tests/test_llmdata.py
+    oracle=_sql_minhash_oracle(),
     survey="ext:dedup-minhash-lsh",
     description="MinHash(64)+LSH(16 bands) candidate generation with "
     "exact-Jaccard verification — same output contract as "
     "ngram_jaccard_pairs but candidate cost O(N·bands) instead of "
-    "posting-list joins over every shared shingle.",
+    "posting-list joins over every shared shingle. Portable md5-based "
+    "shingle hash → the DuckDB oracle replays the entire pipeline "
+    "(signatures, bands, candidates, verify) bit-for-bit.",
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
@@ -172,20 +238,78 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         n=3,
         threshold=0.12,
+        portable=True,
     )
+
+
+def _sql_simhash_oracle(nbits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replay of the portable SimHash pipeline: same md5-derived
+    60-bit token hash, same per-bit majority, same 4-chunk banding and
+    Hamming filter — exact cross-engine differential for an operator
+    that is normally only property-tested."""
+    chunk_bits = nbits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    bit_cols = ",\n".join(
+        f"    sum((h >> {i}) & 1) AS b{i}" for i in range(nbits)
+    )
+    sig_terms = "\n      + ".join(
+        f"(CASE WHEN 2*b{i} > n_ THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(nbits)
+    )
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS chunk, (sig >> {i * chunk_bits}) & {chunk_mask} AS cv FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+    FROM documents
+  ), UNNEST(t) AS u(tok)
+), h AS (
+  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id,
+{bit_cols},
+    count(*) AS n_
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    ({sig_terms}) AS sig
+  FROM bits
+), chunked AS (
+  {chunk_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # signature function (xxhash64) is Spark-specific →
-    # rows-only driver check + pytest structural assertions
+    oracle=_sql_simhash_oracle(),
     survey="ext:dedup-simhash",
-    description="64-bit SimHash near-dup pairs; candidates via 16-bit "
-    "chunk banding (pigeonhole over Hamming ≤ 3), exact Hamming "
-    "filter. One signature per doc, no text shuffle.",
+    description="60-bit portable SimHash near-dup pairs; candidates "
+    "via 15-bit chunk banding (pigeonhole over Hamming ≤ 3), exact "
+    "Hamming filter. One signature per doc, no text shuffle; md5-"
+    "derived bits → the DuckDB oracle replays signatures, candidates "
+    "and Hamming distances bit-for-bit.",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        nbits=60,
+        portable=True,
+    )
 
 
 @register(
