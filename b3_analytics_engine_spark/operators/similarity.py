@@ -394,6 +394,42 @@ def cosine_ann_ivf(
     )
 
 
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ threshold,
+    ``id_a < id_b``) — the all-pairs baseline that
+    :func:`embedding_neardup_pairs` (RHP-LSH) approximates.
+
+    O(N²) dot products via a broadcast nested-loop self-join: the
+    corpus streams once against a broadcast copy, so there is no
+    shuffle — but the pair space itself is quadratic. Right tool for
+    (a) recall measurement of the LSH path, (b) corpora small enough
+    that N² · dim flops are acceptable (≲10⁵ rows). Beyond that,
+    bucket first (LSH/IVF) and verify exactly within buckets.
+
+    Same deterministic arithmetic as :func:`cosine_topk_bruteforce`
+    (double-cast fold, round(6)) so a DuckDB oracle reproduces every
+    value.
+    """
+    v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -538,6 +538,28 @@ def cosine_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_exact",
+    oracle="""
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.4
+""",
+    survey="ext:dedup-embedding-cosine-exact",
+    description="Exact all-pairs embedding-cosine near-dup baseline "
+    "(cos >= 0.4, id_a < id_b): broadcast nested-loop self-join, "
+    "double-cast folds, round(6) — the oracle-checked ground truth "
+    "the RHP-LSH variant (embedding_neardup) approximates. O(N^2) "
+    "pair space: recall-measurement tool, not the 100 TB path.",
+)
+def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_exact(emb, threshold=0.4)
+
+
+@register(
     "embedding_neardup",
     oracle=None,  # LSH recall < 1 by design; verified in tests
     survey="ext:dedup-embedding-cosine",
