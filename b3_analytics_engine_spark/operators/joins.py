@@ -140,3 +140,47 @@ def pivot_wide(
     g = df.groupBy(index)
     p = g.pivot(pivot_col, pivot_values) if pivot_values else g.pivot(pivot_col)
     return p.agg(F.first(value_col))
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 900,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point ∈ [start, end)) as a bucketed equi-join.
+
+    A naive theta join (``p.ts >= i.start AND p.ts < i.end``) has no
+    equi-key, so Spark plans a nested-loop over the full cross product
+    — O(|P|·|I|) at any scale. Instead both sides get a coarse time
+    bucket: each interval explodes into the buckets it covers, each
+    point keys into exactly one, the join becomes hash-equi on the
+    bucket, and the exact range predicate filters residual pairs
+    inside each bucket. Cost drops to O(|P| + |I|·span/bucket +
+    |matches|); pick ``bucket_seconds`` near the typical interval
+    length so intervals explode into ~1-2 rows.
+
+    Every (point, interval) match survives exactly once — a point
+    owns one bucket, and an interval's exploded bucket list is
+    distinct — so no post-join dedup is needed. ``how='left'`` keeps
+    intervals with zero points (their point columns null), matching
+    the LEFT form of the SQL range join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("point_in_interval_join supports inner/left")
+    step_us = bucket_seconds * 1_000_000
+    i0 = F.expr(f"unix_micros({start_col}) div {step_us}")
+    # end is exclusive: the bucket of (end - 1µs) is the last covered
+    i1 = F.expr(f"(unix_micros({end_col}) - 1) div {step_us}")
+    iv = intervals.withColumn("_bk", F.explode(F.sequence(i0, i1)))
+    pt = points.withColumn("_bk", F.expr(f"unix_micros({point_ts}) div {step_us}"))
+    cond = (
+        (iv["_bk"] == pt["_bk"])
+        & (pt[point_ts] >= iv[start_col])
+        & (pt[point_ts] < iv[end_col])
+    )
+    out = iv.join(pt, cond, how)
+    return out.drop("_bk")

@@ -512,3 +512,51 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
         )
     )
+
+
+@register(
+    "incident_window_join",
+    oracle="""
+WITH w AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 15 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id, ts, value FROM events WHERE event_type <> 'error'
+)
+SELECT w.window_id,
+       count(p.event_id) AS n_events,
+       round(avg(p.value), 6) AS avg_value
+FROM w LEFT JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
+GROUP BY w.window_id
+""",
+    survey="ext:range-join (point-in-interval)",
+    description="Incident correlation range join: every non-error "
+    "event landing in the 15 minutes after an error event, aggregated "
+    "per incident window (zero-event windows kept). Implemented as a "
+    "bucketed equi-join — intervals explode into coarse time buckets, "
+    "points hash into one, exact range filter inside the bucket — "
+    "because a raw theta join is a nested-loop cross product Spark "
+    "cannot hash; the oracle uses the plain range predicate (DuckDB "
+    "plans an IEJoin).",
+)
+def incident_window_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    p = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("p_event_id"), "ts", "value"
+    )
+    matched = point_in_interval_join(
+        p, w, point_ts="ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=900, how="left",
+    )
+    return matched.groupBy("window_id").agg(
+        F.count("p_event_id").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

@@ -103,3 +103,35 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_point_in_interval_join_equals_theta_join(spark):
+    from pyspark.sql import functions as F
+
+    from b3_analytics_engine_spark.operators.joins import point_in_interval_join
+    from b3_analytics_engine_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 37 MINUTES")).alias("w_end"),
+    )
+    p = ev.select(F.col("event_id").alias("p_id"), "ts")
+
+    # bucket (20 min) deliberately != interval length (37 min) so
+    # intervals span 2-3 buckets — exercises the explode/dedup claim
+    fast = point_in_interval_join(
+        p, w, "ts", "w_start", "w_end", bucket_seconds=1200
+    ).select("window_id", "p_id")
+    slow = w.join(
+        p, (p["ts"] >= w["w_start"]) & (p["ts"] < w["w_end"])
+    ).select("window_id", "p_id")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert fast.count() == fast.distinct().count()  # no duplicate matches
+
+    # left form keeps empty windows exactly once
+    left = point_in_interval_join(
+        p, w, "ts", "w_start", "w_end", bucket_seconds=1200, how="left"
+    )
+    assert left.select("window_id").distinct().count() == w.count()
