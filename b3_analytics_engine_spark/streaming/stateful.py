@@ -12,6 +12,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -123,4 +124,93 @@ def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         .repartition("user_id")
         .sortWithinPartitions("user_id", "ts")
         .mapInPandas(fn, schema=EWMA_OUTPUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = (
+    "user_id BIGINT, n BIGINT, total DOUBLE, vmin DOUBLE, vmax DOUBLE, "
+    "vmean DOUBLE"
+)
+
+
+def _make_running_totals_processor():
+    """Per-key running (count, sum, min, max, mean) as a
+    :class:`StatefulProcessor` — the Spark 4 ``transformWithState``
+    API. vs ``applyInPandasWithState``: typed named state slots
+    (Value/List/MapState) instead of one tuple, per-key timers, TTL,
+    and a RocksDB-backed store, which is what survives 100 TB of keys
+    (state spills to disk instead of living in executor heap).
+
+    Emits one updated-totals row per key per micro-batch (Update
+    mode); the final row per key equals the batch groupBy aggregate
+    over the whole stream (asserted in tests).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, s DOUBLE, mn DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s, mn, mx = self._totals.get()
+            else:
+                n, s, mn, mx = 0, 0.0, None, None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                v = pdf["value"]
+                n += int(v.count())
+                s += float(v.sum())
+                bmn, bmx = float(v.min()), float(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._totals.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [s],
+                    "vmin": [mn],
+                    "vmax": [mx],
+                    "vmean": [s / n if n else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_totals_stream(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Streaming per-key running totals via ``transformWithStateInPandas``.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.
+    RocksDBStateStoreProvider``) — transformWithState is only
+    implemented there, and RocksDB is the right store at scale anyway.
+    Runtime also needs the ``protobuf`` package on the driver (the
+    Python↔JVM state protocol); plan construction does not.
+    """
+    return (
+        events.select(
+            F.col(key_col).alias("user_id"), F.col(value_col).alias("value")
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _make_running_totals_processor(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
     )

@@ -355,3 +355,111 @@ def test_streaming_text_curation_equals_batch(spark, tmpdir):
     want = sorted(tuple(r) for r in curate(docs).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_transform_with_state_builds_plan(spark, tmpdir):
+    """transformWithStateInPandas plumbing is real even where the
+    protobuf state protocol can't run: the operator builds a streaming
+    DataFrame with the declared output schema."""
+    from b3_analytics_engine_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    schema = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .select("event_id", "user_id", "value")
+        .schema
+    )
+    out = running_totals_stream(
+        stream_parquet_dir(spark, f"{tmpdir}/*", schema)
+    )
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n", "total", "vmin", "vmax", "vmean",
+    ]
+
+
+def test_transform_with_state_running_totals_equals_batch(spark, tmpdir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): after
+    draining the stream, the last emitted row per key equals the batch
+    groupBy aggregate over all data — state carries correctly across
+    micro-batches and the RocksDB store round-trips the value schema.
+
+    The state-server protocol needs the protobuf package on the driver
+    (pyspark[sql] extra); skipped where it isn't installed.
+    """
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from b3_analytics_engine_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select("event_id", "user_id", "value")
+    src = f"{tmpdir}/src"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_parquet_dir(
+            spark,
+            f"{src}/*",
+            load_table(spark, SMOKE_SF_DIR, "events")
+            .select("event_id", "user_id", "value")
+            .schema,
+            max_files_per_trigger=1,
+        )
+        q = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            # memory sink in update mode appends every emitted row; the
+            # LAST row per key (largest n) is the final state
+            """
+            SELECT user_id, n, total, vmin, vmax, vmean FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC) AS rn
+              FROM running_totals) WHERE rn = 1
+            """
+        ).collect()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.avg("value").alias("vmean"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["user_id"]]
+        assert r["n"] == w["n"] and r["vmin"] == w["vmin"] and r["vmax"] == w["vmax"]
+        assert r["total"] == pytest.approx(w["total"], rel=1e-12)
+        assert r["vmean"] == pytest.approx(w["vmean"], rel=1e-12)
