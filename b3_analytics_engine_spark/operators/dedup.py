@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import fingerprint, tokens
 
@@ -542,26 +543,75 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
-    min-label propagation: every node starts labelled with itself; each
-    round a node adopts the minimum label among itself and its
-    neighbors; fixpoint = per-component minimum node id.
+    """Connected components over an undirected edge list; fixpoint =
+    per-component minimum node id.
 
     Duplicate-cluster canonicalization needs this because near-dup
     similarity is not transitive pairwise output (A~B, B~C but A≁C) —
     the cluster is the transitive closure of the pair graph.
 
-    Scale shape: each round is one shuffle join (labels ⋈ edges) + one
-    groupBy min — O(diameter) rounds, and near-dup graphs are
-    shallow (duplicate clusters are dense, diameter ≪ 10). Lineage is
-    cut with ``localCheckpoint`` per round so the plan doesn't grow
-    with the iteration count (Pregel-style loops otherwise recompute
-    round k-1 inside round k). Returns ``(node, component)``.
+    Two physical strategies behind one contract:
+
+    - **edge list ≤ driver_threshold** (the normal case — near-dup
+      pair graphs are a tiny fraction of the corpus even at web-scale
+      dup rates): one eager materialization of the (already computed)
+      edges, collect, union-find with path compression on the driver,
+      parallelize the (node, component) map back out. O(E·α(E))
+      driver work and zero shuffle rounds — replacing an O(diameter)
+      sequence of join+agg jobs whose per-round scheduling overhead
+      dominates at small |E|.
+    - **bigger than that**: iterative min-label propagation — every
+      node starts labelled with itself; each round one shuffle join
+      (labels ⋈ edges) + one groupBy min; O(diameter) rounds, and
+      near-dup graphs are shallow (duplicate clusters are dense,
+      diameter ≪ 10). Lineage is cut with ``localCheckpoint`` per
+      round so the plan doesn't grow with the iteration count
+      (Pregel-style loops otherwise recompute round k-1 inside
+      round k).
+
+    Returns ``(node, component)``.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    n_edges = sym.count()  # free: checkpointed
+
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        node_type = sym.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("component", node_type),
+            ]
+        )
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        return sym.sparkSession.createDataFrame(rows, schema)
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -59,6 +59,19 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _unpersist_all(spark) -> None:
+    """Drop RDDs materialized by localCheckpoint inside operators.
+
+    Each query is timed as an independent job; without this, dozens of
+    checkpointed RDDs from earlier queries sit in executor memory and
+    the GC pressure inflates whatever runs last (measured ~30% on the
+    dedup family). A long-lived production session does the same
+    cleanup per pipeline run."""
+    jsc = spark.sparkContext._jsc
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+
+
 def main() -> None:
     from b3_analytics_engine_spark.session import get_spark
     from b3_analytics_engine_spark.queries import spark_queries
@@ -89,6 +102,11 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # cleanup AFTER timing: dropping the query's checkpointed RDDs
+        # between timed runs overlaps block removal with the next
+        # measurement; dropping after keeps executor memory flat across
+        # the suite without touching any timed section
+        _unpersist_all(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -241,10 +241,17 @@ def test_connected_components_transitive_closure(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
     )
-    comp = {
-        r["node"]: r["component"] for r in connected_components(edges).collect()
-    }
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # both physical strategies must produce the identical map:
+    # driver union-find (default) and distributed min-label iteration
+    # (forced by driver_threshold=0)
+    for thresh in (2_000_000, 0):
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, driver_threshold=thresh
+            ).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}, f"thresh={thresh}"
 
     docs = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], ["doc_id"]
