@@ -560,3 +560,63 @@ def incident_window_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_event_id").alias("n_events"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "distribution_rank",
+    oracle="""
+SELECT user_id, event_id,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+""",
+    survey="W extension (distribution functions)",
+    description="Distribution-function suite per key (percent_rank / "
+    "cume_dist) — completes the window-function surface next to "
+    "ranking_suite; deterministic ordering via (value, id).",
+)
+def distribution_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NULL OR event_type <> prev_type
+""",
+    survey="A extension (ordered consecutive dedup)",
+    description="Consecutive-duplicate suppression per key (keep a row "
+    "only when its event_type differs from the previous row's): the "
+    "ordered lag() dedup every CDC/telemetry feed needs, one window "
+    "pass, no self-join.",
+)
+def window_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )

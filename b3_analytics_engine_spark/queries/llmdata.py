@@ -9,7 +9,7 @@ pytest against their exact counterparts and registered rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -1142,4 +1142,103 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.join(cent, ["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist_to_centroid"))
+    )
+
+
+@register(
+    "char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, c, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+  ) GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(cnt) AS n FROM ch GROUP BY doc_id
+)
+SELECT ch.doc_id,
+       CAST(max(tot.n) AS BIGINT) AS n_chars,
+       count(*) AS n_distinct_chars,
+       round(-sum((cnt / tot.n) * ln(cnt / tot.n)), 6) AS entropy_nats
+FROM ch JOIN tot ON ch.doc_id = tot.doc_id
+GROUP BY ch.doc_id
+""",
+    survey="ext:text-char-entropy",
+    description="Per-document Shannon entropy of the character "
+    "distribution (nats) — the repetition/compressibility signal "
+    "quality filters use alongside repetition_ratio. Explode chars -> "
+    "count -> -sum(p·ln p); one shuffle on (doc, char), one on doc.",
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ch = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = ch.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        ch.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
+
+
+@register(
+    "tfidf_topterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tok GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term_rank, tok, round(tfidf, 6) AS tfidf FROM (
+  SELECT tok.doc_id, tok.tok,
+         tok.tf * ln(n.n_docs / df.df) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tok.doc_id
+           ORDER BY tok.tf * ln(n.n_docs / df.df) DESC, tok.tok ASC
+         ) AS term_rank
+  FROM tok JOIN df ON tok.tok = df.tok, n
+)
+WHERE term_rank <= 3
+""",
+    survey="ext:text-tfidf",
+    description="Top-3 TF-IDF terms per document: tf x ln(N/df) over "
+    "whitespace tokens, deterministic (score DESC, token ASC) "
+    "tie-break. df and the 1-row corpus count broadcast; the token "
+    "table shuffles once on doc_id for the top-k window.",
+)
+def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        tfidf.desc(), F.col("tok").asc()
+    )
+    return (
+        tok.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "tok", F.round(tfidf, 6).alias("tfidf"))
     )

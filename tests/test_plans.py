@@ -90,6 +90,8 @@ def test_no_cartesian_anywhere(spark, qs):
         "group_share",
         "dormant_customers",
         "unigram_logprob",
+        "tfidf_topterms",  # 1-row corpus-count broadcast
+        "embedding_neardup_exact",  # intentional all-pairs baseline
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
