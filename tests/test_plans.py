@@ -184,3 +184,40 @@ def test_partition_pruning_on_lake_layout(spark, tmp_path):
 def test_topk_per_group_uses_window_group_limit(spark, qs):
     df = qs["topk_per_group"].fn(spark, SMOKE_SF_DIR)
     assert has_node(df, "WindowGroupLimit"), "top-k filter not pushed into window"
+
+
+def test_forecast_revenue_pushes_all_filters(spark, qs):
+    df = qs["forecast_revenue"].fn(spark, SMOKE_SF_DIR)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), f"{col} not pushed to scan"
+    cols = scan_read_schema(df)
+    assert set(cols) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }, f"scan reads too much: {cols}"
+
+
+def test_market_share_broadcasts_every_dimension(spark, qs):
+    # 7-table snowflake: part, supplier, nation x2, customer, region
+    # broadcast; the only shuffle join is fact⋈orders
+    df = qs["market_share"].fn(spark, SMOKE_SF_DIR)
+    kinds = join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 6, kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_incident_window_join_is_hash_not_nested_loop(spark, qs):
+    # the whole point of the bucketed range join: an equi-key exists,
+    # so no BroadcastNestedLoopJoin / CartesianProduct anywhere
+    df = qs["incident_window_join"].fn(spark, SMOKE_SF_DIR)
+    kinds = join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+    assert any(k in kinds for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")), kinds
+
+
+def test_topk_windows_compile_to_window_group_limit(spark, qs):
+    # rank<=k filters should plan WindowGroupLimit (partial top-k
+    # before the full window sort) — pins tfidf_topterms to the same
+    # physical shape as topk_per_group
+    df = qs["tfidf_topterms"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "WindowGroupLimit"), "top-3 filter runs full window"
