@@ -1242,3 +1242,36 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term_rank", "tok", F.round(tfidf, 6).alias("tfidf"))
     )
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+SELECT tok, c, CAST(rank() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rnk
+FROM (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) GROUP BY tok
+)
+""",
+    survey="ext:sketch-heavy-hitters",
+    description="Corpus heavy hitters via the approx_top_k sketch "
+    "(Spark 4): one aggregation tracking a bounded item set instead "
+    "of a full GROUP BY shuffle — the 100 TB vocabulary-stats path. "
+    "The fixture vocabulary fits inside maxItemsTracked, so counts "
+    "are exact and the DuckDB oracle is an exact GROUP BY; at real "
+    "scale the same plan is the bounded-memory approximation. Output "
+    "re-ranked deterministically (count DESC, token ASC) because the "
+    "sketch's internal tie order is unspecified.",
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+    sk = tok.agg(F.expr("approx_top_k(tok, 1000, 65536)").alias("tk"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("c"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+    )
