@@ -1201,3 +1201,104 @@ def market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "parts_supplier_stats",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'BRAND_1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+""",
+    survey="J1 A4 (TPC-H Q16 pattern; lineitem stands in for the "
+    "absent partsupp table)",
+    description="Supplier diversity per part segment (TPC-H Q16 "
+    "shape): COUNT(DISTINCT supplier) per (brand, type, size) with a "
+    "NOT IN anti-join excluding flagged suppliers; part broadcasts, "
+    "the distinct shuffles (part-key, suppkey) pairs only.",
+)
+def parts_supplier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+@register(
+    "dominant_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+), totals AS (
+  SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN totals t ON t.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.qty > 0.5 * t.total_qty
+ORDER BY s.s_suppkey
+""",
+    survey="J1 A7 (TPC-H Q20 pattern; shipped quantity share stands "
+    "in for the absent partsupp availqty)",
+    description="Suppliers dominating a part's yearly PROMO shipments "
+    "(>50% of the part's total — TPC-H Q20's correlated quantity "
+    "threshold, decorrelated): two-level aggregate (per part-supplier, "
+    "then per part) + ratio filter + semi-join back to supplier.",
+)
+def dominant_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
