@@ -51,6 +51,15 @@ HEADLINE = [
     "min_cost_supplier",
     "unigram_logprob",
     "dup_cluster_keep",
+    # round 2 additions: scan-bound TPC-H, snowflake joins, the
+    # decorrelated-EXISTS family, range join, sketches, text analytics
+    "forecast_revenue",
+    "market_share",
+    "waiting_suppliers",
+    "incident_window_join",
+    "char_entropy",
+    "tfidf_topterms",
+    "heavy_hitters",
 ]
 
 
