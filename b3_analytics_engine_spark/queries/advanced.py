@@ -620,3 +620,135 @@ def window_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 6) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    survey="J1 extension (skew-mitigating salted equi-join)",
+    description="Per-segment event totals through an explicitly salted "
+    "fact-to-dim join: the dim side is exploded salt_buckets times and "
+    "the fact key salted by xxhash64(event_id) mod buckets, so one "
+    "pathological hot key spreads over salt_buckets shuffle partitions "
+    "instead of melting a single reducer. Row-identical to the plain "
+    "join (the oracle IS the plain join), deterministic under retries "
+    "because the salt derives from the row id, not rand(). Extends the "
+    "reference's snapshot equi-join (include/tasks/data_processing.py:"
+    "44-64) to the skewed-key regime AQE skew-split can't fix when the "
+    "build side itself overflows.",
+)
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    joined = salted_join(ev, cust, "user_id", left_unique_col="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB)."""
+    ctes = ["""edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""", """norm AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+)""", """nn AS (SELECT count(*) AS n FROM nation)""", """r0 AS (
+  SELECT n_nationkey AS node, 1.0 / nn.n AS rank FROM nation, nn
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT na.n_nationkey AS node,
+         (1 - {damping}) / nn.n
+           + {damping} * coalesce(sum(norm.p * r{i-1}.rank), 0) AS rank
+  FROM nation na CROSS JOIN nn
+  LEFT JOIN norm ON norm.dst = na.n_nationkey
+  LEFT JOIN r{i-1} ON r{i-1}.node = norm.src
+  GROUP BY na.n_nationkey, nn.n
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT na.n_name AS nation, round(r{iters}.rank, 6) AS pagerank
+FROM r{iters} JOIN nation na ON na.n_nationkey = r{iters}.node
+"""
+    )
+
+
+@register(
+    "trade_pagerank",
+    oracle=_pagerank_oracle(),
+    survey="ext: iterative graph algorithm (weighted PageRank)",
+    description="Weighted PageRank (3 fixed iterations, damping 0.85) "
+    "over the nation-to-nation trade graph (edge weight = revenue from "
+    "customers in src nation to suppliers in dst nation). The iterative "
+    "pattern Spark expresses as a driver loop of joins: the edge table "
+    "is the big partitioned operand, the 25-row rank vector re-joins "
+    "(auto-broadcast) each iteration — the shape that scales to "
+    "billion-edge graphs where only the rank vector moves per round. "
+    "Oracle: the same three iterations unrolled as chained CTEs.",
+)
+def trade_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    damping, iters = 0.85, 3
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum(li["l_extendedprice"] * (1 - li["l_discount"])).alias("w"))
+    )
+    wsrc = Window.partitionBy("src")
+    norm = edges.select(
+        "src", "dst", (F.col("w") / F.sum("w").over(wsrc)).alias("p")
+    ).localCheckpoint()  # edge graph is reused every iteration
+
+    n = nation.count()
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - damping) / n)
+                + damping * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.join(nation, ranks["node"] == nation["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        F.round("rank", 6).alias("pagerank"),
+    )

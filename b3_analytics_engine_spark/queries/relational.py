@@ -1302,3 +1302,107 @@ def dominant_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 6) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    survey="J1 A7 F (TPC-H Q9 pattern; 0.6*p_retailprice stands in "
+    "for the absent partsupp ps_supplycost)",
+    description="Product-line profit per supplier nation and order "
+    "year (TPC-H Q9 shape): a five-table join where the substring "
+    "filter on part prunes first, part/supplier/nation broadcast, and "
+    "only the two facts shuffle on orderkey. Cost proxy "
+    "0.6*p_retailprice*quantity replaces ps_supplycost (no partsupp "
+    "fixture).",
+)
+def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                6,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey AS partkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT partkey, round(value, 2) AS part_value
+FROM pv
+WHERE round(value, 2) > round(0.0012 * (SELECT sum(value) FROM pv), 2)
+""",
+    survey="A7 ext (TPC-H Q11 pattern; lineitem revenue stands in for "
+    "the absent partsupp cost*availqty)",
+    description="Parts representing a significant share of one "
+    "nation's supply value (TPC-H Q11 shape): per-part aggregation "
+    "compared against a scalar fraction of the global total — both "
+    "sides rounded to cents so a last-bit double difference can never "
+    "flip the threshold between engines. One aggregation feeds both "
+    "the rows and the scalar (self-referencing CTE); at scale the "
+    "scalar is a one-row broadcast, not a second scan.",
+)
+def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    pv = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+        .localCheckpoint()  # one aggregation feeds both branches
+    )
+    total = pv.agg(F.sum("value").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.round("value", 2) > F.round(0.0012 * F.col("t"), 2))
+        .select("partkey", F.round("value", 2).alias("part_value"))
+    )

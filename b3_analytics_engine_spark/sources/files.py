@@ -10,6 +10,7 @@ inference is an extra full pass and a correctness hazard.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import COTAHIST
@@ -85,3 +86,35 @@ def stream_parquet_dir(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """Ingest raw media files as opaque binary rows via Spark's
+    built-in ``binaryFile`` source (path, modificationTime, length,
+    content — content loaded lazily per task, so a 100 TB media lake
+    scans in parallel with no driver involvement).
+
+    Output matches the engine's media-row shape (operators/multimodal):
+    ``media_id`` is the stable xxhash64 of the file path, ``media_type``
+    derives from the extension, ``payload`` is the raw bytes. Pair with
+    ``extract_features`` / ``frame_sample_plan`` downstream.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+        .alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes_raw"),
+    )

@@ -135,3 +135,60 @@ def test_point_in_interval_join_equals_theta_join(spark):
         p, w, "ts", "w_start", "w_end", bucket_seconds=1200, how="left"
     )
     assert left.select("window_id").distinct().count() == w.count()
+
+
+def test_salted_join_plan_carries_salt_key(spark):
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    dim = ev.select("user_id").distinct().withColumn("tag", F.col("user_id") * 10)
+    plan = physical_plan(salted_join(ev, dim, "user_id", left_unique_col="event_id"))
+    # the join condition must include the salt, or the spread is a no-op
+    assert "_salt" in plan
+
+
+def test_dedup_stream_bounded_state_across_batches(spark, tmpdir):
+    """Duplicate keys injected across TWO micro-batches within the
+    watermark window are emitted exactly once (bounded-state streaming
+    dedup ≡ batch dropDuplicates on this input)."""
+    from b3_analytics_engine_spark.streaming.pipeline import dedup_stream
+
+    ev = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .limit(500)
+    )
+    src = f"{tmpdir}/src"
+    ev.coalesce(1).write.parquet(f"{src}/b1.parquet")
+    # second batch: re-deliver 200 of the same rows (at-least-once replay)
+    ev.limit(200).coalesce(1).write.parquet(f"{src}/b2.parquet")
+
+    stream = stream_parquet_dir(
+        spark, f"{src}/*", ev.schema, max_files_per_trigger=1
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], "ts", "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicates leaked through"
+    assert sorted(ids) == sorted(
+        r["event_id"] for r in ev.select("event_id").distinct().collect()
+    )
+
+
+def test_trade_pagerank_is_a_distribution(spark):
+    from b3_analytics_engine_spark.queries.advanced import trade_pagerank_q
+
+    rows = trade_pagerank_q(spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-3

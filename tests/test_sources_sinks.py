@@ -261,3 +261,42 @@ def test_python_datasource_quote_feed_stream(spark, tmp_path):
         key = (r["symbol"], r["ts"])
         assert key in regen
         assert tuple(r)[:6] == regen[key][:6]
+
+
+def test_read_media_dir_feeds_feature_pipeline(spark, tmp_path):
+    """binaryFile ingest → mapInPandas featurize: ids stable, bytes
+    opaque, sha256 matches the on-disk content."""
+    import hashlib
+
+    from b3_analytics_engine_spark.operators.multimodal import extract_features
+    from b3_analytics_engine_spark.sources.files import read_media_dir
+
+    payloads = {
+        "a.png": b"\x89PNG\r\n" + bytes(range(200)),
+        "b.jpg": b"\xff\xd8\xff" + b"jpegdata" * 40,
+        "c.wav": b"RIFF" + bytes(100),
+        "d.bin": b"\x00\x01\x02",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    media = read_media_dir(spark, str(tmp_path))
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == set(payloads)
+    assert rows["a.png"]["media_type"] == "image"
+    assert rows["c.wav"]["media_type"] == "audio"
+    assert rows["d.bin"]["media_type"] == "binary"
+    assert rows["b.jpg"]["payload"] == payloads["b.jpg"]
+    assert len({r["media_id"] for r in rows.values()}) == 4  # stable+unique
+
+    feats = {
+        r["media_id"]: r
+    for r in extract_features(
+            media.select("media_id", "media_type", "payload")
+        ).collect()
+    }
+    for name, blob in payloads.items():
+        f = feats[rows[name]["media_id"]]
+        assert f["sha256"] == hashlib.sha256(blob).hexdigest()
+        assert f["n_bytes"] == len(blob)
+        assert len(f["feat"]) == 8
