@@ -83,3 +83,47 @@ def corr_matrix(df: DataFrame, cols: list[str], round_to: int | None = None) -> 
 def is_empty(df: DataFrame) -> bool:
     """Empty-frame guard (A8, reference include/tasks/batch_ingestion.py:30)."""
     return df.isEmpty()
+
+
+def partial_aggregates(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Algebraic per-key partials ``(cnt, s, mn, mx)`` — the stored
+    state of an incrementally-maintained rollup.
+
+    The reference maintains its warehouse by re-reading 40 days of
+    raw history and recomputing every metric each minute (reference
+    include/tasks/data_warehouse.py:67-78). The scalable alternative:
+    persist these partials and fold each new micro-batch in with
+    :func:`merge_partial_aggregates` — work proportional to the batch,
+    not the history. Count/sum/min/max (and anything algebraic —
+    sum-of-squares for variance, HLL sketches for distincts) merge
+    exactly; medians/exact-distincts do not, which is why the partial
+    schema is explicit instead of "whatever the query computed".
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def merge_partial_aggregates(
+    parts: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Fold partial-aggregate tables into one: counts and sums add,
+    mins/maxes fold — the same combine step Spark's own partial
+    aggregation runs map-side, lifted to cross-batch granularity.
+    Union'd partials re-group on the SAME keys, so with the stored
+    partials already hash-partitioned by key the merge shuffles only
+    the incoming batch's partials."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )

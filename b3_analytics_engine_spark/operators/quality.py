@@ -1,0 +1,119 @@
+"""Data-quality audit operators — the validation pass every
+large-scale training-data or warehouse pipeline runs before it
+trusts an input drop.
+
+The reference has only ad-hoc guards (`df_filtered.empty`,
+`dropna(subset=...)` — include/tasks/batch_ingestion.py:30,37,
+include/tasks/data_warehouse.py:16,58); this module makes the checks
+first-class and *auditable*: every check reports its violation count
+instead of silently dropping rows.
+
+Scale design:
+
+- :func:`constraint_report` folds ALL predicate checks into ONE
+  aggregate over ONE scan — at 100 TB you cannot afford a pass per
+  rule. Each check is a conditional sum inside the same whole-stage-
+  codegen'd partial aggregate; the shuffle carries one row per
+  partition regardless of table size or rule count.
+- :func:`duplicate_key_count` is a distinct-count against the row
+  count — one hash aggregate on the key columns only (the scan prunes
+  every other column).
+- :func:`orphan_count` is a left-anti join on the key columns;
+  broadcast when the parent is a dimension, shuffle-hash when both
+  sides are facts. Either way only keys move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violations(pred: Column) -> Column:
+    """Violation counter for one rule: rows where ``pred`` is not
+    satisfied. NULL predicate input counts as a violation (a range
+    check on a NULL value fails it, matching SQL CASE semantics on
+    both Spark and any ANSI oracle)."""
+    return F.sum(F.when(pred, 0).otherwise(1))
+
+
+def constraint_report(
+    df: DataFrame, table_name: str, checks: dict[str, Column]
+) -> DataFrame:
+    """Audit ``df`` against named predicate rules in a single scan.
+
+    Returns one row per check: ``(table_name, check_name,
+    n_violations, n_rows, violation_rate)``. All counts come out of
+    one aggregation (wide → long via ``stack``), so adding a rule
+    adds an expression, never a pass.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        violations(pred).alias(name) for name, pred in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', `{name}`" for name in checks)
+    long = wide.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)"
+        ),
+    )
+    return long.select(
+        F.lit(table_name).alias("table_name"),
+        "check_name",
+        "n_violations",
+        F.col("_n").alias("n_rows"),
+        F.round(F.col("n_violations") / F.col("_n"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def duplicate_key_count(
+    df: DataFrame, table_name: str, key_cols: list[str], check_name: str
+) -> DataFrame:
+    """Primary-key uniqueness as a report row: violations = rows
+    beyond the first per key (``count(*) − count(distinct key)``)."""
+    agg = df.select(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("_d"),
+    )
+    return agg.select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(check_name).alias("check_name"),
+        (F.col("_n") - F.col("_d")).alias("n_violations"),
+        F.col("_n").alias("n_rows"),
+        F.round((F.col("_n") - F.col("_d")) / F.col("_n"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def orphan_count(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    table_name: str,
+    check_name: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential integrity as a report row: violations = child rows
+    whose ``fk`` has no match in ``parent.pk`` (left-anti join on keys
+    only)."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    n_rows = child.agg(F.count(F.lit(1)).alias("_n"))
+    orphans = (
+        child.select(fk)
+        .join(keys, fk, "left_anti")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    return orphans.crossJoin(F.broadcast(n_rows)).select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(check_name).alias("check_name"),
+        F.col("_o").alias("n_violations"),
+        F.col("_n").alias("n_rows"),
+        F.round(F.col("_o") / F.col("_n"), 6).alias("violation_rate"),
+    )

@@ -752,3 +752,148 @@ def trade_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+WITH li AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_notnull,
+         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+         sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS v_disc,
+         sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS v_tax,
+         sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_enum,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_pk
+  FROM lineitem
+), lo AS (
+  SELECT (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS v,
+         (SELECT count(*) FROM lineitem) AS n
+), ec AS (
+  SELECT (SELECT count(*) FROM events e WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS v,
+         (SELECT count(*) FROM events) AS n
+)
+SELECT 'lineitem' AS table_name, 'l_orderkey_not_null' AS check_name,
+       CAST(v_notnull AS BIGINT) AS n_violations, n AS n_rows,
+       round(v_notnull / n, 6) AS violation_rate FROM li
+UNION ALL SELECT 'lineitem', 'l_quantity_range_1_50',
+       CAST(v_qty AS BIGINT), n, round(v_qty / n, 6) FROM li
+UNION ALL SELECT 'lineitem', 'l_discount_range_0_0.1',
+       CAST(v_disc AS BIGINT), n, round(v_disc / n, 6) FROM li
+UNION ALL SELECT 'lineitem', 'l_tax_cap_0.05',
+       CAST(v_tax AS BIGINT), n, round(v_tax / n, 6) FROM li
+UNION ALL SELECT 'lineitem', 'l_returnflag_enum',
+       CAST(v_enum AS BIGINT), n, round(v_enum / n, 6) FROM li
+UNION ALL SELECT 'lineitem', 'line_pk_unique',
+       CAST(v_pk AS BIGINT), n, round(v_pk / n, 6) FROM li
+UNION ALL SELECT 'lineitem', 'fk_orderkey_in_orders',
+       v, n, round(v / n, 6) FROM lo
+UNION ALL SELECT 'events', 'fk_user_in_customer',
+       v, n, round(v / n, 6) FROM ec
+""",
+    survey="ext: data-quality audit (P7/A8 made first-class)",
+    description="Data-quality audit report: every predicate rule "
+    "(not-null, ranges, enum membership) folds into ONE conditional-"
+    "sum aggregate over ONE lineitem scan — adding a rule adds an "
+    "expression, never a pass, the only affordable shape at 100 TB. "
+    "Key uniqueness is a distinct-count on the key columns alone "
+    "(column pruning keeps the scan narrow) and referential integrity "
+    "is a keys-only broadcast anti-join. The reference's equivalents "
+    "are silent dropna/empty guards (include/tasks/batch_ingestion."
+    "py:30,37); here every rule reports its violation count.",
+)
+def data_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        constraint_report,
+        duplicate_key_count,
+        orphan_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    checks = {
+        "l_orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "l_quantity_range_1_50": F.col("l_quantity").between(1, 50),
+        "l_discount_range_0_0.1": F.col("l_discount").between(0.0, 0.1),
+        "l_tax_cap_0.05": F.col("l_tax") <= 0.05,
+        "l_returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return (
+        constraint_report(li, "lineitem", checks)
+        .unionByName(
+            duplicate_key_count(
+                li, "lineitem", ["l_orderkey", "l_linenumber"], "line_pk_unique"
+            )
+        )
+        .unionByName(
+            orphan_count(
+                li, orders, "l_orderkey", "o_orderkey",
+                "lineitem", "fk_orderkey_in_orders",
+            )
+        )
+        .unionByName(
+            orphan_count(
+                ev, cust, "user_id", "c_custkey",
+                "events", "fk_user_in_customer",
+            )
+        )
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="ext: incremental materialized rollup (T5 done right)",
+    description="Incrementally-maintained per-user daily rollup: the "
+    "events table is split at a mid-day cutoff into a 'stored history' "
+    "batch and a 'new arrivals' batch, per-key algebraic partials "
+    "(cnt/sum/min/max) are computed on each INDEPENDENTLY, and the "
+    "merge folds them back — provably equal to the direct aggregate "
+    "over everything (the oracle). This is the fix for the reference's "
+    "recompute-40-days-every-minute warehouse loop (include/tasks/"
+    "data_warehouse.py:67-78): at 100 TB the stored partials stay "
+    "hash-partitioned in place and each micro-batch merges work "
+    "proportional to the batch, not the history. The cutoff "
+    "deliberately splits days so groups straddle both batches.",
+)
+def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import (
+        merge_partial_aggregates,
+        partial_aggregates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value", "ts"
+    )
+    cutoff = F.to_timestamp(F.lit("2024-01-20 12:00:00"))
+    history = ev.filter(F.col("ts") < cutoff).drop("ts")
+    fresh = ev.filter(F.col("ts") >= cutoff).drop("ts")
+    merged = merge_partial_aggregates(
+        [
+            partial_aggregates(history, ["user_id", "day"], "value"),
+            partial_aggregates(fresh, ["user_id", "day"], "value"),
+        ],
+        ["user_id", "day"],
+    )
+    return merged.select(
+        "user_id",
+        "day",
+        F.col("cnt").alias("n_events"),
+        F.round("s", 6).alias("total_value"),
+        F.round(F.col("s") / F.col("cnt"), 6).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+    )

@@ -60,6 +60,8 @@ HEADLINE = [
     "char_entropy",
     "tfidf_topterms",
     "heavy_hitters",
+    "data_quality_report",
+    "incremental_agg_merge",
 ]
 
 
