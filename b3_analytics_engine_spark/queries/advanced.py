@@ -897,3 +897,116 @@ def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mn", 6).alias("min_value"),
         F.round("mx", 6).alias("max_value"),
     )
+
+
+@register(
+    "snapshot_diff_feed",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, round(value, 6) AS value, event_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15') t WHERE rn = 1
+), s2 AS (
+  SELECT user_id, round(value, 6) AS value, event_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-25') t WHERE rn = 1
+)
+SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.value IS DISTINCT FROM s2.value
+              OR s1.event_type IS DISTINCT FROM s2.event_type
+            THEN 'changed' ELSE 'unchanged' END AS change_type,
+       s1.value AS old_value, s1.event_type AS old_event_type,
+       s2.value AS new_value, s2.event_type AS new_event_type
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE NOT (s1.user_id IS NOT NULL AND s2.user_id IS NOT NULL
+           AND s1.value IS NOT DISTINCT FROM s2.value
+           AND s1.event_type IS NOT DISTINCT FROM s2.event_type)
+""",
+    survey="ext: snapshot diff / CDC change feed (K3 made observable)",
+    description="Change feed between two as-of states of the keyed "
+    "event table (latest row per user at t1 vs t2, deterministic "
+    "event_id tie-break): full-outer join on the key, null-safe "
+    "compare on the tracked columns, rows classified added/changed "
+    "(/removed). The reference full-replaces its warehouse every "
+    "minute so consumers can't see what changed (include/tasks/"
+    "data_warehouse.py:78); this derives the delta — at scale both "
+    "snapshots shuffle once on the key, or not at all when they share "
+    "a bucketed layout.",
+)
+def snapshot_diff_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowops import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def state(upto: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(F.col("ts") <= F.lit(upto).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", F.round("value", 6).alias("value"), "event_type"
+            )
+        )
+
+    return snapshot_diff(
+        state("2024-01-15"),
+        state("2024-01-25"),
+        ["user_id"],
+        ["value", "event_type"],
+    )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(avg(e.value), 6) AS raw_mean,
+       round(avg(greatest(pct.p05, least(pct.p95, e.value))), 6)
+         AS winsorized_mean,
+       round(min(pct.p05), 6) AS p05,
+       round(min(pct.p95), 6) AS p95
+FROM events e JOIN pct USING (event_type)
+GROUP BY e.event_type
+""",
+    survey="ext: robust statistics (winsorized moments)",
+    description="Outlier-robust per-group statistics: exact "
+    "interpolated p05/p95 per event_type (Spark percentile ≡ DuckDB "
+    "quantile_cont), values clamped to that band, winsorized mean vs "
+    "raw mean. Two stages: the percentile aggregate produces a "
+    "groups-sized table that broadcast-joins back onto the fact — the "
+    "clamp-and-average second pass is one scan, no second shuffle of "
+    "the fact. The standard guard before any mean-based quality "
+    "signal on heavy-tailed 100 TB telemetry.",
+)
+def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.round(F.min("p05"), 6).alias("p05"),
+            F.round(F.min("p95"), 6).alias("p95"),
+        )
+    )

@@ -62,6 +62,8 @@ HEADLINE = [
     "heavy_hitters",
     "data_quality_report",
     "incremental_agg_merge",
+    "snapshot_diff_feed",
+    "winsorized_stats",
 ]
 
 

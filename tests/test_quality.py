@@ -99,3 +99,26 @@ def test_partial_merge_equals_direct(spark):
         )
 
     assert canon(merged) == canon(direct)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from b3_analytics_engine_spark.operators.rowops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k bigint, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 99.0, "c"), (4, 40.0, "d")],
+        "k bigint, v double, s string",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
+    }
+    assert rows[1]["change_type"] == "removed" and rows[1]["new_v"] is None
+    assert 2 not in rows  # unchanged filtered out
+    assert rows[3]["change_type"] == "changed" and rows[3]["old_v"] == 30.0
+    assert rows[4]["change_type"] == "added" and rows[4]["old_v"] is None
+    full = snapshot_diff(old, new, ["k"], ["v", "s"], include_unchanged=True)
+    assert full.count() == 4

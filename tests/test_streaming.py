@@ -463,3 +463,45 @@ def test_transform_with_state_running_totals_equals_batch(spark, tmpdir):
         assert r["n"] == w["n"] and r["vmin"] == w["vmin"] and r["vmax"] == w["vmax"]
         assert r["total"] == pytest.approx(w["total"], rel=1e-12)
         assert r["vmean"] == pytest.approx(w["vmean"], rel=1e-12)
+
+
+def test_streaming_session_window_equals_batch(spark, tmpdir):
+    """T8 extension, session flavor: Spark's built-in session_window
+    (dynamic gap-merged event-time windows, stateful merge across
+    micro-batches) over a 2-batch stream equals the same aggregation
+    in batch mode."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = f"{tmpdir}/src"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+
+    def sessionize(df):
+        return df.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+
+    stream = stream_parquet_dir(
+        spark, f"{src}/*", ev.schema, max_files_per_trigger=1
+    )
+    q = (
+        sessionize(stream.withWatermark("ts", "10 days"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def canon(rows):
+        return sorted(
+            (str(r["sw"]["start"]), str(r["sw"]["end"]), r["user_id"], r["n"], r["v"])
+            for r in rows
+        )
+
+    got = canon(spark.sql("SELECT * FROM sess_win").collect())
+    want = canon(sessionize(ev).collect())
+    assert got == want and len(got) > 0
