@@ -19,7 +19,7 @@ from b3_analytics_engine_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
 )
-from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, SMOKE_SF_DIR, load_table
 
 THRESH = 0.12  # matches the registered queries
 
@@ -272,7 +272,7 @@ def test_approx_aggregates_error_bounds(spark):
     within its 2% rsd (3 sigma), approx percentiles within the rank
     error implied by accuracy=10000."""
     from b3_analytics_engine_spark.queries import registry
-    from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
+    from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, SMOKE_SF_DIR, load_table
 
     approx = {
         r["event_type"]: r
@@ -298,3 +298,38 @@ def test_approx_aggregates_error_bounds(spark):
         spread = max(e["qs"]) - min(e["qs"]) or 1.0
         for got, want in zip((a["p50"], a["p95"], a["p99"]), e["qs"]):
             assert abs(got - want) <= 0.05 * spread + 1.0, (et, got, want)
+
+
+def test_chunk_udtf_matches_native_chunker_at_zero_overlap(spark):
+    """The UDTF escape hatch (overlap=0) is row-identical to the
+    native posexplode/groupBy chunker, and overlap>0 produces the
+    documented sliding windows."""
+    from b3_analytics_engine_spark.functions.udtfs import register_udtfs
+    from b3_analytics_engine_spark.queries.llmdata import chunk_documents_q
+
+    register_udtfs(spark)
+    load_table(spark, SMOKE_SF_DIR, "documents").createOrReplaceTempView(
+        "docs_udtf"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM docs_udtf d, "
+            "LATERAL chunk_with_overlap(d.text, 32, 0) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents_q(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want
+
+    over = spark.sql(
+        "SELECT d.doc_id, c.* FROM docs_udtf d, "
+        "LATERAL chunk_with_overlap(d.text, 32, 8) c "
+        "WHERE d.doc_id = 0 ORDER BY c.chunk_id"
+    ).collect()
+    # consecutive chunks share their 8-token boundary
+    for a, b in zip(over, over[1:]):
+        if b["n_chunk_tokens"] >= 8:
+            assert a["chunk_text"].split()[-8:] == b["chunk_text"].split()[:8]

@@ -505,3 +505,61 @@ def test_streaming_session_window_equals_batch(spark, tmpdir):
     got = canon(spark.sql("SELECT * FROM sess_win").collect())
     want = canon(sessionize(ev).collect())
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_recovery_resumes_not_reprocesses(spark, tmpdir):
+    """Kill-and-restart durability: a windowed aggregation stream is
+    run to completion, stopped, MORE data arrives, and a NEW query
+    started from the same checkpoint picks up only the new files —
+    final state equals the batch answer over everything (exactly-once
+    across restarts, the guarantee the reference's fresh-group-id
+    re-read hack approximates by reprocessing the world every minute)."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = f"{tmpdir}/src"
+    ckpt = f"{tmpdir}/ckpt_recover"
+    first = ev.filter(F.col("event_id") % 3 != 0)
+    second = ev.filter(F.col("event_id") % 3 == 0)
+    first.coalesce(1).write.parquet(f"{src}/batch1.parquet")
+
+    def start():
+        stream = stream_parquet_dir(spark, f"{src}/*", ev.schema)
+        agg = (
+            stream.withWatermark("ts", "10 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("recover_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+    n_after_first = spark.sql(
+        "SELECT sum(n) AS s FROM recover_out"
+    ).collect()[0]["s"]
+    assert n_after_first == first.count()
+
+    second.coalesce(1).write.parquet(f"{src}/batch2.parquet")
+    q2 = start()  # same checkpoint: resumes, does not re-read batch1
+    q2.awaitTermination(120)
+    # exactly one availableNow batch processed the single new file
+    assert q2.lastProgress["numInputRows"] <= second.count()
+
+    got = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM recover_out").collect()
+    }
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
