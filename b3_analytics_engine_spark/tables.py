@@ -36,13 +36,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS) which Spark's
-        # vectorized Parquet reader rejects. Read nanos as long
-        # (legacy conf) and convert losslessly to a µs timestamp —
-        # the fixture's values are µs-aligned (verified in tests).
+        # The events fixture has shipped with two physical layouts for
+        # ``ts``: TIMESTAMP(NANOS) — which Spark's vectorized Parquet
+        # reader rejects, so it is read as long via the legacy conf and
+        # converted losslessly to a µs timestamp — and plain µs
+        # TIMESTAMP (current driver testdata), which needs no
+        # conversion beyond pinning NTZ → session-UTC timestamp so
+        # window arithmetic and the DuckDB oracle agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
