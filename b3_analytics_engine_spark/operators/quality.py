@@ -18,8 +18,10 @@ Scale design:
 - :func:`duplicate_key_count` is a distinct-count against the row
   count — one hash aggregate on the key columns only (the scan prunes
   every other column).
-- :func:`orphan_count` is a left-anti join on the key columns;
-  broadcast when the parent is a dimension, shuffle-hash when both
+- :func:`orphan_count` is ONE left-outer equi-join on the key columns
+  feeding ONE aggregate: total rows and unmatched rows come out of the
+  same scan, so there is no second pass and no 1-row cross join.
+  Broadcast when the parent is a dimension, shuffle-hash when both
   sides are facts. Either way only keys move.
 """
 
@@ -99,18 +101,32 @@ def orphan_count(
     broadcast_parent: bool = True,
 ) -> DataFrame:
     """Referential integrity as a report row: violations = child rows
-    whose ``fk`` has no match in ``parent.pk`` (left-anti join on keys
-    only)."""
-    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    whose ``fk`` has no match in ``parent.pk``.
+
+    Single-scan shape: a left-outer equi-join against the distinct
+    parent keys (tagged ``_present``), then one aggregate computing
+    both the total row count and the unmatched count. A NULL fk never
+    equi-matches, so it counts as an orphan — the same semantics the
+    previous left-anti formulation had.
+    """
+    keys = (
+        parent.select(F.col(pk).alias(fk))
+        .distinct()
+        .withColumn("_present", F.lit(1))
+    )
     if broadcast_parent:
         keys = F.broadcast(keys)
-    n_rows = child.agg(F.count(F.lit(1)).alias("_n"))
-    orphans = (
+    agg = (
         child.select(fk)
-        .join(keys, fk, "left_anti")
-        .agg(F.count(F.lit(1)).alias("_o"))
+        .join(keys, fk, "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("_present").isNull(), 1).otherwise(0)
+            ).alias("_o"),
+        )
     )
-    return orphans.crossJoin(F.broadcast(n_rows)).select(
+    return agg.select(
         F.lit(table_name).alias("table_name"),
         F.lit(check_name).alias("check_name"),
         F.col("_o").alias("n_violations"),

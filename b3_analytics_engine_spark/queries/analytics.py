@@ -157,7 +157,10 @@ FROM purchases p JOIN clicks c ON p.user_id = c.user_id
     description="Two-feed snapshot join: latest-per-key on each feed "
     "then inner equi-join + derived change column (reference "
     "include/tasks/data_processing.py:44-83, the brapi⋈yfinance "
-    "enrichment).",
+    "enrichment). No broadcast hint: both sides are per-user "
+    "aggregates whose size is O(distinct users) — unbounded at "
+    "scale — so AQE picks the strategy from runtime stats (broadcast "
+    "when a side is genuinely small, shuffle-hash otherwise).",
 )
 def snapshot_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -177,7 +180,7 @@ def snapshot_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_click_ts"),
         )
     )
-    return purchases.join(F.broadcast(clicks), "user_id", "inner").select(
+    return purchases.join(clicks, "user_id", "inner").select(
         "user_id",
         "last_purchase_value",
         "last_purchase_ts",

@@ -1262,16 +1262,28 @@ FROM (
     "The fixture vocabulary fits inside maxItemsTracked, so counts "
     "are exact and the DuckDB oracle is an exact GROUP BY; at real "
     "scale the same plan is the bounded-memory approximation. Output "
-    "re-ranked deterministically (count DESC, token ASC) because the "
-    "sketch's internal tie order is unspecified.",
+    "re-ranked deterministically (count DESC, token ASC) by sorting "
+    "the sketch's bounded array in-place (array_sort + posexplode — "
+    "no global window, no single-partition WindowExec) because the "
+    "sketch's internal tie order is unspecified. Tokens are unique "
+    "within the sketch, so rank() == row_number() == position.",
 )
 def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
     sk = tok.agg(F.expr("approx_top_k(tok, 1000, 65536)").alias("tk"))
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-    return (
-        sk.select(F.explode("tk").alias("e"))
-        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("c"))
-        .withColumn("rnk", F.rank().over(w).cast("long"))
+    ordered = sk.select(
+        F.expr(
+            "array_sort(tk, (a, b) -> CASE"
+            " WHEN a.count > b.count THEN -1 WHEN a.count < b.count THEN 1"
+            " WHEN a.item  < b.item  THEN -1 WHEN a.item  > b.item  THEN 1"
+            " ELSE 0 END)"
+        ).alias("tk")
+    )
+    return ordered.select(
+        F.posexplode("tk").alias("pos", "e")
+    ).select(
+        F.col("e.item").alias("tok"),
+        F.col("e.count").alias("c"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
     )

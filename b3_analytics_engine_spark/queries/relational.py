@@ -641,13 +641,13 @@ WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 """,
     survey="A7 scalar-subquery (TPC-H Q15 pattern)",
     description="Top supplier by quarterly revenue (TPC-H Q15 shape): "
-    "scalar MAX subquery as an empty-frame window max — equality is "
-    "tested on round(·,6) revenue in both engines so cross-engine "
-    "sum-order ulp noise can't flip the argmax.",
+    "scalar MAX subquery as a 1-row broadcast EQUI-join on the "
+    "rounded revenue itself (BroadcastHashJoin — no global window, "
+    "no single-partition funnel); equality is tested on round(·,6) "
+    "revenue in both engines so cross-engine sum-order ulp noise "
+    "can't flip the argmax.",
 )
 def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
@@ -656,12 +656,10 @@ def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
         .alias("total_rev")
-    )
-    rev = rev.withColumn(
-        "_max_rev", F.max("total_rev").over(Window.partitionBy())
-    )
+    ).localCheckpoint()  # one aggregation feeds both branches
+    mx = rev.agg(F.max("total_rev").alias("total_rev"))
     return (
-        rev.filter(F.col("total_rev") == F.col("_max_rev"))
+        rev.join(F.broadcast(mx), "total_rev", "left_semi")
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )

@@ -36,20 +36,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
     if name == "events":
-        # The events fixture has shipped with two physical layouts for
-        # ``ts``: TIMESTAMP(NANOS) — which Spark's vectorized Parquet
-        # reader rejects, so it is read as long via the legacy conf and
-        # converted losslessly to a µs timestamp — and plain µs
-        # TIMESTAMP (current driver testdata), which needs no
-        # conversion beyond pinning NTZ → session-UTC timestamp so
-        # window arithmetic and the DuckDB oracle agree.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        # The events fixture has shipped with three physical layouts
+        # for ``ts``: TIMESTAMP(NANOS) — which Spark's vectorized
+        # Parquet reader rejects unless the legacy nanosAsLong conf is
+        # on, so the read is retried with it set ONLY when the plain
+        # read fails (other tables' nanos timestamps still fail
+        # loudly; the conf stays set after a successful retry because
+        # the scan consults it again at execution time) — plain µs
+        # TIMESTAMP (current driver testdata), and TIMESTAMP_NTZ,
+        # which is pinned to session-UTC timestamp so window
+        # arithmetic and the DuckDB oracle agree. Any other ts type is
+        # fixture drift and raises instead of silently casting to
+        # nulls.
+        path = table_path(sf_dir, name)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type == "long":
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
         if ts_type != "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            raise TypeError(
+                f"events.ts has unexpected type {ts_type!r} — fixture "
+                "schema drift; refusing to cast silently"
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

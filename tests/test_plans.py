@@ -72,11 +72,27 @@ def test_time_range_pushdown(spark, qs):
     assert has_pushed_filter(df, "o_orderdate")
 
 
-def test_snapshot_join_is_aggregate_then_broadcast(spark, qs):
+def test_snapshot_join_is_aggregate_before_join(spark, qs):
+    # no broadcast hint: both sides are O(distinct users) aggregates,
+    # so AQE picks the join strategy at runtime. The locked property
+    # is that each feed is REDUCED (HashAggregate) before the join —
+    # the join moves one row per user, never raw events — and that no
+    # cartesian/nested-loop strategy sneaks in.
+    from b3_analytics_engine_spark.plans import physical_plan
+
     df = qs["snapshot_join"].fn(spark, SMOKE_SF_DIR)
     kinds = join_kinds(df)
-    assert "BroadcastHashJoin" in kinds, kinds
-    assert "CartesianProduct" not in kinds
+    assert "CartesianProduct" not in kinds, kinds
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    plan = physical_plan(df)
+    join_pos = min(
+        (plan.find(k) for k in
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(k) >= 0),
+        default=-1,
+    )
+    assert join_pos >= 0, plan[:500]
+    assert "HashAggregate" in plan[join_pos:], "feeds not aggregated below the join"
 
 
 def test_no_cartesian_anywhere(spark, qs):
@@ -91,6 +107,7 @@ def test_no_cartesian_anywhere(spark, qs):
         "dormant_customers",
         "unigram_logprob",
         "tfidf_topterms",  # 1-row corpus-count broadcast
+        "important_parts",  # 1-row grand-total broadcast (Q11 scalar)
         "embedding_neardup_exact",  # intentional all-pairs baseline
     }
     for name, spec in qs.items():
