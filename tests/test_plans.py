@@ -109,6 +109,11 @@ def test_no_cartesian_anywhere(spark, qs):
         "tfidf_topterms",  # 1-row corpus-count broadcast
         "important_parts",  # 1-row grand-total broadcast (Q11 scalar)
         "embedding_neardup_exact",  # intentional all-pairs baseline
+        # the ANN registered queries emit recall-vs-exact verification
+        # frames, so each embeds the brute-force exact side (broadcast
+        # 10-row query side × corpus scan) alongside the bucketed ANN
+        "cosine_ann_lsh",
+        "cosine_ann_ivf",
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
