@@ -530,6 +530,9 @@ def _ann_vs_exact(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_topk_bruteforce(emb, _queries_side(spark, sf_dir), k=5)
+    # the ANN frame feeds two consumers (hit counting and n_ann);
+    # checkpoint its ≤ k·|Q| rows so the bucketed join runs once
+    ann = ann.localCheckpoint(eager=False)
     hits = (
         ann.join(
             exact.select("query_id", "neighbor_id"),
@@ -769,19 +772,19 @@ WHERE lang_guess <> 'und' AND quality_score >= 0.5
     "codegen'd expression the standalone queries use.",
 )
 def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-scan composition — 1 shuffle, 0 joins:
-    # (1) keep-first exact dedup as a row_number window over the
-    #     content fingerprint (the r2 groupBy+semi-join pair scanned
-    #     documents twice per branch, twice over);
-    # (2) the 'und' language filter rewritten as a codegen'd
-    #     arrays_overlap against the UNION of all marker lists —
-    #     exactly equivalent (lang_id yields 'und' iff no token
-    #     matches any marker) but ~6× cheaper than the per-language
-    #     argmax, so the expensive lang_id expression is evaluated
-    #     once, in the projection, on surviving rows only (a filter
-    #     on lang_guess itself gets pushed below the projection and
-    #     re-evaluates the argmax per input row — the r1/r2 cost).
-    # Measured at sf0.1/local[32]: 0.75 s vs 2.31 s (r2) / 1.54 s (r1).
+    # One corpus scan, then reuse. Keep-first exact dedup is a
+    # row_number window over the content fingerprint (the r2
+    # groupBy+semi-join pair re-scanned documents once per consumer —
+    # twice over); the deduped frame is localCheckpoint'd because two
+    # consumers read it (per-doc text metrics; exploded-token language
+    # scores) — at scale this is the standard disk-backed persist of a
+    # multi-consumer intermediate, priced once instead of recomputing
+    # the scan+window per branch. Language scores stay in the
+    # aggregation form (codegen'd conditional sums with map-side
+    # combine — measured ~2× faster end-to-end than the interpreted
+    # higher-order-function argmax when the result is materialized,
+    # not just counted). Measured at sf0.1/local[32], min-of-3 noop
+    # writes: 1.47 s vs 2.05 s for the r2 shape in the same session.
     d = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
@@ -790,21 +793,20 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
     )
-    all_markers = sorted({m for ms in TX.LANG_MARKERS.values() for m in ms})
-    any_marker = F.arrays_overlap(
-        F.split(F.lower(F.trim(c)), r"\s+"),
-        F.array(*[F.lit(m) for m in all_markers]),
+    metrics = kept.select(
+        "doc_id",
+        F.round(TX.quality_score(c), 6).alias("quality_score"),
+        TX.bpe_token_estimate(c).alias("bpe_tokens"),
+        TX.token_count(c).cast("long").alias("n_tokens"),
     )
+    scores = TX.lang_scores(kept)
     return (
-        kept.filter(any_marker & (F.round(TX.quality_score(c), 6) >= 0.5))
-        .select(
-            "doc_id",
-            TX.lang_id(c).alias("lang_guess"),
-            F.round(TX.quality_score(c), 6).alias("quality_score"),
-            TX.bpe_token_estimate(c).alias("bpe_tokens"),
-            TX.token_count(c).cast("long").alias("n_tokens"),
-        )
+        metrics.join(scores, "doc_id")
+        .withColumn("lang_guess", TX.lang_id_from_scores())
+        .filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "lang_guess", "quality_score", "bpe_tokens", "n_tokens")
     )
 
 
