@@ -361,10 +361,14 @@ def minhash_lsh_pairs(
     )
     # verify candidates with exact Jaccard via the hashed postings
     # (pure codegen joins; |candidates| ≪ N² keeps this cheap — no
-    # per-row array materialization)
+    # per-row array materialization). No broadcast hints here: the
+    # candidate set and the per-doc size table both grow with the
+    # corpus (O(pairs) / O(N)), so a pinned broadcast would blow the
+    # limit at scale — AQE broadcasts them from runtime stats whenever
+    # they are actually small (they are, at every test SF).
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pa = posts.join(
-        F.broadcast(candidates), posts["id"] == candidates["id_a"]
+        candidates, posts["id"] == candidates["id_a"]
     ).select("id_a", "id_b", "sh")
     pb = posts.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = (
@@ -375,8 +379,8 @@ def minhash_lsh_pairs(
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.round(

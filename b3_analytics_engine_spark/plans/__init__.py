@@ -56,3 +56,20 @@ def join_kinds(df: DataFrame) -> list[str]:
 
 def has_node(df: DataFrame, node: str) -> bool:
     return node in physical_plan(df)
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Window operators with an EMPTY partition spec in the optimized
+    logical plan — the 'Moving all data to a single partition' idiom
+    that serializes the whole input through one task at scale. Walks
+    the JVM plan tree, so it is immune to plan-string formatting."""
+    found: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found.append(node.simpleStringWithNodeId())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())  # noqa: SLF001
+    return found

@@ -123,6 +123,22 @@ def test_no_cartesian_anywhere(spark, qs):
             assert "BroadcastNestedLoopJoin" not in kinds, f"{name}: {kinds}"
 
 
+def test_no_global_windows_anywhere(spark, qs):
+    # a Window with no partitionBy funnels the entire input through
+    # ONE task ("Moving all data to a single partition") — fatal at
+    # scale. Top-k belongs in orderBy().limit() (TakeOrdered), scalar
+    # max/total in a 1-row broadcast. Structural sweep over every
+    # registered query's optimized plan.
+    from b3_analytics_engine_spark.plans import global_windows
+
+    offenders = {}
+    for name, spec in qs.items():
+        gw = global_windows(spec.fn(spark, SMOKE_SF_DIR))
+        if gw:
+            offenders[name] = gw
+    assert not offenders, offenders
+
+
 def test_vocab_topk_uses_take_ordered(spark, qs):
     df = qs["vocab_topk"].fn(spark, SMOKE_SF_DIR)
     assert has_node(df, "TakeOrderedAndProject"), "top-k became a global sort"
