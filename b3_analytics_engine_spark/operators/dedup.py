@@ -542,6 +542,78 @@ def simhash_pairs(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Exact substring-duplication spans: every ``window``-token
+    sliding span whose content occurs more than once in the corpus —
+    the span-level exact dedup from the training-data dedup
+    literature (whole-document dedup misses boilerplate repeated
+    INSIDE otherwise-distinct documents).
+
+    Shape: tokenize once per doc → explode start positions → md5 the
+    joined token slice → groupBy fingerprint keeping multiply-occurring
+    spans → join occurrence stats back to the span table. Only
+    (16-byte hash, id, pos) rows shuffle; the join back is equi on the
+    hash and AQE-sized. Output: (id, pos, span_hash, n_occ, n_docs),
+    1-based ``pos``.
+
+    Cost is O(window × text) bytes hashed (each token lands in
+    ``window`` span strings). ``sample_mod > 1`` keeps only spans
+    whose own hash ≡ 0 (mod sample_mod) — CONTENT-defined selection
+    (winnowing-style), so every copy of a duplicated span makes the
+    same keep/drop decision regardless of its position or document.
+    Positional striding would NOT work here: two documents sample
+    different residue classes of start positions, so copies of the
+    same span would be skipped on one side and kept on the other.
+    Expected cost reduction is 1/sample_mod of the shuffle+groupBy;
+    a duplicated region of L tokens carries L−window+1 distinct span
+    contents, each selected i.i.d.-like, so the miss probability
+    decays as (1−1/mod)^(L−window+1). md5 keeps spans
+    engine-portable for differential verification.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= window)
+    # sequence(1, n) requires n >= 1 — guaranteed by the filter above
+    # (sequence(1, 0) would yield a DESCENDING [1, 0], not empty)
+    starts = F.sequence(F.lit(1), F.size("t") - F.lit(window) + 1)
+    wins = toks.select(
+        "id",
+        F.explode(starts).alias("pos"),
+        "t",
+    ).select(
+        "id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), F.lit(window)))
+        ).alias("span_hash"),
+    )
+    if sample_mod > 1:
+        wins = wins.filter(
+            F.pmod(
+                F.conv(F.substring("span_hash", 1, 8), 16, 10).cast("long"),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+    dup = (
+        wins.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+    return wins.join(dup, "span_hash").select(
+        "id", "pos", "span_hash", "n_occ", "n_docs"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -160,6 +160,26 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# PII patterns restricted to the RE2 ∩ Java-regex common subset so a
+# DuckDB oracle sees identical matches (same patterns as pii_flag).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """PII redaction transform: emails, IPv4s and phone-shaped
+    substrings replaced with typed placeholders, applied in the fixed
+    ``PII_PATTERNS`` order (deterministic; email first so an address's
+    host part can't be half-eaten by the IP pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, placeholder in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, placeholder)
+    return c
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stat panel: token count, char count, mean word
     length, stopword ratio (en), quality score, fingerprint, lang guess."""

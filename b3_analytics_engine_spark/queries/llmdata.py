@@ -2,9 +2,10 @@
 ``embeddings`` (BASELINE.json north star; FIXTURES.md §C).
 
 Dedup / text-analysis / similarity-search operators as first-class
-registry entries. SQL-expressible ones carry a DuckDB oracle; the
-LSH-based ones (non-deterministic recall by design) are verified in
-pytest against their exact counterparts and registered rows-only.
+registry entries, every one with a DuckDB oracle: SQL-expressible
+operators directly, approximate ones (ANN, LSH near-dup, sketches)
+through deterministic recall/bound-vs-exact verification outputs
+whose oracle side is exact SQL.
 """
 
 from __future__ import annotations
@@ -1366,4 +1367,78 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("tok"),
         F.col("e.count").alias("c"),
         (F.col("pos") + 1).cast("long").alias("rnk"),
+    )
+
+
+@register(
+    "duplicated_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+19], ' ')) AS span_hash
+  FROM toks, UNNEST(generate_series(1, len(t)-20+1)) AS g(i)
+  WHERE len(t) >= 20
+), dup AS (
+  SELECT span_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY span_hash HAVING count(*) > 1
+)
+SELECT w.doc_id, w.pos, w.span_hash, d.n_occ, d.n_docs
+FROM wins w JOIN dup d USING (span_hash)
+""",
+    survey="ext:dedup-substring-spans",
+    description="Exact substring-duplication spans: 20-token sliding "
+    "windows whose content occurs more than once in the corpus — the "
+    "span-level exact dedup pass that catches boilerplate repeated "
+    "inside otherwise-distinct documents (whole-doc dedup can't). "
+    "md5 span fingerprints → groupBy keeping multiply-occurring "
+    "spans → equi-join back; only (hash, id, pos) rows shuffle. "
+    "sample_mod (1 here: exhaustive) is the corpus-scale knob — "
+    "content-defined span sampling (winnowing-style), which survives "
+    "cross-document alignment where positional striding cannot.",
+)
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(d, window=20, sample_mod=1).select(
+        F.col("id").alias("doc_id"), "pos", "span_hash", "n_occ", "n_docs"
+    )
+
+
+@register(
+    "pii_redact",
+    oracle="""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(text,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+    + len(regexp_extract_all(text,
+      '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_redactions
+FROM documents
+""",
+    survey="ext:pii-redact",
+    description="PII redaction transform (the write path the pii_flag "
+    "detector feeds): emails / IPv4s / phone-shaped substrings "
+    "replaced with typed placeholders in a fixed pattern order, plus "
+    "the redaction count. Pure codegen regexp_replace chain; patterns "
+    "restricted to the RE2∩Java common subset so the DuckDB oracle "
+    "produces byte-identical redacted text.",
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email, ipv4, phone = (p for p, _ in TX.PII_PATTERNS)
+    n = (
+        F.regexp_count(F.col("text"), F.lit(email))
+        + F.regexp_count(F.col("text"), F.lit(ipv4))
+        + F.regexp_count(F.col("text"), F.lit(phone))
+    )
+    return d.select(
+        "doc_id",
+        TX.redact_pii("text").alias("redacted"),
+        n.cast("long").alias("n_redactions"),
     )

@@ -324,3 +324,46 @@ def test_chunk_udtf_matches_native_chunker_at_zero_overlap(spark):
     for a, b in zip(over, over[1:]):
         if b["n_chunk_tokens"] >= 8:
             assert a["chunk_text"].split()[-8:] == b["chunk_text"].split()[:8]
+
+
+def test_duplicated_spans_finds_injected_boilerplate(spark):
+    """Two distinct documents sharing a 25-token boilerplate block must
+    produce overlapping spans pointing at it; a fully unique doc must
+    produce none. Also pins the short-doc guard (docs < window emit no
+    spans, not a descending-sequence error) and content-defined span
+    sampling (both copies of a span make the same keep/drop call)."""
+    boiler = " ".join(f"b{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro one {boiler} tail one x y z"),
+            Row(doc_id=2, text=f"completely different start {boiler} other end"),
+            Row(doc_id=3, text=" ".join(f"u{i}" for i in range(40))),
+            Row(doc_id=4, text="too short"),
+        ]
+    )
+    spans = D.duplicated_spans(docs, window=20).collect()
+    assert spans, "shared boilerplate not detected"
+    assert {r["id"] for r in spans} == {1, 2}
+    assert all(r["n_docs"] == 2 and r["n_occ"] == 2 for r in spans)
+    # content-defined sampling: both copies of a span make the same
+    # keep/drop call, so detection survives sampling whenever ANY of
+    # the region's span contents is selected (here: 6 contents, mod 2)
+    sampled = D.duplicated_spans(docs, window=20, sample_mod=2).collect()
+    assert {r["id"] for r in sampled} == {1, 2}, "sampled pass must still find the boilerplate"
+    full_hashes = {r["span_hash"] for r in spans}
+    assert {r["span_hash"] for r in sampled} <= full_hashes
+
+
+def test_redact_pii_roundtrip(spark):
+    from b3_analytics_engine_spark.operators.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            Row(t="mail me at jane.doe+x@corp.example.com or call 555-123-4567"),
+            Row(t="server 10.0.255.3 responded; backup at 192.168.0.1"),
+            Row(t="nothing sensitive here"),
+        ]
+    ).select(redact_pii("t").alias("r")).collect()
+    assert rows[0]["r"] == "mail me at <EMAIL> or call <PHONE>"
+    assert rows[1]["r"] == "server <IP> responded; backup at <IP>"
+    assert rows[2]["r"] == "nothing sensitive here"
