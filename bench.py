@@ -64,6 +64,9 @@ HEADLINE = [
     "incremental_agg_merge",
     "snapshot_diff_feed",
     "winsorized_stats",
+    # round 3 additions: span-level exact dedup, PII redaction
+    "duplicated_spans",
+    "pii_redact",
 ]
 
 
