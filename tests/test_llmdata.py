@@ -367,3 +367,23 @@ def test_redact_pii_roundtrip(spark):
     assert rows[0]["r"] == "mail me at <EMAIL> or call <PHONE>"
     assert rows[1]["r"] == "server <IP> responded; backup at <IP>"
     assert rows[2]["r"] == "nothing sensitive here"
+
+
+def test_verification_frames_hold_at_every_sf(spark):
+    """The bound/recall verification queries claim TRUE booleans in
+    their oracles; those claims must hold at EVERY fixture scale the
+    driver or bench might run (the oracle check itself only runs at
+    sf0.01)."""
+    from b3_analytics_engine_spark.queries import registry
+
+    qs = registry()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        for r in qs["approx_aggregates"].fn(spark, sf).collect():
+            for flag in ("users_in_bound", "p50_in_bound", "p95_in_bound", "p99_in_bound"):
+                assert r[flag] is True, (sf, r["event_type"], flag)
+        for name in ("cosine_ann_lsh", "cosine_ann_ivf"):
+            rows = qs[name].fn(spark, sf).collect()
+            assert len(rows) == 10, (sf, name)
+            assert all(r["n_ann"] == 5 and r["recall_ok"] for r in rows), (sf, name)
+        nd = qs["embedding_neardup"].fn(spark, sf).collect()
+        assert len(nd) == 50 and all(r["cos_sim"] == 1.0 for r in nd), sf
