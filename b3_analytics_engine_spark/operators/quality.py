@@ -71,6 +71,33 @@ def constraint_report(
     )
 
 
+def quarantine_split(
+    df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level rule routing: (clean_rows, quarantined_rows).
+
+    Quarantined rows carry ``failed_rules`` — a comma-joined, rule-
+    order string of every check they violate (concat_ws skips the NULL
+    slots of passing rules, in Spark and ANSI SQL alike, which is what
+    keeps the column oracle-checkable). One predicate evaluation per
+    rule per row inside one codegen'd projection; both outputs are
+    filters over the same annotated frame, so a persisted upstream is
+    scanned once. NULL check inputs fail the rule (same convention as
+    :func:`violations`).
+    """
+    failed = F.concat_ws(
+        ",",
+        *[
+            F.when(pred, F.lit(None).cast("string")).otherwise(F.lit(name))
+            for name, pred in checks.items()
+        ],
+    )
+    annotated = df.withColumn("failed_rules", failed)
+    clean = annotated.filter(F.col("failed_rules") == "").drop("failed_rules")
+    bad = annotated.filter(F.col("failed_rules") != "")
+    return clean, bad
+
+
 def duplicate_key_count(
     df: DataFrame, table_name: str, key_cols: list[str], check_name: str
 ) -> DataFrame:

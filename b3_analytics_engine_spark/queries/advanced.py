@@ -816,7 +816,7 @@ UNION ALL SELECT 'lineitem', 'fk_orderkey_in_orders',
 UNION ALL SELECT 'events', 'fk_user_in_customer',
        v, n, round(v / n, 6) FROM ec
 """,
-    survey="ext: data-quality audit (P7/A8 made first-class)",
+    survey="ext:data-quality audit (P7/A8 made first-class)",
     description="Data-quality audit report: every predicate rule "
     "(not-null, ranges, enum membership) folds into ONE conditional-"
     "sum aggregate over ONE lineitem scan — adding a rule adds an "
@@ -1033,3 +1033,41 @@ def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("p95"), 6).alias("p95"),
         )
     )
+
+
+@register(
+    "quarantine_rows",
+    oracle="""
+SELECT * FROM (
+  SELECT l_orderkey, l_linenumber,
+    concat_ws(',',
+      CASE WHEN l_orderkey IS NOT NULL THEN NULL ELSE 'l_orderkey_not_null' END,
+      CASE WHEN l_quantity BETWEEN 1 AND 50 THEN NULL ELSE 'l_quantity_range_1_50' END,
+      CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN NULL ELSE 'l_discount_range_0_0.1' END,
+      CASE WHEN l_tax <= 0.05 THEN NULL ELSE 'l_tax_cap_0.05' END,
+      CASE WHEN l_returnflag IN ('A','N','R') THEN NULL ELSE 'l_returnflag_enum' END
+    ) AS failed_rules
+  FROM lineitem
+) WHERE failed_rules <> ''
+""",
+    survey="ext:data-quality quarantine (row routing)",
+    description="Quarantine split: the row-level complement of "
+    "data_quality_report — WHICH rows fail and WHY. Each quarantined "
+    "row carries failed_rules, the comma-joined rule-order list of "
+    "violated checks (concat_ws skips passing rules' NULL slots in "
+    "both engines). One codegen'd projection per row, no shuffle; "
+    "the clean side of the same split feeds downstream unchanged.",
+)
+def quarantine_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import quarantine_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = {
+        "l_orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "l_quantity_range_1_50": F.col("l_quantity").between(1, 50),
+        "l_discount_range_0_0.1": F.col("l_discount").between(0.0, 0.1),
+        "l_tax_cap_0.05": F.col("l_tax") <= 0.05,
+        "l_returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    _, bad = quarantine_split(li, checks)
+    return bad.select("l_orderkey", "l_linenumber", "failed_rules")

@@ -122,3 +122,28 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     assert rows[4]["change_type"] == "added" and rows[4]["old_v"] is None
     full = snapshot_diff(old, new, ["k"], ["v", "s"], include_unchanged=True)
     assert full.count() == 4
+
+
+def test_quarantine_split_partitions_and_annotates(spark):
+    from pyspark.sql import Row
+
+    from b3_analytics_engine_spark.operators.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, qty=10, flag="A"),
+            Row(k=2, qty=99, flag="A"),      # qty out of range
+            Row(k=3, qty=5, flag="X"),       # bad enum
+            Row(k=4, qty=None, flag="X"),    # NULL qty fails range + bad enum
+        ]
+    )
+    checks = {
+        "qty_range": F.col("qty").between(1, 50),
+        "flag_enum": F.col("flag").isin("A", "N", "R"),
+    }
+    clean, bad = quarantine_split(df, checks)
+    assert {r["k"] for r in clean.collect()} == {1}
+    got = {r["k"]: r["failed_rules"] for r in bad.collect()}
+    assert got == {2: "qty_range", 3: "flag_enum", 4: "qty_range,flag_enum"}
+    # split is a partition: no row lost or duplicated
+    assert clean.count() + bad.count() == df.count()
