@@ -168,6 +168,22 @@ def test_stratified_sample_no_shuffle(spark, qs):
     assert "Exchange" not in physical_plan(df), "hash sampling must be scan-stage"
 
 
+def test_quarantine_rows_no_shuffle(spark, qs):
+    # rule routing is one codegen'd projection + filter — it must stay
+    # entirely in the scan stage at any scale
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["quarantine_rows"].fn(spark, SMOKE_SF_DIR)
+    assert "Exchange" not in physical_plan(df), "quarantine must be scan-stage"
+
+
+def test_pii_redact_no_shuffle(spark, qs):
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["pii_redact"].fn(spark, SMOKE_SF_DIR)
+    assert "Exchange" not in physical_plan(df), "redaction must be scan-stage"
+
+
 def test_promotion_effect_pushdown_and_broadcast(spark, qs):
     df = qs["promotion_effect"].fn(spark, SMOKE_SF_DIR)
     assert has_pushed_filter(df, "l_shipdate"), "date range not pushed to scan"
