@@ -44,8 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable SQL twin for every registered query — 105/105
-    are hash-checkable. Approximate operators (sketch aggregates,
+    """DuckDB-runnable SQL twin for every registered query — all of
+    them hash-checkable. Approximate operators (sketch aggregates,
     ANN, LSH near-dup) register deterministic bound-vs-exact /
     recall-vs-exact verification outputs whose oracle side is exact
     SQL, so even they fail the hash check if they regress."""

@@ -64,9 +64,11 @@ HEADLINE = [
     "incremental_agg_merge",
     "snapshot_diff_feed",
     "winsorized_stats",
-    # round 3 additions: span-level exact dedup, PII redaction
+    # round 3 additions: span-level exact dedup, PII redaction,
+    # row-level quality quarantine
     "duplicated_spans",
     "pii_redact",
+    "quarantine_rows",
 ]
 
 
