@@ -124,6 +124,32 @@ def enriched_to_warehouse_rows(enriched: DataFrame) -> DataFrame:
     return df.na.drop(subset=["close", "volume", "marketCap", "date"])
 
 
+def enriched_to_warehouse_rows_audited(
+    enriched: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Audited variant of :func:`enriched_to_warehouse_rows`: identical
+    coercions, but the rows the reference silently drops (nulls after
+    try_cast — include/tasks/data_warehouse.py:58) are ROUTED to a
+    quarantine frame annotated with which fields were missing, instead
+    of vanishing. The clean side is row-identical to the silent
+    version (asserted in tests), so the pipeline can switch to the
+    audited path without changing warehouse contents — the upgrade a
+    production feed owner actually wants when a vendor starts sending
+    malformed quotes.
+    """
+    from ..operators.quality import quarantine_split
+
+    df = enriched.withColumnRenamed("processed_at", "date")
+    df = df.withColumn("date", F.col("date").cast("timestamp"))
+    for c in ("close", "volume", "marketCap"):
+        df = df.withColumn(c, F.col(c).try_cast("double"))
+    checks = {
+        f"{c}_present": F.col(c).isNotNull()
+        for c in ("close", "volume", "marketCap", "date")
+    }
+    return quarantine_split(df, checks)
+
+
 def process_micro_batch(
     tagged_batch: DataFrame,
     history: DataFrame | None = None,

@@ -197,3 +197,34 @@ def test_warehouse_merge_idempotent(spark):
     a = sorted([tuple(r) for r in once.collect()])
     b = sorted([tuple(r) for r in twice.collect()])
     assert a == b
+
+
+def test_audited_warehouse_rows_match_silent_path(spark):
+    """The audited coercion step must be a drop-in for the silent one:
+    clean side row-identical to enriched_to_warehouse_rows, and the
+    rows the reference silently discards come out annotated with
+    exactly the fields that were missing."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        enrich_quotes,
+        enriched_to_warehouse_rows,
+        enriched_to_warehouse_rows_audited,
+    )
+
+    from b3_analytics_engine_spark.schemas import BRAPI_QUOTE, YFINANCE_QUOTE
+
+    batch = _feed_batch(spark)
+    brapi_cols = [f.name for f in BRAPI_QUOTE.fields] + ["_ingest_ts"]
+    yfin_cols = [f.name for f in YFINANCE_QUOTE.fields]
+    brapi = batch.filter(F.col("_feed") == "brapi").select(*brapi_cols)
+    yfin = batch.filter(F.col("_feed") == "yfinance").select(*yfin_cols)
+    clock = F.to_timestamp(F.lit("2024-05-01 12:00:00"))
+    enriched = enrich_quotes(brapi, yfin, clock=clock)
+    # sabotage one symbol's close so the silent path drops it
+    broken = enriched.withColumn(
+        "close", F.when(F.col("symbol") == "VALE3", F.lit(None)).otherwise(F.col("close"))
+    )
+    silent = enriched_to_warehouse_rows(broken)
+    clean, quarantined = enriched_to_warehouse_rows_audited(broken)
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, silent.collect()))
+    bad = {r["symbol"]: r["failed_rules"] for r in quarantined.collect()}
+    assert bad == {"VALE3": "close_present"}
