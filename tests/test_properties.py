@@ -1,0 +1,105 @@
+"""Property-based invariants (hypothesis) for operators whose
+correctness claims are equivalences, not point outputs:
+
+- salted_join is row-identical to the plain join for ANY key
+  distribution (including the pathological all-one-key case it
+  exists for);
+- keep_last_dedup is idempotent, emits one row per key, and always
+  keeps the max-priority row;
+- quarantine_split partitions its input exactly for any rule outcome
+  pattern.
+
+Examples are capped small: every example runs Spark jobs, so the
+value is adversarial shapes (skew, ties, empties), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key (few values → skew/ties)
+        st.integers(min_value=0, max_value=100),  # unique-ish id source
+        st.integers(min_value=-5, max_value=5),   # priority (ties likely)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, rows):
+    from b3_analytics_engine_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i * 7 + j, p) for j, (k, i, p) in enumerate(rows)],
+        ["k", "row_id", "v"],
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], ["k", "dim"]
+    )
+    plain = sorted(map(tuple, left.join(right, "k", "inner").collect()))
+    salted = sorted(
+        map(tuple, salted_join(left, right, "k", "row_id", how="inner").collect())
+    )
+    assert salted == plain
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_keep_last_dedup_invariants(spark, rows):
+    from b3_analytics_engine_spark.operators.aggregates import keep_last_dedup
+
+    df = spark.createDataFrame(
+        [(k, j, p) for j, (k, _, p) in enumerate(rows)],
+        ["k", "row_id", "prio"],
+    )
+    # row_id tiebreak makes the winner unique even on priority ties
+    out = keep_last_dedup(df, ["k"], [F.col("prio"), F.col("row_id")])
+    got = {r["k"]: (r["prio"], r["row_id"]) for r in out.collect()}
+    # one row per key, and it is the lexicographic (prio, row_id) max
+    expect: dict = {}
+    for j, (k, _, p) in enumerate(rows):
+        if k not in expect or (p, j) > expect[k]:
+            expect[k] = (p, j)
+    assert got == expect
+    # idempotent: dedup of the dedup is itself
+    again = keep_last_dedup(out, ["k"], [F.col("prio"), F.col("row_id")])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_quarantine_split_is_exact_partition(spark, rows):
+    from b3_analytics_engine_spark.operators.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [(k, j, p) for j, (k, _, p) in enumerate(rows)],
+        ["k", "row_id", "v"],
+    )
+    checks = {
+        "v_nonneg": F.col("v") >= 0,
+        "k_small": F.col("k") <= 1,
+    }
+    clean, bad = quarantine_split(df, checks)
+    ids_clean = {r["row_id"] for r in clean.collect()}
+    bad_rows = {r["row_id"]: r["failed_rules"] for r in bad.collect()}
+    assert ids_clean.isdisjoint(bad_rows)
+    assert len(ids_clean) + len(bad_rows) == df.count()
+    for j, (k, _, p) in enumerate(rows):
+        failed = [n for n, ok in (("v_nonneg", p >= 0), ("k_small", k <= 1)) if not ok]
+        if failed:
+            assert bad_rows[j] == ",".join(failed)
+        else:
+            assert j in ids_clean
