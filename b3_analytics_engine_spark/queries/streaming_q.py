@@ -20,7 +20,7 @@ from . import register
 @register(
     "tumbling_window_agg",
     oracle="""
-SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS window_start,
+SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value,
@@ -57,7 +57,7 @@ def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH offsets AS (SELECT unnest([0, 3600, 7200]) AS off),
      slid AS (
-  SELECT to_timestamp(floor((epoch(ts) - off) / 10800) * 10800 + off) AS window_start,
+  SELECT CAST(to_timestamp(floor((epoch(ts) - off) / 10800) * 10800 + off) AS TIMESTAMP) AS window_start,
          value
   FROM events, offsets
   WHERE epoch(ts) >= floor((epoch(ts) - off) / 10800) * 10800 + off
