@@ -45,47 +45,49 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 105 registered queries, registration order
+# entries each round. With 108 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-3 front window: the relational/TPC-H and
-# streaming families (never driver-sampled in rounds 1-2), the
-# llmdata tail, the four queries that newly gained oracles, and the
-# two queries whose plans changed this round. Everything NOT in the
-# front window was hash-green in round 1 or 2 and remains covered by
-# tests/test_oracle_parity.py's stricter exact-equality local oracle.
+# external evidence. Round-4 front window, weakest evidence first:
+# (a) the three round-3-new queries never externally sampled plus the
+# three whose r3 rows were red on oracle-side type canonicalization
+# (fixed this round — Spark values were already identical); (b) the
+# eight queries whose only green row dates to round 1; (c) the twelve
+# whose single green row dates to round 2; (d) 24 of the 35 queries
+# with two green rows whose latest is round 2, preferring complex
+# plans (joins/windows/dedup) over simple codegen aggregates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # relational / TPC-H family (33)
-    "filter_project", "in_list_filter", "time_range_filter",
-    "cast_coerce_nulls", "null_handling", "scalar_functions",
-    "join_broadcast_dim", "join_normalized_key", "semi_anti_join",
-    "pricing_summary", "regional_revenue", "shipping_priority",
-    "order_priority_check", "customer_order_histogram",
-    "multi_key_sort_limit", "promotion_effect", "small_order_quantity",
-    "large_volume_customer", "top_supplier_revenue", "dormant_customers",
-    "min_cost_supplier", "nation_trade_volume", "returned_item_customers",
-    "disjunctive_join_filter", "sql_interface_revenue", "forecast_revenue",
-    "shipmode_priority", "waiting_suppliers", "market_share",
-    "parts_supplier_stats", "dominant_suppliers", "product_profit",
-    "important_parts",
-    # streaming family (5)
-    "tumbling_window_agg", "sliding_window_agg", "ewma_per_key",
-    "json_payload_parse", "time_rollup_hierarchy",
-    # llmdata tail never driver-sampled (5)
-    "pii_flag", "importance_resample", "label_centroids",
-    "heavy_hitters", "embedding_neardup_exact",
-    # newly-oracled approximate queries (4)
-    "embedding_neardup", "cosine_ann_lsh", "cosine_ann_ivf",
-    "approx_aggregates",
-    # bench-only, never externally sampled in rounds 1-2 (3)
-    "tfidf_topterms", "unigram_logprob", "char_entropy",
+    # (a) never externally green (6)
+    "quarantine_rows", "duplicated_spans", "pii_redact",
+    "shipmode_priority", "tumbling_window_agg", "sliding_window_agg",
+    # (b) single green row, round 1 (8)
+    "stratified_sample", "sequence_packing", "corpus_curation",
+    "vocab_topk", "decontaminate", "repetition_ratio",
+    "chunk_documents", "dup_cluster_keep",
+    # (c) single green row, round 2 (12)
+    "incident_window_join", "distribution_rank", "window_dedup",
+    "skew_salted_join", "trade_pagerank", "data_quality_report",
+    "incremental_agg_merge", "snapshot_diff_feed", "winsorized_stats",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    # (d) two green rows, latest round 2 — complex-plan subset (24)
+    "grouped_zscore", "session_windows", "time_range_window",
+    "asof_join", "topk_per_group", "warehouse_metrics",
+    "latest_per_key", "snapshot_join", "union_dedup_keeplast",
+    "pivot_daily_mean", "corr_matrix", "gap_fill_forward",
+    "cohort_retention", "funnel_conversion", "rolling_volatility",
+    "max_drawdown", "text_stats", "text_fingerprint",
+    "ngram_jaccard_pairs", "lang_id", "text_quality",
+    "multimodal_features", "multimodal_frame_plan", "cosine_topk",
 )
-# With this window, every one of the 105 registered queries has had at
-# least one external differential row across rounds 1-3 (checked
-# against CORRECTNESS_r01/r02.json). snapshot_join / corpus_curation
-# changed plan shape this round but keep identical outputs and two
-# prior green rows; the local exact-equality parity suite re-covers
-# them every run.
+# Outside this window: the 47 queries hash-green in round 3 (freshest
+# possible evidence) and 11 double-green simple aggregates (tz_convert,
+# rollup/cube_revenue, ranking_suite, unpivot_measures,
+# exact_percentiles, set_operations, value_histogram, top1_by_metric,
+# distinct_sorted_keys, group_share). Until round 4 results land, the
+# three (a)-queries quarantine_rows / duplicated_spans / pii_redact
+# rely on the local exact-equality parity suite only; every other
+# registered query has >=1 external green row across rounds 1-3, and
+# all 108 are re-checked by tests/test_oracle_parity.py every run.
 
 
 def registry() -> dict[str, QuerySpec]:
