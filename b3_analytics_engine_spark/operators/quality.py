@@ -153,10 +153,17 @@ def orphan_count(
             ).alias("_o"),
         )
     )
+    # F.sum over zero rows is NULL and ANSI division by a zero count
+    # throws: coalesce/guard so an empty child reports 0 violations at
+    # rate 0.0, matching the previous left-anti formulation
+    orphans = F.coalesce(F.col("_o"), F.lit(0))
+    rate = F.when(
+        F.col("_n") > 0, F.round(orphans / F.col("_n"), 6)
+    ).otherwise(F.lit(0.0))
     return agg.select(
         F.lit(table_name).alias("table_name"),
         F.lit(check_name).alias("check_name"),
-        F.col("_o").alias("n_violations"),
+        orphans.alias("n_violations"),
         F.col("_n").alias("n_rows"),
-        F.round(F.col("_o") / F.col("_n"), 6).alias("violation_rate"),
+        rate.alias("violation_rate"),
     )

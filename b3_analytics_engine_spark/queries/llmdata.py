@@ -595,6 +595,30 @@ def cosine_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_vs_exact(spark, sf_dir, ann, min_hits=3)
 
 
+def cosine_ann_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only raw RHP-LSH ANN neighbor lists (NOT registered).
+
+    The registered ``cosine_ann_lsh`` query returns the recall-vs-exact
+    verification frame, which embeds an exact brute-force top-5 pass —
+    O(corpus·|Q|) work the ANN path exists to avoid. Benchmarks must
+    time the operator, not its verification, so ``bench.py`` calls this
+    directly (same hyperparameters as the registered query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_ann_lsh(
+        emb, _queries_side(spark, sf_dir), k=5, dim=64, bits=8, tables=12
+    )
+
+
+def cosine_ann_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only raw IVF ANN neighbor lists (NOT registered) — see
+    ``cosine_ann_lsh_raw`` for why the verification frame is not the
+    thing to benchmark."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_ann_ivf(
+        emb, _queries_side(spark, sf_dir), k=5, n_centroids=16, nprobe=4
+    )
+
+
 @register(
     "embedding_neardup_exact",
     oracle="""

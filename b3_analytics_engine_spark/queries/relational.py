@@ -656,7 +656,7 @@ def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
         .alias("total_rev")
-    ).localCheckpoint()  # one aggregation feeds both branches
+    ).localCheckpoint(eager=False)  # one aggregation feeds both branches
     mx = rev.agg(F.max("total_rev").alias("total_rev"))
     return (
         rev.join(F.broadcast(mx), "total_rev", "left_semi")
@@ -1396,7 +1396,7 @@ def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value"
             )
         )
-        .localCheckpoint()  # one aggregation feeds both branches
+        .localCheckpoint(eager=False)  # one aggregation feeds both branches
     )
     total = pv.agg(F.sum("value").alias("t"))
     return (

@@ -39,19 +39,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The events fixture has shipped with three physical layouts
         # for ``ts``: TIMESTAMP(NANOS) — which Spark's vectorized
         # Parquet reader rejects unless the legacy nanosAsLong conf is
-        # on, so the read is retried with it set ONLY when the plain
-        # read fails (other tables' nanos timestamps still fail
-        # loudly; the conf stays set after a successful retry because
-        # the scan consults it again at execution time) — plain µs
-        # TIMESTAMP (current driver testdata), and TIMESTAMP_NTZ,
-        # which is pinned to session-UTC timestamp so window
-        # arithmetic and the DuckDB oracle agree. Any other ts type is
-        # fixture drift and raises instead of silently casting to
-        # nulls.
+        # on, so the read is retried with it set, but ONLY when the
+        # failure is the nanos schema-conversion error (missing path /
+        # corrupt footer re-raise untouched) — plain µs TIMESTAMP
+        # (current driver testdata), and TIMESTAMP_NTZ, which is
+        # pinned to session-UTC timestamp so window arithmetic and the
+        # DuckDB oracle agree. Any other ts type is fixture drift and
+        # raises instead of silently casting to nulls. Caveat: the
+        # conf must stay set after a successful retry (the scan
+        # consults it again at execution time), and it is session-
+        # wide, so after an events nanos retry any OTHER nanos-typed
+        # table would read ts as raw long — the typeName dispatch
+        # below converts that long explicitly rather than trusting
+        # the column type.
         path = table_path(sf_dir, name)
         try:
             df = spark.read.parquet(path)
-        except Exception:
+        except Exception as e:
+            msg = str(e)
+            if "Illegal Parquet type" not in msg and "NANOS" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.typeName()

@@ -387,3 +387,23 @@ def test_verification_frames_hold_at_every_sf(spark):
             assert all(r["n_ann"] == 5 and r["recall_ok"] for r in rows), (sf, name)
         nd = qs["embedding_neardup"].fn(spark, sf).collect()
         assert len(nd) == 50 and all(r["cos_sim"] == 1.0 for r in nd), sf
+
+
+def test_neardup_inject_offset_clears_fixture_ids(spark):
+    """embedding_neardup injects duplicates at vec_id + 100000 (the
+    literal is baked into the DuckDB oracle, so it cannot be derived at
+    runtime). If the embeddings fixture ever grows near that offset the
+    injected ids would collide with real vectors and silently corrupt
+    the 50-pair oracle — fail fast at fixture-refresh time instead."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        top = (
+            load_table(spark, sf, "embeddings")
+            .agg(F.max("vec_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert top < 50000, (
+            f"{sf}: max vec_id {top} approaches the 100000 injection "
+            "offset — bump the offset in embedding_neardup_q AND its "
+            "oracle together"
+        )

@@ -88,6 +88,22 @@ def test_registry_order_and_full_oracle_coverage():
     assert not missing_oracle, missing_oracle
 
 
+def test_entry_smoke_contract(spark):
+    # the driver's FIRST gate: entry(spark) at sf0.001 must produce
+    # rows with the flagship warehouse-metrics schema. Run it here so
+    # a warehouse_metrics refactor fails in the suite, never first in
+    # the driver's smoke check.
+    import __spark_entry__ as E
+
+    rows = E.entry(spark).collect()
+    assert len(rows) > 0
+    assert set(rows[0].asDict()) == {
+        "user_id", "day", "close", "high", "low", "volume", "n_events",
+        "sma_5", "sma_20", "daily_return", "cumulative_return",
+        "turnover_ratio",
+    }
+
+
 def test_all_declared_queries_run(spark):
     # every registry entry (oracle or not) must at least execute and
     # return a stable schema at smoke scale
