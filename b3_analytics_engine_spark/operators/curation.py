@@ -69,6 +69,47 @@ def stratified_sample(
     )
 
 
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: the manifest
+    ``(id, shard, pos)`` a 100 TB training-data writer materializes
+    before emitting one file per shard.
+
+    ``shard`` is a 60-bit md5-derived hash of ``id:salt`` mod
+    ``n_shards`` — a pure function of the row, so reruns, retries and
+    other engines agree; changing ``salt`` is a fresh epoch-level
+    reshuffle with zero state. ``pos`` ranks the hash within the shard
+    (ties broken by id), giving a pseudo-random read order WITHIN each
+    shard too — the "global shuffle" training wants, without ever
+    sorting the corpus globally. Physical plan: one hash shuffle on
+    ``shard`` + a per-shard sort (window); the writer twin is
+    ``df.repartition(n_shards, col).sortWithinPartitions(...)`` which
+    streams straight into per-shard files.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 PACKING_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

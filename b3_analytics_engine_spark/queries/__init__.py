@@ -57,8 +57,9 @@ def register(
 # with two green rows whose latest is round 2, preferring complex
 # plans (joins/windows/dedup) over simple codegen aggregates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never externally green (6)
+    # (a) never externally green (7; shard_assignment is round-4-new)
     "quarantine_rows", "duplicated_spans", "pii_redact",
+    "shard_assignment",
     "shipmode_priority", "tumbling_window_agg", "sliding_window_agg",
     # (b) single green row, round 1 (8)
     "stratified_sample", "sequence_packing", "corpus_curation",
@@ -69,21 +70,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_join", "trade_pagerank", "data_quality_report",
     "incremental_agg_merge", "snapshot_diff_feed", "winsorized_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    # (d) two green rows, latest round 2 — complex-plan subset (24)
+    # (d) two green rows, latest round 2 — complex-plan subset (23)
     "grouped_zscore", "session_windows", "time_range_window",
     "asof_join", "topk_per_group", "warehouse_metrics",
     "latest_per_key", "snapshot_join", "union_dedup_keeplast",
     "pivot_daily_mean", "corr_matrix", "gap_fill_forward",
     "cohort_retention", "funnel_conversion", "rolling_volatility",
-    "max_drawdown", "text_stats", "text_fingerprint",
+    "max_drawdown", "text_fingerprint",
     "ngram_jaccard_pairs", "lang_id", "text_quality",
     "multimodal_features", "multimodal_frame_plan", "cosine_topk",
 )
 # Outside this window: the 47 queries hash-green in round 3 (freshest
-# possible evidence) and 11 double-green simple aggregates (tz_convert,
+# possible evidence) and 12 double-green queries (tz_convert,
 # rollup/cube_revenue, ranking_suite, unpivot_measures,
 # exact_percentiles, set_operations, value_histogram, top1_by_metric,
-# distinct_sorted_keys, group_share). Until round 4 results land, the
+# distinct_sorted_keys, group_share, text_stats). Until round 4 results land, the
 # three (a)-queries quarantine_rows / duplicated_spans / pii_redact
 # rely on the local exact-equality parity suite only; every other
 # registered query has >=1 external green row across rounds 1-3, and

@@ -742,6 +742,37 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_assignment",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT
+           AS h
+  FROM documents
+)
+SELECT doc_id,
+       h % 16 AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+""",
+    survey="ext:curation-shard-assignment",
+    description="Deterministic global shuffle into 16 training shards: "
+    "md5-derived 60-bit hash of doc_id:salt -> shard = hash mod 16, "
+    "pos = hash rank within shard. The (doc, shard, pos) manifest a "
+    "training-data writer materializes before emitting one file per "
+    "shard; pure function of the row, so retries/engines agree, and "
+    "salt bumps give epoch reshuffles with zero state. One hash "
+    "shuffle + per-shard sort; never a global sort.",
+)
+def shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.shard_assignment(d, n_shards=16)
+
+
+@register(
     "corpus_curation",
     oracle="""
 WITH keepers AS (

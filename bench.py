@@ -51,6 +51,7 @@ HEADLINE = [
     "cosine_ann_lsh_raw",
     "cosine_ann_ivf_raw",
     "sequence_packing",
+    "shard_assignment",
     "corpus_curation",
     "min_cost_supplier",
     "unigram_logprob",

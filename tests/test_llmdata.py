@@ -389,6 +389,30 @@ def test_verification_frames_hold_at_every_sf(spark):
         assert len(nd) == 50 and all(r["cos_sim"] == 1.0 for r in nd), sf
 
 
+def test_shard_assignment_invariants(spark):
+    """Shard manifest contract: every doc appears exactly once, shards
+    stay in [0, n), positions are dense 0..k-1 within each shard, and
+    a different salt reshuffles while preserving all of that."""
+    from b3_analytics_engine_spark.operators.curation import shard_assignment
+
+    d = load_table(spark, SMOKE_SF_DIR, "documents")
+    n_docs = d.count()
+    out = shard_assignment(d, n_shards=8).collect()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # new salt => same invariants, different permutation
+    out2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+            shard_assignment(d, n_shards=8, salt="epoch1").collect()}
+    moved = sum(1 for r in out if out2[r["doc_id"]] != (r["shard"], r["pos"]))
+    assert moved > n_docs // 2
+
+
 def test_neardup_inject_offset_clears_fixture_ids(spark):
     """embedding_neardup injects duplicates at vec_id + 100000 (the
     literal is baked into the DuckDB oracle, so it cannot be derived at
