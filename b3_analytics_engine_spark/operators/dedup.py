@@ -519,7 +519,16 @@ def simhash_pairs(
     ).select("id", "sig", "ck.chunk", "ck.cv")
     a = chunked.alias("a")
     b = chunked.alias("b")
-    cand = (
+    # Hamming is computed INSIDE the join stage, before the dedup:
+    # bit_count(xor) is free codegen on the joined row, so candidates
+    # failing the cut (the vast majority when chunk values collide —
+    # e.g. low-entropy corpora) never enter the distinct's shuffle,
+    # and the rows that do are (id, id, hamming) — no signatures.
+    # A qualifying pair appears at most 4× (once per agreeing chunk),
+    # and hamming is a function of the pair, so distinct-after-filter
+    # is row-identical to the former filter-after-distinct.
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -529,16 +538,10 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
