@@ -45,17 +45,18 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 108 registered queries, registration order
+# entries each round. With 109 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-4 front window, weakest evidence first:
-# (a) the three round-3-new queries never externally sampled plus the
-# three whose r3 rows were red on oracle-side type canonicalization
-# (fixed this round — Spark values were already identical); (b) the
-# eight queries whose only green row dates to round 1; (c) the twelve
-# whose single green row dates to round 2; (d) 24 of the 35 queries
-# with two green rows whose latest is round 2, preferring complex
-# plans (joins/windows/dedup) over simple codegen aggregates.
+# (a) the three round-3-new queries never externally sampled, the
+# round-4-new shard_assignment, and the three whose r3 rows were red
+# on oracle-side type canonicalization (fixed this round — Spark
+# values were already identical); (b) the eight queries whose only
+# green row dates to round 1; (c) the twelve whose single green row
+# dates to round 2; (d) 23 of the 35 queries with two green rows
+# whose latest is round 2, preferring complex plans
+# (joins/windows/dedup) over simple codegen aggregates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never externally green (7; shard_assignment is round-4-new)
     "quarantine_rows", "duplicated_spans", "pii_redact",
