@@ -69,6 +69,22 @@ def stratified_sample(
     )
 
 
+def shard_hash(id_col: str, salt: str = "0") -> Column:
+    """60-bit md5-derived hash of ``id:salt`` — the deterministic
+    permutation key behind :func:`shard_assignment` and the
+    training-shard writer (``sinks.files.write_training_shards``).
+    DuckDB replay: ``('0x'||substr(md5(id::VARCHAR||':salt'),1,15))::BIGINT``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def shard_assignment(
     df: DataFrame,
     n_shards: int = 16,
@@ -92,18 +108,9 @@ def shard_assignment(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     w = Window.partitionBy("shard").orderBy("h", id_col)
     return (
-        df.select(F.col(id_col), h.alias("h"))
+        df.select(F.col(id_col), shard_hash(id_col, salt).alias("h"))
         .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")

@@ -8,7 +8,7 @@ as partition columns so readers get partition PRUNING for free — the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,54 @@ def overwrite_warehouse(df: DataFrame, path: str, partition_cols: list[str] | No
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "0",
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as deterministically-shuffled training shards —
+    the physical twin of :func:`~..operators.curation.shard_assignment`
+    (which emits the auditable manifest for the SAME layout).
+
+    One directory per shard (``shard=K/``), rows within each shard in
+    hash order, with the ``pos`` column persisted so readers can audit
+    the permutation. ONE shuffle total: shard/pos are computed inline
+    (no join back to the manifest frame), the repartition on the shard
+    id clusters rows for exactly ``n_shards`` write tasks, and the
+    positional window rides that same distribution (Catalyst sees the
+    clustering requirement already satisfied) — its per-partition sort
+    is the only ordering work, never a global sort. Reruns/retries
+    produce identical shard membership because the hash is a pure
+    function of the row.
+    """
+    sharded_frame(df, n_shards, id_col, salt).write.mode(mode).partitionBy(
+        "shard"
+    ).parquet(path)
+
+
+def sharded_frame(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "0",
+) -> DataFrame:
+    """The frame :func:`write_training_shards` persists — split out so
+    plan tests can assert the single-Exchange shape directly."""
+    from ..operators.curation import shard_hash
+
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", shard_hash(id_col, salt))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+        .repartition(n_shards, "shard")
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("h")
+    )
 
 
 def _hadoop_fs(spark, path: str):

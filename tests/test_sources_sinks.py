@@ -159,6 +159,43 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert rows_after == rows_before
 
 
+def test_write_training_shards_matches_manifest(spark, tmp_path):
+    """The physical shard writer must realize exactly the layout the
+    shard_assignment manifest describes: same shard membership, pos
+    dense within each shard directory, and exactly one shuffle in the
+    plan (the window rides the repartition's clustering)."""
+    from b3_analytics_engine_spark.operators.curation import shard_assignment
+    from b3_analytics_engine_spark.sinks.files import write_training_shards
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+    d = load_table(spark, SMOKE_SF_DIR, "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(d, path, n_shards=8)
+
+    back = spark.read.parquet(path)
+    manifest = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignment(d, n_shards=8).collect()
+    }
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in back.select("doc_id", "shard", "pos").collect()
+    }
+    assert got == manifest
+    # partition-pruned single-shard read sees dense, sorted positions
+    one = back.filter(F.col("shard") == 3).select("pos").collect()
+    assert sorted(r["pos"] for r in one) == list(range(len(one)))
+    # single-Exchange plan: the positional window rides the
+    # repartition's clustering instead of adding its own shuffle
+    import re
+
+    from b3_analytics_engine_spark.plans import physical_plan
+    from b3_analytics_engine_spark.sinks.files import sharded_frame
+
+    plan = physical_plan(sharded_frame(d, n_shards=8))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
 def test_orc_round_trip(spark, tmp_path):
     """ORC is the second columnar format Spark ships natively — the
     lake layer must round-trip it with schema and values intact
