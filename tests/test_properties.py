@@ -103,3 +103,31 @@ def test_quarantine_split_is_exact_partition(spark, rows):
             assert bad_rows[j] == ",".join(failed)
         else:
             assert j in ids_clean
+
+
+ids_strategy = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    min_size=1,
+    max_size=16,
+    unique=True,
+)
+
+
+@given(ids=ids_strategy, n_shards=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_shard_assignment_is_dense_permutation(spark, ids, n_shards):
+    """For ANY unique id set and shard count: output is a bijection
+    over the input ids, shards stay in range, and positions are dense
+    0..k-1 within every shard (negative ids included — the hash is of
+    the string form, which must not break on '-')."""
+    from b3_analytics_engine_spark.operators.curation import shard_assignment
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = shard_assignment(df, n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
