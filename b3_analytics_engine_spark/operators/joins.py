@@ -21,6 +21,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def hint_small(df: DataFrame) -> DataFrame:
+    """Broadcast hint for frames whose size is bounded by a CONSTANT —
+    independent of scale factor — so the hint stays safe at 100 TB.
+
+    Legitimate callers (enforced by tests/test_plans.py's source scan:
+    raw ``F.broadcast`` is banned in the queries package):
+
+    - fixed-cardinality dimensions: ``nation`` (25 rows), ``region``
+      (5 rows) — TPC-H defines them constant at every scale factor;
+    - 1-row scalar-aggregate frames (grand totals, global max/avg
+      thresholds) used as broadcast cross-join build sides;
+    - groups-sized aggregates over a low-cardinality categorical key
+      (e.g. per-event-type percentiles);
+    - fixed external artifacts (a held-out eval benchmark's shingle
+      set) that do not grow with the training corpus.
+
+    Scale-growing tables (customer / supplier / part / orders /
+    lineitem / documents / embeddings, or anything derived from them by
+    a constant-fraction filter) must NOT use this: a forced broadcast
+    bypasses ``spark.sql.autoBroadcastJoinThreshold`` and OOMs at
+    100× SF. Leave those joins unhinted — the static planner
+    broadcasts them while their file-size estimate fits under the
+    threshold, and AQE converts to broadcast at runtime when the
+    *observed* build side fits (VERDICT.md r4, "What's wrong" #1).
+    """
+    return F.broadcast(df)
+
+
 def latest_per_key(
     df: DataFrame,
     key: str | list[str],

@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.joins import hint_small
 from ..tables import load_table
 from . import register
 
@@ -494,7 +495,7 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .withColumn("seg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("seg_rank") <= 3)
         .select(
@@ -1023,7 +1024,7 @@ def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
     return (
-        ev.join(F.broadcast(pct), "event_type")
+        ev.join(hint_small(pct), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

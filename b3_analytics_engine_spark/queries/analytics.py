@@ -12,8 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import windows as W
-from ..operators.joins import latest_per_key, pivot_wide
 from ..operators.aggregates import corr_matrix, distinct_sorted, top_k_global
+from ..operators.joins import hint_small, latest_per_key, pivot_wide
 from ..tables import load_table
 from . import register
 
@@ -383,7 +383,7 @@ def group_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy("user_id").agg(F.sum("value").alias("total_value"))
     grand = ev.agg(F.sum("value").alias("grand")).select("grand")
     return (
-        totals.crossJoin(F.broadcast(grand))
+        totals.crossJoin(hint_small(grand))
         .select(
             "user_id",
             F.round("total_value", 6).alias("total_value"),

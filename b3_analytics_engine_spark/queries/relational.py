@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.joins import hint_small
 from ..tables import load_table
 from . import register
 
@@ -204,8 +205,8 @@ def join_broadcast_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        c.join(hint_small(n), c.c_nationkey == n.n_nationkey)
+        .join(hint_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -252,7 +253,7 @@ def join_normalized_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim_norm = dim.withColumn("_key", normalize_symbol("sym"))
     return (
-        probe.join(F.broadcast(dim_norm), "_key")
+        probe.join(dim_norm, "_key")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("cap").alias("cap"))
     )
@@ -361,9 +362,9 @@ def regional_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(hint_small(n), c.c_nationkey == n.n_nationkey)
+        .join(hint_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -538,7 +539,7 @@ def promotion_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), net).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias("promo_pct"),
@@ -580,7 +581,7 @@ def small_order_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pa, li.l_partkey == pa.pa_partkey)
         .filter(5.0 * F.col("l_quantity") * F.col("cq") < F.col("sq"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
@@ -659,7 +660,7 @@ def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # one aggregation feeds both branches
     mx = rev.agg(F.max("total_rev").alias("total_rev"))
     return (
-        rev.join(F.broadcast(mx), "total_rev", "left_semi")
+        rev.join(hint_small(mx), "total_rev", "left_semi")
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
@@ -698,7 +699,7 @@ def dormant_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
+        c.crossJoin(hint_small(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -752,8 +753,8 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy("min_unit", "l_suppkey")
     best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey", "p_name",
             F.col("l_suppkey").alias("best_suppkey"), "s_name",
@@ -798,11 +799,11 @@ def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(hint_small(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(hint_small(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("ns_key") != F.col("nc_key"))
         .groupBy(
             "supp_nation",
@@ -853,7 +854,7 @@ def returned_item_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(hint_small(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
@@ -901,7 +902,7 @@ def disjunctive_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (q >= q0) & (q <= q1)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(
             arm("Brand#1", 1, 15, 1, 20)
             | arm("Brand#2", 10, 30, 10, 35)
@@ -1115,7 +1116,7 @@ def waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lo.filter(F.col("late"))
         .join(qual, "l_orderkey")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -1173,13 +1174,13 @@ def market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(hint_small(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(hint_small(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(hint_small(r), F.col("c_rkey") == F.col("r_regionkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
@@ -1235,9 +1236,9 @@ def parts_supplier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            bad,
             li.l_suppkey == bad.s_suppkey,
             "left_anti",
         )
@@ -1286,7 +1287,7 @@ def dominant_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -1295,7 +1296,7 @@ def dominant_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shipped.join(totals, "l_partkey")
         .filter(F.col("qty") > 0.5 * F.col("total_qty"))
-        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .join(s, shipped.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")
@@ -1335,9 +1336,9 @@ def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(hint_small(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1388,8 +1389,8 @@ def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_7"
     )
     pv = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(hint_small(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -1400,7 +1401,7 @@ def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = pv.agg(F.sum("value").alias("t"))
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.crossJoin(hint_small(total))
         .filter(F.round("value", 2) > F.round(0.0012 * F.col("t"), 2))
         .select("partkey", F.round("value", 2).alias("part_value"))
     )
