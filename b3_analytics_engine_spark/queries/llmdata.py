@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
+from ..operators.joins import hint_small
 from ..tables import load_table
 from . import register
 
@@ -471,6 +472,60 @@ def multimodal_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_decode_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(n_chars % 16 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_r,
+       round(CAST((doc_id * 7 + 13) % 256 AS DOUBLE), 6) AS mean_g,
+       round(CAST((doc_id * 7 + 26) % 256 AS DOUBLE), 6) AS mean_b
+FROM documents WHERE doc_id % 3 = 0
+""",
+    survey="ext:multimodal-image-decode (real codec)",
+    description="REAL image decode end-to-end: each 'image' media row "
+    "carries a genuine binary-PPM (P6) payload — header + raster built "
+    "with Spark binary expressions from closed-form per-doc dimensions "
+    "and channel values — and operators.multimodal.decode_image_stats "
+    "parses the bytes in pure Python inside mapInPandas (Arrow "
+    "batches, zero shuffle) to recover width/height/channels and "
+    "per-channel pixel means. The oracle recomputes the same "
+    "closed forms from the documents table, so a decoder that "
+    "misparses the header, mis-slices the raster, or mis-averages a "
+    "channel hash-mismatches. Non-uniform rasters and malformed blobs "
+    "are covered in tests/test_llmdata.py.",
+)
+def image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    w = (F.col("n_chars") % 16 + 1).cast("int")
+    h = (F.col("doc_id") % 8 + 1).cast("int")
+    # constant-per-channel raster: mean == channel value exactly, so
+    # the decoded means are oracle-checkable in closed form
+    chan_hex = [
+        F.lpad(F.hex((F.col("doc_id") * 7 + 13 * i) % 256), 2, "0")
+        for i in range(3)
+    ]
+    header = F.concat(
+        F.lit("P6\n# synthetic fixture image\n"),
+        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"),
+        F.unhex(F.repeat(F.concat(*chan_hex), w * h)),
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return decode_image_stats(media).filter(F.col("ok")).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _queries_side(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
@@ -644,7 +699,9 @@ def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup",
     oracle="""
-SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+SELECT vec_id AS id_a,
+       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS id_b,
+       CAST(1.0 AS DOUBLE) AS cos_sim
 FROM embeddings WHERE vec_id < 50
 """,
     survey="ext:dedup-embedding-cosine",
@@ -652,16 +709,21 @@ FROM embeddings WHERE vec_id < 50
     "hyperplane LSH self-join at the production 0.999 cut. The "
     "synthetic fixture has no true near-dups (max pairwise cos "
     "≈ 0.5), so the registered query deterministically injects 50 "
-    "exact duplicates (vec_id + 100000) into the corpus: identical "
-    "vectors share every RHP signature, so LSH recovers precisely "
-    "those pairs — making the full bucketing → candidate-join → "
-    "exact-verify pipeline hash-checkable against a SQL oracle. "
-    "Recall at looser thresholds is measured in tests/test_llmdata.",
+    "exact duplicates at vec_id + (max(vec_id) + 1) — an offset "
+    "DERIVED from the corpus, so it can never collide with a real "
+    "id at any fixture size: identical vectors share every RHP "
+    "signature, so LSH recovers precisely those pairs — making the "
+    "full bucketing → candidate-join → exact-verify pipeline "
+    "hash-checkable against a SQL oracle. Recall at looser "
+    "thresholds is measured in tests/test_llmdata.",
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dup = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    off = emb.agg((F.max("vec_id") + 1).alias("_off"))
+    dup = (
+        emb.filter(F.col("vec_id") < 50)
+        .crossJoin(hint_small(off))  # 1-row scalar broadcast
+        .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     return S.embedding_neardup_pairs(aug, threshold=0.999, dim=64)
@@ -936,7 +998,7 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         posts.filter(F.col("id") % 10 != 0)
-        .join(F.broadcast(eval_sh), "sh")
+        .join(hint_small(eval_sh), "sh")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
@@ -1132,7 +1194,7 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = F.log(F.col("c") / F.col("t"))
     return (
         tok.join(freq, "tok")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(hint_small(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1373,7 +1435,7 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tok.join(df_, "tok")
-        .crossJoin(F.broadcast(n))
+        .crossJoin(hint_small(n))
         .withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term_rank", "tok", F.round(tfidf, 6).alias("tfidf"))

@@ -74,6 +74,10 @@ HEADLINE = [
     "duplicated_spans",
     "pii_redact",
     "quarantine_rows",
+    # round 5 additions: real PPM decode through mapInPandas, and the
+    # watermarked stream-stream join's batch twin (time-range join)
+    "image_decode_stats",
+    "stream_stream_join_twin",
 ]
 
 

@@ -413,21 +413,73 @@ def test_shard_assignment_invariants(spark):
     assert moved > n_docs // 2
 
 
-def test_neardup_inject_offset_clears_fixture_ids(spark):
-    """embedding_neardup injects duplicates at vec_id + 100000 (the
-    literal is baked into the DuckDB oracle, so it cannot be derived at
-    runtime). If the embeddings fixture ever grows near that offset the
-    injected ids would collide with real vectors and silently corrupt
-    the 50-pair oracle — fail fast at fixture-refresh time instead."""
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-               "/root/testdata/sf0.1"):
-        top = (
-            load_table(spark, sf, "embeddings")
-            .agg(F.max("vec_id").alias("m"))
-            .collect()[0]["m"]
-        )
-        assert top < 50000, (
-            f"{sf}: max vec_id {top} approaches the 100000 injection "
-            "offset — bump the offset in embedding_neardup_q AND its "
-            "oracle together"
-        )
+def test_ppm_parser_non_uniform_raster():
+    """The oracle-checked query uses constant-per-channel rasters (so
+    means are closed-form); this pins the decoder on a NON-uniform 2x2
+    image where a header/raster mis-slice would change the means."""
+    from b3_analytics_engine_spark.operators.multimodal import _parse_ppm
+
+    # 2x2, pixels: (0,10,20) (30,40,50) (60,70,80) (90,100,110)
+    raster = bytes([0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110])
+    payload = b"P6\n# comment\n 2  2\n255\n" + raster
+    w, h, maxval, pix = _parse_ppm(payload)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert pix == raster
+    import numpy as np
+
+    means = np.frombuffer(pix, np.uint8).reshape(-1, 3).mean(axis=0)
+    assert list(means) == [45.0, 55.0, 65.0]
+
+
+def test_ppm_parser_rejects_malformed():
+    import pytest as _pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import _parse_ppm
+
+    for bad in (
+        b"",  # empty
+        b"P5\n1 1\n255\n" + b"\x00",  # wrong magic (PGM)
+        b"P6\n2 2\n255\n" + b"\x00" * 11,  # truncated raster
+        b"P6\n2 2\n70000\n" + b"\x00" * 12,  # maxval > 255
+        b"P6\n2 x\n255\n" + b"\x00" * 12,  # non-digit dimension
+    ):
+        with _pytest.raises(ValueError):
+            _parse_ppm(bad)
+
+
+def test_decode_image_stats_quarantines_bad_blobs(spark):
+    """Corrupt payloads must come back ok=false with null stats — not
+    crash the Arrow batch (at 100 TB some blobs WILL be corrupt)."""
+    from b3_analytics_engine_spark.operators.multimodal import decode_image_stats
+
+    good = b"P6\n1 2\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    rows = [(1, good), (2, b"JUNK"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_image_stats(df).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (1, 2)
+    assert out[1]["mean_r"] == 30.0 and out[1]["mean_g"] == 40.0
+    assert not out[2]["ok"] and out[2]["width"] is None
+    assert not out[3]["ok"]
+
+
+def test_neardup_inject_offset_derived_from_corpus(spark):
+    """embedding_neardup derives its injection offset as
+    max(vec_id) + 1 (Spark: 1-row broadcast aggregate; oracle: scalar
+    subquery), so injected ids can never collide with real vectors at
+    ANY fixture size. Assert the invariant directly: every id_b in the
+    result sits strictly above the corpus max, and the 50 injected
+    pairs come out exactly."""
+    from b3_analytics_engine_spark.queries import registry
+
+    sf = SMOKE_SF_DIR
+    top = (
+        load_table(spark, sf, "embeddings")
+        .agg(F.max("vec_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    rows = registry()["embedding_neardup"].fn(spark, sf).collect()
+    assert len(rows) == 50
+    assert {r["id_a"] for r in rows} == set(range(50))
+    for r in rows:
+        assert r["id_b"] == r["id_a"] + top + 1
+        assert r["id_b"] > top  # derived offset clears all real ids
