@@ -117,6 +117,48 @@ def ewma_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_twin",
+    oracle="""
+SELECT c.event_id AS click_id, v.user_id AS user_id,
+       v.ts AS view_ts, c.ts AS click_ts,
+       round(v.value, 6) AS view_value
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+    survey="T4 (watermarked stream-stream join, batch twin)",
+    description="Batch twin of the idiomatic watermarked stream-stream "
+    "join (PARITY.md §T4): views ⋈ clicks per user within 1 hour. "
+    "Inner stream-stream joins emit exactly the batch join's rows — "
+    "the watermark only bounds STATE, not results — proven by "
+    "tests/test_streaming.py::test_stream_stream_watermarked_join_"
+    "equals_batch running this same join condition through "
+    "withWatermark + append mode. Scale shape matches streaming "
+    "state keying: hash equi-join on user_id, the time-range as a "
+    "join-stage residual (what the watermark prunes as state at "
+    "run time, the range predicate prunes as rows here).",
+)
+def stream_stream_join_twin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").alias("v")
+    clicks = ev.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.round("v.value", 6).alias("view_value"),
+    )
+
+
+@register(
     "json_payload_parse",
     oracle="""
 SELECT event_id, user_id,
