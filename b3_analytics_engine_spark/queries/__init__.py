@@ -48,48 +48,52 @@ def register(
 # entries each round. With 109 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-4 front window, weakest evidence first:
-# (a) the three round-3-new queries never externally sampled, the
-# round-4-new shard_assignment, and the three whose r3 rows were red
-# on oracle-side type canonicalization (fixed this round — Spark
-# values were already identical); (b) the eight queries whose only
-# green row dates to round 1; (c) the twelve whose single green row
-# dates to round 2; (d) 23 of the 35 queries with two green rows
-# whose latest is round 2, preferring complex plans
-# (joins/windows/dedup) over simple codegen aggregates.
+# external evidence. Round-5 front window (after round 4 went 50/50
+# green on the previous window): (a) the 12 queries whose newest green
+# row is round 2 — now three rounds stale, the oldest evidence
+# anywhere; (b) the 21 round-3-green queries whose code changes this
+# round (forced-broadcast-hint removal per VERDICT r4, plus the
+# derived embedding_neardup injection offset) — external
+# re-verification of the changed plans; (c) round-5-NEW queries with
+# zero external evidence; (d) more round-3-greens, preferring complex
+# plans (star joins, ANN, REST/JSON) over simple codegen scans.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never externally green (7; shard_assignment is round-4-new)
-    "quarantine_rows", "duplicated_spans", "pii_redact",
-    "shard_assignment",
-    "shipmode_priority", "tumbling_window_agg", "sliding_window_agg",
-    # (b) single green row, round 1 (8)
-    "stratified_sample", "sequence_packing", "corpus_curation",
-    "vocab_topk", "decontaminate", "repetition_ratio",
-    "chunk_documents", "dup_cluster_keep",
-    # (c) single green row, round 2 (12)
-    "incident_window_join", "distribution_rank", "window_dedup",
-    "skew_salted_join", "trade_pagerank", "data_quality_report",
-    "incremental_agg_merge", "snapshot_diff_feed", "winsorized_stats",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    # (d) two green rows, latest round 2 — complex-plan subset (23)
-    "grouped_zscore", "session_windows", "time_range_window",
-    "asof_join", "topk_per_group", "warehouse_metrics",
-    "latest_per_key", "snapshot_join", "union_dedup_keeplast",
-    "pivot_daily_mean", "corr_matrix", "gap_fill_forward",
-    "cohort_retention", "funnel_conversion", "rolling_volatility",
-    "max_drawdown", "text_fingerprint",
-    "ngram_jaccard_pairs", "lang_id", "text_quality",
-    "multimodal_features", "multimodal_frame_plan", "cosine_topk",
+    # (a) newest green row is round 2 (12)
+    "tz_convert", "rollup_revenue", "ranking_suite", "cube_revenue",
+    "unpivot_measures", "exact_percentiles", "set_operations",
+    "value_histogram", "top1_by_metric", "distinct_sorted_keys",
+    "group_share", "text_stats",
+    # (b) r3-green, code touched in round 5 (21)
+    "join_broadcast_dim", "join_normalized_key", "regional_revenue",
+    "promotion_effect", "small_order_quantity", "top_supplier_revenue",
+    "dormant_customers", "min_cost_supplier", "nation_trade_volume",
+    "returned_item_customers", "disjunctive_join_filter",
+    "waiting_suppliers", "market_share", "parts_supplier_stats",
+    "dominant_suppliers", "product_profit", "important_parts",
+    "unigram_logprob", "tfidf_topterms",
+    "embedding_neardup", "embedding_neardup_exact",
+    # (c) round-5-new, never externally sampled (2)
+    "image_decode_stats", "stream_stream_join_twin",
+    # (d) r3-green, unchanged — complex-plan subset (15)
+    "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
+    "pii_flag", "importance_resample", "label_centroids",
+    "semi_anti_join", "pricing_summary", "shipping_priority",
+    "order_priority_check", "customer_order_histogram",
+    "large_volume_customer", "sql_interface_revenue",
+    "forecast_revenue", "ewma_per_key",
 )
-# Outside this window: the 47 queries hash-green in round 3 (freshest
-# possible evidence) and 12 double-green queries (tz_convert,
-# rollup/cube_revenue, ranking_suite, unpivot_measures,
-# exact_percentiles, set_operations, value_histogram, top1_by_metric,
-# distinct_sorted_keys, group_share, text_stats). Until round 4 results land, the
-# three (a)-queries quarantine_rows / duplicated_spans / pii_redact
-# rely on the local exact-equality parity suite only; every other
-# registered query has >=1 external green row across rounds 1-3, and
-# all 108 are re-checked by tests/test_oracle_parity.py every run.
+# Outside this window: the 50 queries green in round 4 (freshest
+# possible evidence) and 11 round-3-green simple-plan queries
+# (filter_project, in_list_filter, time_range_filter,
+# cast_coerce_nulls, null_handling, scalar_functions,
+# multi_key_sort_limit, char_entropy, heavy_hitters,
+# time_rollup_hierarchy, json_payload_parse) whose plans are
+# unchanged and pinned by tests/test_plans.py or the local parity
+# suite. Until round 5 results land, the two (c)-queries rely on the
+# local oracle-parity suite only; every other registered query has
+# >=1 external green row across rounds 1-4, and no query's newest row
+# is older than round 3 after this window lands. All registered
+# queries are re-checked by tests/test_oracle_parity.py every run.
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -57,7 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         except Exception as e:
             msg = str(e)
-            if "Illegal Parquet type" not in msg and "NANOS" not in msg:
+            # Retry ONLY on the specific nanos schema-conversion error
+            # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))") —
+            # an unrelated failure that merely mentions NANOS must not
+            # flip the session-wide nanosAsLong conf.
+            if "Illegal Parquet type" not in msg or "TIMESTAMP(NANOS" not in msg:
                 raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
