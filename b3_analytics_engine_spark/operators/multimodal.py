@@ -126,6 +126,136 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pix
 
 
+AUDIO_STATS_SCHEMA = (
+    "media_id long, ok boolean, channels int, sample_rate int, "
+    "bits int, n_frames long, duration_ms double, mean_amp double, "
+    "rms_amp double"
+)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for RIFF/WAVE PCM: pure Python, no codec libs.
+
+    Returns ``(channels, sample_rate, bits_per_sample, data_bytes)``.
+    Walks the chunk list properly (skips unknown chunks, honors the
+    odd-size pad byte) and accepts only ``audio_format == 1`` (PCM) at
+    8 or 16 bits. Raises ``ValueError`` on anything malformed so
+    callers can quarantine bad blobs.
+    """
+    import struct
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("too short for a RIFF header")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)}/{size}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too small")
+            audio_format, channels, sample_rate = struct.unpack(
+                "<HHI", body[:8]
+            )
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_format != 1:
+                raise ValueError(f"unsupported audio format {audio_format} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+            if channels < 1:
+                raise ValueError("zero channels")
+            fmt = (channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    channels, sample_rate, bits = fmt
+    frame_size = channels * bits // 8
+    if len(data) % frame_size:
+        raise ValueError("data chunk not a whole number of frames")
+    return channels, sample_rate, bits, data
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode via ``mapInPandas``: parse each RIFF/WAVE PCM
+    payload and emit format fields + amplitude stats (mean and RMS over
+    all samples). Same Arrow-batch, zero-shuffle plan shape as
+    :func:`decode_image_stats`; malformed blobs yield ``ok=false``."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    ch, sr, bits, data = _parse_wav(payload)
+                    dt = np.int16 if bits == 16 else np.uint8
+                    a = np.frombuffer(data, dtype=dt).astype(np.float64)
+                    n_frames = len(a) // ch
+                    dur = n_frames * 1000.0 / sr if sr else None
+                    mean = float(a.mean()) if len(a) else None
+                    rms = float(math.sqrt((a * a).mean())) if len(a) else None
+                    rows.append(
+                        (mid, True, ch, sr, bits, n_frames, dur, mean, rms)
+                    )
+                except (ValueError, TypeError):
+                    rows.append(
+                        (mid, False, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "ok", "channels", "sample_rate", "bits",
+                    "n_frames", "duration_ms", "mean_amp", "rms_amp",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def resize_image_ppm(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: nearest-neighbor resample of binary-PPM
+    payloads to ``out_w x out_h``, re-emitted as binary PPM — the
+    'resize' step of the decode→resize→featurize training pipeline,
+    runnable because the PPM codec is real. Source index for output
+    pixel i is ``floor((i + 0.5) * src / dst)`` (the standard NN
+    mapping: cell centers, never out of range). Same mapInPandas
+    zero-shuffle shape; malformed payloads yield ``ok=false`` with a
+    null payload."""
+    import numpy as np
+
+    schema = "media_id long, ok boolean, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, maxval, pix = _parse_ppm(payload)
+                    a = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+                    ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
+                    xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
+                    out = a[ys][:, xs]
+                    hdr = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+                    rows.append((mid, True, out_w, out_h, hdr + out.tobytes()))
+                except (ValueError, TypeError):
+                    rows.append((mid, False, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ok", "width", "height", "payload"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
 def decode_image_stats(df: DataFrame) -> DataFrame:
     """REAL image decode via ``mapInPandas``: parse each binary PPM
     payload and emit dimensions + per-channel pixel means — the same

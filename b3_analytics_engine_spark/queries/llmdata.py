@@ -472,6 +472,31 @@ def multimodal_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine binary-PPM payloads built with Spark binary expressions
+    from closed-form per-doc dimensions and constant-per-channel pixel
+    values (mean == channel value exactly, so decoded stats are
+    oracle-checkable): width = n_chars%16+1, height = doc_id%8+1,
+    channel c value = (doc_id*7 + 13c) % 256, on the 'image' rows
+    (doc_id % 3 = 0)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    w = (F.col("n_chars") % 16 + 1).cast("int")
+    h = (F.col("doc_id") % 8 + 1).cast("int")
+    chan_hex = [
+        F.lpad(F.hex((F.col("doc_id") * 7 + 13 * i) % 256), 2, "0")
+        for i in range(3)
+    ]
+    header = F.concat(
+        F.lit("P6\n# synthetic fixture image\n"),
+        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"),
+        F.unhex(F.repeat(F.concat(*chan_hex), w * h)),
+    )
+    return d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
 @register(
     "image_decode_stats",
     oracle="""
@@ -500,25 +525,120 @@ FROM documents WHERE doc_id % 3 = 0
 def image_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image_stats
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    w = (F.col("n_chars") % 16 + 1).cast("int")
-    h = (F.col("doc_id") % 8 + 1).cast("int")
-    # constant-per-channel raster: mean == channel value exactly, so
-    # the decoded means are oracle-checkable in closed form
-    chan_hex = [
-        F.lpad(F.hex((F.col("doc_id") * 7 + 13 * i) % 256), 2, "0")
-        for i in range(3)
-    ]
-    header = F.concat(
-        F.lit("P6\n# synthetic fixture image\n"),
-        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
-    )
-    payload = F.concat(
-        F.encode(header, "UTF-8"),
-        F.unhex(F.repeat(F.concat(*chan_hex), w * h)),
-    )
-    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    media = _synthetic_ppm_media(spark, sf_dir)
     return decode_image_stats(media).filter(F.col("ok")).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def _le_hex(c, nbytes: int):
+    """Little-endian hex of an integer column, ``nbytes`` wide — for
+    building RIFF/WAVE structures with Spark binary expressions."""
+    h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+    return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in range(nbytes)][::-1])
+
+
+@register(
+    "audio_decode_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS sr,
+         n_chars % 256 + 16 AS n,
+         CASE WHEN doc_id * 37 % 65536 >= 32768
+              THEN doc_id * 37 % 65536 - 65536
+              ELSE doc_id * 37 % 65536 END AS v
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(n AS BIGINT) AS n_frames,
+       round(n * 1000.0 / sr, 6) AS duration_ms,
+       round(CAST(v AS DOUBLE), 6) AS mean_amp,
+       round(CAST(abs(v) AS DOUBLE), 6) AS rms_amp
+FROM params
+""",
+    survey="ext:multimodal-audio-decode (real codec)",
+    description="REAL audio decode end-to-end: each 'audio' media row "
+    "carries a genuine RIFF/WAVE PCM payload — header chunks and "
+    "16-bit mono raster assembled little-endian with Spark binary "
+    "expressions from closed-form per-doc sample rate, frame count "
+    "and constant sample value — and operators.multimodal."
+    "decode_audio_stats walks the chunk list in pure Python inside "
+    "mapInPandas to recover format fields, duration, and mean/RMS "
+    "amplitude. Constant samples make mean==v and rms==|v| exact, so "
+    "a decoder that misreads chunk sizes, byte order, or sample "
+    "width hash-mismatches. Multi-chunk/malformed blobs are covered "
+    "in tests/test_llmdata.py.",
+)
+def audio_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_audio_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    sr = (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long")
+    n = (F.col("n_chars") % 256 + 16).cast("long")
+    vu = (F.col("doc_id") * 37) % 65536  # unsigned 16-bit sample value
+    data_size = n * 2
+    wav_hex = F.concat(
+        F.lit("52494646"),                      # "RIFF"
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645"),                      # "WAVE"
+        F.lit("666D7420"), _le_hex(F.lit(16), 4),   # "fmt ", size 16
+        _le_hex(F.lit(1), 2),                   # PCM
+        _le_hex(F.lit(1), 2),                   # mono
+        _le_hex(sr, 4),
+        _le_hex(sr * 2, 4),                     # byte rate
+        _le_hex(F.lit(2), 2),                   # block align
+        _le_hex(F.lit(16), 2),                  # bits
+        F.lit("64617461"), _le_hex(data_size, 4),   # "data"
+        F.repeat(_le_hex(vu, 2), n.cast("int")),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
+    )
+    return decode_audio_stats(media).filter(F.col("ok")).select(
+        "media_id", "channels", "sample_rate", "bits", "n_frames",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+    )
+
+
+@register(
+    "image_resize_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS mean_r,
+       round(CAST((doc_id * 7 + 13) % 256 AS DOUBLE), 6) AS mean_g,
+       round(CAST((doc_id * 7 + 26) % 256 AS DOUBLE), 6) AS mean_b
+FROM documents WHERE doc_id % 3 = 0
+""",
+    survey="ext:multimodal-image-resize (real codec pipeline)",
+    description="REAL decode→resize→decode pipeline: the synthetic PPM "
+    "corpus is nearest-neighbor-resampled to 4x4 by operators."
+    "multimodal.resize_image_ppm (pure-Python parse + numpy index "
+    "grids, re-emitted as binary PPM), then re-decoded for stats — "
+    "two codec passes chained through mapInPandas with zero shuffle. "
+    "Constant-per-channel rasters make resized means equal the "
+    "channel values exactly at the new 4x4 dims; the NN sampling grid "
+    "itself is pinned on non-uniform rasters in tests/test_llmdata.py.",
+)
+def image_resize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_stats, resize_image_ppm
+
+    media = _synthetic_ppm_media(spark, sf_dir)
+    resized = resize_image_ppm(media, 4, 4).filter(F.col("ok")).select(
+        "media_id", "payload"
+    )
+    return decode_image_stats(resized).filter(F.col("ok")).select(
         "media_id", "width", "height", "channels",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),

@@ -74,9 +74,11 @@ HEADLINE = [
     "duplicated_spans",
     "pii_redact",
     "quarantine_rows",
-    # round 5 additions: real PPM decode through mapInPandas, and the
-    # watermarked stream-stream join's batch twin (time-range join)
+    # round 5 additions: real PPM/WAV decode + NN resize through
+    # mapInPandas, and the watermarked stream-stream join's batch twin
     "image_decode_stats",
+    "audio_decode_stats",
+    "image_resize_stats",
     "stream_stream_join_twin",
 ]
 

@@ -462,6 +462,91 @@ def test_decode_image_stats_quarantines_bad_blobs(spark):
     assert not out[3]["ok"]
 
 
+def _wav_bytes(channels=1, sr=8000, bits=16, samples=b"", extra_chunk=False):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sr, sr * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-size chunk exercises the word-align pad rule
+        chunks += b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_parser_multichunk_and_stats():
+    """Chunk walking must skip unknown chunks (with the odd-size pad
+    byte) and the int16 little-endian read must be exact."""
+    import struct
+
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.multimodal import _parse_wav
+
+    samples = struct.pack("<4h", -100, 300, -100, 300)
+    ch, sr, bits, data = _parse_wav(
+        _wav_bytes(sr=12000, samples=samples, extra_chunk=True)
+    )
+    assert (ch, sr, bits) == (1, 12000, 16)
+    a = np.frombuffer(data, np.int16)
+    assert list(a) == [-100, 300, -100, 300]
+    assert a.astype(float).mean() == 100.0
+
+
+def test_wav_parser_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import _parse_wav
+
+    ok = _wav_bytes(samples=b"\x00\x00")
+    for bad in (
+        b"",
+        b"RIFX" + ok[4:],                      # wrong magic
+        ok[:20],                               # truncated chunk
+        _wav_bytes(bits=24, samples=b""),      # unsupported depth
+        ok.replace(b"data", b"dat2"),          # missing data chunk
+        _wav_bytes(samples=b"\x00"),           # half a 16-bit frame
+        # non-PCM format code
+        ok.replace(struct.pack("<H", 1), struct.pack("<H", 3), 1),
+    ):
+        with _pytest.raises(ValueError):
+            _parse_wav(bad)
+
+
+def test_resize_ppm_nearest_neighbor_grid(spark):
+    """NN resize on a non-uniform raster: downscaling a 4x4 image with
+    distinct quadrant colors to 2x2 must pick each quadrant's center
+    pixel — a mis-indexed grid (off-by-one, transposed axes) changes
+    the output bytes."""
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_image_ppm,
+    )
+
+    # 4x4: top-left quadrant red(200,0,0), top-right green, bottom-left
+    # blue, bottom-right white
+    q = {
+        (0, 0): (200, 0, 0), (0, 1): (0, 200, 0),
+        (1, 0): (0, 0, 200), (1, 1): (250, 250, 250),
+    }
+    raster = bytearray()
+    for y in range(4):
+        for x in range(4):
+            raster += bytes(q[(y // 2, x // 2)])
+    payload = b"P6\n4 4\n255\n" + bytes(raster)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    out = resize_image_ppm(df, 2, 2).collect()[0]
+    assert out["ok"] and (out["width"], out["height"]) == (2, 2)
+    w, h, _mx, pix = _parse_ppm(bytes(out["payload"]))
+    assert (w, h) == (2, 2)
+    got = [tuple(pix[i : i + 3]) for i in range(0, 12, 3)]
+    assert got == [q[(0, 0)], q[(0, 1)], q[(1, 0)], q[(1, 1)]]
+
+
 def test_neardup_inject_offset_derived_from_corpus(spark):
     """embedding_neardup derives its injection offset as
     max(vec_id) + 1 (Spark: 1-row broadcast aggregate; oracle: scalar
