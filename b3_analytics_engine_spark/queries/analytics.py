@@ -672,3 +672,71 @@ def max_drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("close"), 6).alias("peak_close"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0
+         END AS is_current
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+""",
+    survey="ext:warehouse-scd2 (K3/K4 history dimension)",
+    description="Slowly-changing-dimension type-2 intervalization: "
+    "collapse each entity's change feed (events: user_id x ts x "
+    "event_type) into [valid_from, valid_to) history rows — the "
+    "warehouse-dimension upgrade of the reference's full-replace / "
+    "upsert sinks (reference include/tasks/data_warehouse.py:78), "
+    "which keep only current state. Gaps-and-islands with "
+    "null-safe lag() to find change points, then lead()/"
+    "row_number() over the surviving rows; both windows share one "
+    "hash partitioning on user_id, so the raw feed shuffles "
+    "exactly once and the second window sorts the (much smaller) "
+    "change-point set.",
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        # rn = 1 handles a key whose FIRST value is NULL — lag's
+        # "no previous row" NULL would otherwise swallow it.
+        .filter(
+            (F.col("rn") == 1)
+            | ~F.col("prev").eqNullSafe(F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.when(F.lead("valid_from").over(w2).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )

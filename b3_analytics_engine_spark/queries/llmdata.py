@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import bloom as B
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
@@ -1125,6 +1126,61 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_bloom",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, count(*) AS n_shared_shingles
+FROM sh s JOIN eval_sh e ON s.sh = e.sh
+WHERE s.doc_id % 10 <> 0
+GROUP BY s.doc_id
+""",
+    survey="ext:curation-decontamination-bloom",
+    description="Bloom-prefiltered decontamination — identical "
+    "output to `decontaminate` (the oracle is the same exact-join "
+    "SQL) but the 100 TB train side is first filtered SCAN-STAGE "
+    "against a broadcast 16 KiB pure-SQL bitset of the eval "
+    "shingles (operators/bloom.py: bit_or-aggregated map<slot,"
+    "bits>, unrolled codegen probe). Bloom filters have no false "
+    "negatives, so non-candidates skip the join entirely; the few "
+    "false positives (<1%) are killed by the exact join over the "
+    "surviving candidates. At scale the join input drops from the "
+    "full corpus to the contaminated fraction.",
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    posts = D.hashed_postings(d, "doc_id", "text", 3)
+    eval_sh = (
+        posts.filter(F.col("id") % 10 == 0)
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=False)  # used twice: bloom build + exact confirm
+    )
+    bloom = B.bloom_build(eval_sh, "sh")
+    candidates = (
+        posts.filter(F.col("id") % 10 != 0)
+        .crossJoin(hint_small(bloom))
+        .where(B.might_contain("bloom", "sh"))
+        .drop("bloom")
+    )
+    return (
+        candidates.join(hint_small(eval_sh), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@register(
     "repetition_ratio",
     oracle="""
 WITH toks AS (
@@ -1325,6 +1381,78 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), bi AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), c2 AS (
+  SELECT bg, count(*) AS c12 FROM bi GROUP BY bg
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bi GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(c12 * 1.0 / c1)), 6) AS avg_logprob,
+       round(min(ln(c12 * 1.0 / c1)), 6) AS min_logprob
+FROM bi b
+JOIN c2 USING (bg)
+JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+GROUP BY b.doc_id
+""",
+    survey="ext:quality-lm-bigram",
+    description="Corpus-bigram language-model scoring — the order-2 "
+    "upgrade of `unigram_logprob`'s perplexity proxy: score each "
+    "document by the mean/min conditional log-probability "
+    "ln(c(w1 w2) / c(w1·)) of its adjacent token pairs under the "
+    "corpus MLE bigram model. Low scores flag incoherent token "
+    "streams that unigram frequency alone misses (each word common, "
+    "the sequence improbable) — a standard KenLM-style quality "
+    "filter. Shuffles carry bigram/token keys and per-doc "
+    "aggregates, never document text; the bigram explode and the "
+    "first-token projection are scan-stage codegen.",
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    # (t[i], t[i+1]) pairs via slice+transform: no sequence(1, 0)
+    # descending-range trap for single-token docs, and element_at
+    # stays in bounds under ANSI.
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .localCheckpoint(eager=False)  # used 3x: scoring + both count tables
+    )
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.log(F.col("c12") / F.col("c1"))
+    return (
+        bg.join(c2, "bg")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(F.min(lp), 6).alias("min_logprob"),
+        )
+    )
+
+
+@register(
     "pii_flag",
     oracle="""
 SELECT doc_id,
@@ -1460,6 +1588,94 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.join(cent, ["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist_to_centroid"))
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH pos AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, round(max(abs(val)) / 127, 6) AS scale
+  FROM pos GROUP BY 1
+), q AS (
+  SELECT p.vec_id, s.scale, p.val,
+         CASE WHEN s.scale = 0 THEN 0
+              ELSE floor(p.val / s.scale + 0.5) END AS qi
+  FROM pos p JOIN sc s USING (vec_id)
+)
+SELECT vec_id,
+       count(*) AS n_dims,
+       scale,
+       CAST(max(abs(qi)) AS BIGINT) AS q_max,
+       round(sqrt(avg((val - qi * scale) * (val - qi * scale))), 6)
+         AS quant_rmse,
+       round(sqrt(sum(val * val)), 6) AS l2_norm
+FROM q
+GROUP BY vec_id, scale
+""",
+    survey="ext:embedding-quantization",
+    description="Symmetric int8 scalar quantization audit — the "
+    "4x-storage-compression pass an embedding lake runs before ANN "
+    "serving: per-vector absmax scale (rounded to 6 so both engines "
+    "square identical operands, same trick as label_centroids), "
+    "round-half-up codes floor(x/scale + 0.5), and the per-vector "
+    "reconstruction RMSE + max |code| + L2 norm that decide whether "
+    "int8 is safe for that corpus. Physical shape: entirely ROW-"
+    "LOCAL array expressions (transform/aggregate) — zero shuffles "
+    "at any scale, unlike the explode+groupBy shape which would "
+    "shuffle 64x component rows twice; the higher-order functions "
+    "leave whole-stage codegen but stay JVM-side, a deliberate "
+    "trade for exchange-free execution on a 100 TB embedding "
+    "table.",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.round(
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        )
+        / 127,
+        6,
+    )
+    with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
+    err = (
+        "CASE WHEN scale = 0D THEN 0D ELSE cast(x as double)"
+        " - floor(cast(x as double) / scale + 0.5) * scale END"
+    )
+    qi_abs = (
+        "CASE WHEN scale = 0D THEN 0D"
+        " ELSE abs(floor(cast(x as double) / scale + 0.5)) END"
+    )
+    return with_scale.select(
+        "vec_id",
+        F.expr("size(embedding)").cast("long").alias("n_dims"),
+        "scale",
+        F.expr(
+            f"cast(array_max(transform(embedding, x -> {qi_abs})) as bigint)"
+        ).alias("q_max"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"aggregate(embedding, 0D, (acc, x) -> acc"
+                    f" + ({err}) * ({err}))"
+                )
+                / F.expr("size(embedding)")
+            ),
+            6,
+        ).alias("quant_rmse"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, 0D, (acc, x) -> acc"
+                    " + cast(x as double) * cast(x as double))"
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
     )
 
 

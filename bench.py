@@ -80,6 +80,14 @@ HEADLINE = [
     "audio_decode_stats",
     "image_resize_stats",
     "stream_stream_join_twin",
+    # round 5 additions: bloom-prefiltered decontamination (vs the
+    # exact `decontaminate` shape it must beat at scale), bigram LM
+    # scoring, zero-shuffle int8 quantization audit, SCD2 history
+    "decontaminate",
+    "decontaminate_bloom",
+    "bigram_logprob",
+    "embedding_quantize",
+    "scd2_history",
 ]
 
 

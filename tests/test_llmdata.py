@@ -568,3 +568,79 @@ def test_neardup_inject_offset_derived_from_corpus(spark):
     for r in rows:
         assert r["id_b"] == r["id_a"] + top + 1
         assert r["id_b"] > top  # derived offset clears all real ids
+
+
+def test_bigram_logprob_semantics(spark):
+    """Hand-checkable corpus: with docs 'a b', 'a b', 'a c', bigram
+    'a b' has p = 2/3 and 'a c' p = 1/3 (context 'a' seen 3x).
+    Single-token and empty docs contribute no bigrams and drop out."""
+    from b3_analytics_engine_spark.queries import registry
+    import math
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+        shutil.move(part, os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in registry()["bigram_logprob"].fn(spark, td).collect()
+        }
+    assert set(out) == {1, 2, 3}  # no bigrams for 'solo' / ''
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - round(math.log(2 / 3), 6)) < 1e-9
+    assert abs(out[3]["avg_logprob"] - round(math.log(1 / 3), 6)) < 1e-9
+
+
+def test_embedding_quantize_codes_bounded(spark):
+    """At any fixture, |code| stays within int8 range (the 6-decimal
+    scale rounding can push the extreme element at most a few ulps)
+    and RMSE is below half a quantization step."""
+    from b3_analytics_engine_spark.queries import registry
+
+    rows = registry()["embedding_quantize"].fn(spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_dims"] == 64
+        assert r["q_max"] <= 127
+        assert r["scale"] > 0
+        # worst-case per-element error is scale/2 -> RMSE < scale/2
+        assert r["quant_rmse"] <= r["scale"] / 2 + 1e-9
+
+
+def test_embedding_quantize_zero_vector_guard(spark):
+    """An all-zero vector must quantize to all-zero codes with zero
+    error, not divide-by-zero."""
+    from b3_analytics_engine_spark.queries import llmdata  # noqa: F401
+    import os
+    import tempfile
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        vecs.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+        shutil.move(part, os.path.join(td, "embeddings.parquet"))
+        from b3_analytics_engine_spark.queries import registry
+
+        out = {
+            r["vec_id"]: r
+            for r in registry()["embedding_quantize"].fn(spark, td).collect()
+        }
+    assert out[0]["scale"] == 0.0
+    assert out[0]["q_max"] == 0
+    assert out[0]["quant_rmse"] == 0.0
+    assert out[1]["q_max"] == 127  # absmax element maps to +/-127

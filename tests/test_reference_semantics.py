@@ -228,3 +228,62 @@ def test_audited_warehouse_rows_match_silent_path(spark):
     assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, silent.collect()))
     bad = {r["symbol"]: r["failed_rules"] for r in quarantined.collect()}
     assert bad == {"VALE3": "close_present"}
+
+
+def test_scd2_history_intervalization(spark):
+    """SCD2 gaps-and-islands on a literal change feed: consecutive
+    repeats collapse, intervals chain [valid_from, valid_to), the
+    last version per key is open-ended + flagged current, and a NULL
+    value run is handled null-safely (IS DISTINCT FROM, not <>)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: A A B B A  -> versions A, B, A
+        (0, ts(0), 1, "A", 0.0, "{}"),
+        (1, ts(1), 1, "A", 0.0, "{}"),
+        (2, ts(2), 1, "B", 0.0, "{}"),
+        (3, ts(3), 1, "B", 0.0, "{}"),
+        (4, ts(4), 1, "A", 0.0, "{}"),
+        # user 2: NULL NULL C -> versions NULL, C
+        (5, ts(0), 2, None, 0.0, "{}"),
+        (6, ts(1), 2, None, 0.0, "{}"),
+        (7, ts(2), 2, "C", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+        part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+        shutil.move(part, os.path.join(td, "events.parquet"))
+        out = registry()["scd2_history"].fn(spark, td).collect()
+
+    u1 = sorted(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["version"]
+    )
+    assert [r["event_type"] for r in u1] == ["A", "B", "A"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    # intervals chain: each valid_to == next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+    assert all(r["is_current"] == 0 for r in u1[:2])
+
+    u2 = sorted(
+        (r for r in out if r["user_id"] == 2), key=lambda r: r["version"]
+    )
+    assert [r["event_type"] for r in u2] == [None, "C"]
+    assert u2[0]["valid_to"] == u2[1]["valid_from"]
