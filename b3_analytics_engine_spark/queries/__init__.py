@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 117 registered queries, registration order
+# entries each round. With 121 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -72,29 +72,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dominant_suppliers", "product_profit", "important_parts",
     "unigram_logprob", "tfidf_topterms",
     "embedding_neardup", "embedding_neardup_exact",
-    # (c) round-5-new, never externally sampled (8)
+    # (c) round-5-new, never externally sampled (12)
     "image_decode_stats", "audio_decode_stats", "image_resize_stats",
     "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
-    "embedding_quantize", "scd2_history",
-    # (d) r3-green, unchanged — complex-plan subset (9)
+    "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
+    "oov_rate", "mixture_rebalance", "feature_hashing",
+    # (d) r3-green, unchanged — complex-plan subset (5)
     "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
-    "pii_flag", "importance_resample", "label_centroids",
-    "semi_anti_join", "pricing_summary", "shipping_priority",
+    "pii_flag", "label_centroids",
 )
 # Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence) and 17 round-3-green queries
+# possible evidence) and 21 round-3-green queries
 # (filter_project, in_list_filter, time_range_filter,
 # cast_coerce_nulls, null_handling, scalar_functions,
 # multi_key_sort_limit, char_entropy, heavy_hitters,
 # time_rollup_hierarchy, json_payload_parse, order_priority_check,
 # customer_order_histogram, large_volume_customer,
-# sql_interface_revenue, forecast_revenue, ewma_per_key) whose plans
-# are unchanged and pinned by tests/test_plans.py or the local parity
-# suite. Until round 5 results land, the eight (c)-queries rely on
-# the local oracle-parity suite only; every other registered query
-# has >=1 external green row across rounds 1-4, and no query's newest
-# row is older than round 3 after this window lands. All registered
-# queries are re-checked by tests/test_oracle_parity.py every run.
+# sql_interface_revenue, forecast_revenue, ewma_per_key,
+# importance_resample, semi_anti_join, pricing_summary,
+# shipping_priority) whose plans are unchanged and pinned by
+# tests/test_plans.py or the local parity suite. Until round 5
+# results land, the twelve (c)-queries rely on the local
+# oracle-parity suite only; every other registered query has >=1
+# external green row across rounds 1-4, and no query's newest row is
+# older than round 3 after this window lands. All registered queries
+# are re-checked by tests/test_oracle_parity.py every run.
 
 
 def registry() -> dict[str, QuerySpec]:

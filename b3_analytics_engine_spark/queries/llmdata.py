@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import bloom as B
+from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
@@ -1894,4 +1895,248 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.redact_pii("text").alias("redacted"),
         n.cast("long").alias("n_redactions"),
+    )
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         array_to_string(
+           (regexp_split_to_array(trim(text), '\\s+'))[1:2], ' '
+         ) AS blk
+  FROM documents
+), c AS (
+  SELECT blk, count(*) AS nb FROM d GROUP BY 1
+), db AS (
+  SELECT d.* FROM d JOIN c USING (blk) WHERE nb <= 64
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+       CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+FROM db a JOIN db b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * 5 <= greatest(len(a.text), len(b.text))
+""",
+    survey="ext:dedup-fuzzy-edit-distance",
+    description="Blocked edit-distance near-dup pairs — the EXACT "
+    "verification tier of the dedup family (MinHash/SimHash find "
+    "candidates; character-level Levenshtein <= 20% of length is "
+    "the classic confirm): docs sharing a first-2-token block key "
+    "are pair-joined within the block and kept when "
+    "5*lev <= max(len) (integer arithmetic, no float compare). "
+    "Scale shape: equi-join on the block key (one shuffle), "
+    "quadratic cost confined within blocks, and a hot-block cap "
+    "(nb <= 64, mirrored in the oracle) bounds any degenerate "
+    "prefix exactly like the n-gram DF cap — never all-pairs.",
+)
+def fuzzy_levenshtein_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    db = d.withColumn(
+        "blk", F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 2))
+    )
+    small_blocks = (
+        db.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= 64)
+        .select("blk")
+    )
+    dbc = db.join(small_blocks, "blk").localCheckpoint(eager=False)
+    a, b = dbc.alias("a"), dbc.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    max_len = F.greatest(
+        F.length(F.col("a.text")), F.length(F.col("b.text"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(lev * 5 <= max_len)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            lev.cast("long").alias("edit_distance"),
+            max_len.cast("long").alias("max_len"),
+        )
+    )
+
+
+@register(
+    "oov_rate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), v AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS tf FROM tok GROUP BY 1
+    ORDER BY tf DESC, tok ASC LIMIT 16
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_ratio
+FROM tok t LEFT JOIN v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+    survey="ext:vocab-coverage",
+    description="Tokenizer vocabulary coverage: per-document "
+    "out-of-vocabulary token count/ratio against the corpus top-16 "
+    "tokens by frequency (ties at the cutoff broken by token text, "
+    "deterministically, in both engines) — the coverage check run "
+    "before committing a tokenizer vocab to a training corpus. The "
+    "vocab is a constant-bounded top-k (broadcast); the only "
+    "full-data shuffles are the tf count and the per-doc agg.",
+)
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).localCheckpoint(eager=False)
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(16)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(hint_small(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+@register(
+    "mixture_rebalance",
+    oracle="""
+WITH n AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n_s) AS mn FROM n
+), r AS (
+  SELECT source,
+         CAST(floor(1000.0 * m.mn / n.n_s) AS BIGINT) AS rate_permille
+  FROM n, m
+)
+SELECT d.doc_id, d.source, r.rate_permille,
+       ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 1000 AS bucket_permille
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 1000 < r.rate_permille
+""",
+    survey="ext:curation-data-mixing",
+    description="Dataset mixture rebalancing: derive per-source "
+    "keep-rates that equalize the source distribution (uniform "
+    "target: rate_s = min_count/n_s, the largest rates with no "
+    "upsampling), then keep rows by the same deterministic "
+    "md5-uniform coin as stratified_sample — reproducible across "
+    "engines and epochs. Unlike stratified_sample's STATIC rate "
+    "dict, the rates here are COMPUTED from the corpus (one "
+    "groups-sized aggregate, broadcast back), which is how a real "
+    "mixing stage chases a target blend as sources grow. One "
+    "full-data shuffle (source counts); the keep decision is "
+    "scan-stage.",
+)
+def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = n.agg(F.min("n_s").alias("mn"))
+    rates = n.crossJoin(hint_small(mn)).select(
+        "source",
+        F.floor(1000.0 * F.col("mn") / F.col("n_s"))
+        .cast("long")
+        .alias("rate_permille"),
+    )
+    bucket = C.md5_bucket(F.col("doc_id"), 1000)
+    return (
+        d.join(hint_small(rates), "source")
+        .withColumn("bucket_permille", bucket)
+        .filter(F.col("bucket_permille") < F.col("rate_permille"))
+        .select(
+            "doc_id", "source", "rate_permille", "bucket_permille"
+        )
+    )
+
+
+@register(
+    "feature_hashing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::BIGINT % 32 AS bucket,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT doc_id FROM documents
+)
+SELECT g.doc_id,
+       CAST(sum(coalesce(b.c, 0)) AS BIGINT) AS n_tokens,
+       list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY r.i) AS features
+FROM grid g
+CROSS JOIN range(0, 32) r(i)
+LEFT JOIN b ON b.doc_id = g.doc_id AND b.bucket = r.i
+GROUP BY g.doc_id
+""",
+    survey="ext:feature-hashing",
+    description="Hashing-trick bag-of-words: each document becomes "
+    "a dense 32-bucket term-count vector, bucket = md5(token) % 32 "
+    "— the fixed-width featurization that needs NO vocabulary "
+    "broadcast or fitting pass (the property that makes it the "
+    "standard first featurizer at 100 TB). The md5 bucket is the "
+    "same cross-engine-reproducible hash as the sampling family, "
+    "so the DuckDB oracle rebuilds identical vectors. One shuffle "
+    "to (doc, bucket) counts, one to assemble the per-doc array; "
+    "vector width is a constant, so the dense assembly via "
+    "map_from_entries + sequence is bounded per row.",
+)
+def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    counts = tok.groupBy(
+        "doc_id", C.md5_bucket(F.col("tok"), 32).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "transform(sequence(0, 31),"
+                " i -> coalesce(try_element_at(m, cast(i as bigint)), 0L))"
+            ).alias("features"),
+        )
     )

@@ -88,6 +88,10 @@ HEADLINE = [
     "bigram_logprob",
     "embedding_quantize",
     "scd2_history",
+    "fuzzy_levenshtein_pairs",
+    "oov_rate",
+    "mixture_rebalance",
+    "feature_hashing",
 ]
 
 

@@ -644,3 +644,117 @@ def test_embedding_quantize_zero_vector_guard(spark):
     assert out[0]["q_max"] == 0
     assert out[0]["quant_rmse"] == 0.0
     assert out[1]["q_max"] == 127  # absmax element maps to +/-127
+
+
+def _write_docs(spark, td, rows):
+    import glob
+    import os
+    import shutil
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    docs.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+    part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+    shutil.move(part, os.path.join(td, "documents.parquet"))
+    shutil.rmtree(os.path.join(td, "tmp"))
+
+
+def test_fuzzy_levenshtein_pairs_semantics(spark):
+    """Same-block docs within 20% edit distance pair up; a same-block
+    doc beyond the threshold and a different-block near-identical doc
+    do not (blocking recall trade documented in the query)."""
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    base = "alpha beta " + "x" * 40
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base + "yy", "en", "s", 0),        # lev 2 -> pair
+        (3, "alpha beta " + "z" * 40, "en", "s", 0),  # lev 40 -> no
+        (4, "gamma beta " + "x" * 40, "en", "s", 0),  # other block
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, rows)
+        out = registry()["fuzzy_levenshtein_pairs"].fn(spark, td).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"], r["edit_distance"]) for r in out] == [
+        (1, 2, 2)
+    ]
+
+
+def test_oov_rate_semantics(spark):
+    """Vocab = top-16 by tf: with 17 distinct tokens, exactly the
+    rarest one (tie-broken by text) is OOV."""
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    # tokens t00..t15 appear twice (in doc 1 and 2), 'zz' once in doc 3
+    common = " ".join(f"t{i:02d}" for i in range(16))
+    rows = [
+        (1, common, "en", "s", 0),
+        (2, common, "en", "s", 0),
+        (3, "t00 zz", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, rows)
+        out = {
+            r["doc_id"]: r
+            for r in registry()["oov_rate"].fn(spark, td).collect()
+        }
+    assert out[1]["n_oov"] == 0 and out[1]["n_tokens"] == 16
+    assert out[3]["n_tokens"] == 2 and out[3]["n_oov"] == 1
+    assert abs(out[3]["oov_ratio"] - 0.5) < 1e-9
+
+
+def test_mixture_rebalance_rates(spark):
+    """The smallest source keeps everything (rate 1000); larger
+    sources get floor(1000*min/n) and end up approximately equal
+    after the md5 coin."""
+    from b3_analytics_engine_spark.queries import registry
+    from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, ORACLE_SF_DIR, "documents")
+    counts = {
+        r["source"]: r["c"]
+        for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    mn = min(counts.values())
+    out = registry()["mixture_rebalance"].fn(spark, ORACLE_SF_DIR)
+    rates = {
+        r["source"]: r["rate_permille"]
+        for r in out.select("source", "rate_permille").distinct().collect()
+    }
+    for s, n in counts.items():
+        assert rates[s] == (1000 * mn) // n
+    assert rates[min(counts, key=counts.get)] == 1000
+    kept = {
+        r["source"]: r["k"]
+        for r in out.groupBy("source").agg(F.count("*").alias("k")).collect()
+    }
+    # each source lands within sampling noise of the balanced target
+    for s, k in kept.items():
+        assert abs(k - counts[s] * rates[s] / 1000) <= 0.15 * mn + 5
+
+
+def test_feature_hashing_vector_invariants(spark):
+    """Vector entries sum to the token count, width is fixed at 32,
+    and the bucket of a known token matches the md5 reference."""
+    import hashlib
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    rows = [(1, "hello hello world", "en", "s", 0)]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, rows)
+        out = registry()["feature_hashing"].fn(spark, td).collect()[0]
+    assert len(out["features"]) == 32
+    assert sum(out["features"]) == out["n_tokens"] == 3
+    b_hello = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 32
+    b_world = int(hashlib.md5(b"world").hexdigest()[:8], 16) % 32
+    assert out["features"][b_hello] >= 2
+    assert out["features"][b_world] >= 1

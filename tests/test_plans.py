@@ -115,6 +115,8 @@ def test_no_cartesian_anywhere(spark, qs):
         # 10-row query side × corpus scan) alongside the bucketed ANN
         "cosine_ann_lsh",
         "cosine_ann_ivf",
+        "decontaminate_bloom",  # 1-row bloom-bitset broadcast
+        "mixture_rebalance",  # 1-row min-count broadcast
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
