@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 121 registered queries, registration order
+# entries each round. With 123 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -72,17 +72,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dominant_suppliers", "product_profit", "important_parts",
     "unigram_logprob", "tfidf_topterms",
     "embedding_neardup", "embedding_neardup_exact",
-    # (c) round-5-new, never externally sampled (12)
+    # (c) round-5-new, never externally sampled (14)
     "image_decode_stats", "audio_decode_stats", "image_resize_stats",
     "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
     "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
     "oov_rate", "mixture_rebalance", "feature_hashing",
-    # (d) r3-green, unchanged — complex-plan subset (5)
+    "dedup_keep_best", "anomaly_mad",
+    # (d) r3-green, unchanged — complex-plan subset (3)
     "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
-    "pii_flag", "label_centroids",
 )
 # Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence) and 21 round-3-green queries
+# possible evidence) and 23 round-3-green queries
 # (filter_project, in_list_filter, time_range_filter,
 # cast_coerce_nulls, null_handling, scalar_functions,
 # multi_key_sort_limit, char_entropy, heavy_hitters,
@@ -90,13 +90,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # customer_order_histogram, large_volume_customer,
 # sql_interface_revenue, forecast_revenue, ewma_per_key,
 # importance_resample, semi_anti_join, pricing_summary,
-# shipping_priority) whose plans are unchanged and pinned by
-# tests/test_plans.py or the local parity suite. Until round 5
-# results land, the twelve (c)-queries rely on the local
-# oracle-parity suite only; every other registered query has >=1
-# external green row across rounds 1-4, and no query's newest row is
-# older than round 3 after this window lands. All registered queries
-# are re-checked by tests/test_oracle_parity.py every run.
+# shipping_priority, pii_flag, label_centroids) whose plans are
+# unchanged and pinned by tests/test_plans.py or the local parity
+# suite. Until round 5 results land, the fourteen (c)-queries rely
+# on the local oracle-parity suite only; every other registered
+# query has >=1 external green row across rounds 1-4, and no query's
+# newest row is older than round 3 after this window lands. All
+# registered queries are re-checked by tests/test_oracle_parity.py
+# every run.
 
 
 def registry() -> dict[str, QuerySpec]:

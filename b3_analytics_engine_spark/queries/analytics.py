@@ -740,3 +740,68 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_current"),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value_r,
+       round(abs(e.value - m.med) / nullif(d.mad, 0), 6) AS mad_score,
+       CASE WHEN round(abs(e.value - m.med) / nullif(d.mad, 0), 6) > 3.5
+            THEN 1 ELSE 0 END AS is_outlier
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+""",
+    survey="ext:quality-robust-outliers (A7/W family)",
+    description="Robust per-group outlier detection via median "
+    "absolute deviation: |x - median| / MAD > 3.5 flags anomalies "
+    "without the mean/stddev's sensitivity to the outliers being "
+    "hunted (the modified-z-score rule). Two exact-percentile "
+    "aggregations (Spark percentile ≡ DuckDB quantile_cont, the "
+    "exact_percentiles precedent) + groups-sized broadcast joins; "
+    "the comparison happens on the ROUNDED score so both engines "
+    "flag identical rows. At 100 TB the exact percentiles swap for "
+    "approx_percentile sketches (the approx_aggregates path) with "
+    "the same plan shape.",
+)
+def anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = ev.join(hint_small(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+            "mad"
+        )
+    )
+    score = F.round(
+        F.try_divide(
+            F.abs(F.col("value") - F.col("med")),
+            F.nullif(F.col("mad"), F.lit(0.0)),
+        ),
+        6,
+    )
+    return (
+        with_med.join(hint_small(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            score.alias("mad_score"),
+            F.when(score > 3.5, 1).otherwise(0).alias("is_outlier"),
+        )
+    )

@@ -2030,51 +2030,52 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_rebalance",
     oracle="""
 WITH n AS (
-  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+  SELECT lang, count(*) AS n_s FROM documents GROUP BY 1
 ), m AS (
   SELECT min(n_s) AS mn FROM n
 ), r AS (
-  SELECT source,
+  SELECT lang,
          CAST(floor(1000.0 * m.mn / n.n_s) AS BIGINT) AS rate_permille
   FROM n, m
 )
-SELECT d.doc_id, d.source, r.rate_permille,
+SELECT d.doc_id, d.lang, r.rate_permille,
        ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          % 1000 AS bucket_permille
-FROM documents d JOIN r USING (source)
+FROM documents d JOIN r USING (lang)
 WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         % 1000 < r.rate_permille
 """,
     survey="ext:curation-data-mixing",
-    description="Dataset mixture rebalancing: derive per-source "
-    "keep-rates that equalize the source distribution (uniform "
+    description="Dataset mixture rebalancing: derive per-language "
+    "keep-rates that equalize the language distribution (uniform "
     "target: rate_s = min_count/n_s, the largest rates with no "
-    "upsampling), then keep rows by the same deterministic "
+    "upsampling — the fixture's lang skew, en≈3x fr, makes the "
+    "downsampling real), then keep rows by the same deterministic "
     "md5-uniform coin as stratified_sample — reproducible across "
     "engines and epochs. Unlike stratified_sample's STATIC rate "
     "dict, the rates here are COMPUTED from the corpus (one "
     "groups-sized aggregate, broadcast back), which is how a real "
     "mixing stage chases a target blend as sources grow. One "
-    "full-data shuffle (source counts); the keep decision is "
+    "full-data shuffle (lang counts); the keep decision is "
     "scan-stage.",
 )
 def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
     mn = n.agg(F.min("n_s").alias("mn"))
     rates = n.crossJoin(hint_small(mn)).select(
-        "source",
+        "lang",
         F.floor(1000.0 * F.col("mn") / F.col("n_s"))
         .cast("long")
         .alias("rate_permille"),
     )
     bucket = C.md5_bucket(F.col("doc_id"), 1000)
     return (
-        d.join(hint_small(rates), "source")
+        d.join(hint_small(rates), "lang")
         .withColumn("bucket_permille", bucket)
         .filter(F.col("bucket_permille") < F.col("rate_permille"))
         .select(
-            "doc_id", "source", "rate_permille", "bucket_permille"
+            "doc_id", "lang", "rate_permille", "bucket_permille"
         )
     )
 
@@ -2139,4 +2140,67 @@ def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> coalesce(try_element_at(m, cast(i as bigint)), 0L))"
             ).alias("features"),
         )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(
+           (regexp_split_to_array(trim(text), '\\s+'))[1:8], ' '
+         )) AS fp
+  FROM documents
+), g AS (
+  SELECT fp, max(n_chars) AS max_chars,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM d GROUP BY 1
+)
+SELECT g.fp AS fingerprint,
+       min(d.doc_id) AS keep_doc_id,
+       g.n_members,
+       g.max_chars
+FROM d JOIN g ON d.fp = g.fp AND d.n_chars = g.max_chars
+GROUP BY g.fp, g.n_members, g.max_chars
+""",
+    survey="ext:dedup-quality-aware",
+    description="Quality-aware dedup winner selection: among docs "
+    "sharing a first-8-token prefix fingerprint (the coarse key "
+    "under which the fixture's injected near-dups actually group), "
+    "keep the LONGEST variant, ties to the smallest doc_id — the "
+    "keep-the-fullest-copy policy real pipelines use instead of "
+    "keep-first. Deliberately built from pure min/max aggregates "
+    "(max n_chars per group, then min doc_id among the maxima) "
+    "rather than a struct-ordered max_by or a row_number window: "
+    "every aggregate is map-side combinable, the shuffle carries "
+    "16-byte fingerprints + two ints, and there are no cross-engine "
+    "struct-comparison semantics to match.",
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 8))
+    )
+    d2 = d.select(
+        "doc_id", "n_chars", fp.alias("fp")
+    ).localCheckpoint(eager=False)  # read twice: group stats + winner pick
+    g = d2.groupBy("fp").agg(
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    left, grp = d2.alias("l"), g.alias("g")
+    return (
+        left.join(
+            grp,
+            (F.col("l.fp") == F.col("g.fp"))
+            & (F.col("l.n_chars") == F.col("g.max_chars")),
+        )
+        .groupBy(
+            F.col("g.fp").alias("fingerprint"),
+            F.col("g.n_members").alias("n_members"),
+            F.col("g.max_chars").alias("max_chars"),
+        )
+        .agg(F.min(F.col("l.doc_id")).alias("keep_doc_id"))
+        .select("fingerprint", "keep_doc_id", "n_members", "max_chars")
     )

@@ -92,6 +92,8 @@ HEADLINE = [
     "oov_rate",
     "mixture_rebalance",
     "feature_hashing",
+    "dedup_keep_best",
+    "anomaly_mad",
 ]
 
 

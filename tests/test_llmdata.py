@@ -710,32 +710,33 @@ def test_oov_rate_semantics(spark):
 
 
 def test_mixture_rebalance_rates(spark):
-    """The smallest source keeps everything (rate 1000); larger
-    sources get floor(1000*min/n) and end up approximately equal
-    after the md5 coin."""
+    """The smallest language keeps everything (rate 1000); larger
+    ones get floor(1000*min/n) and end up approximately equal after
+    the md5 coin (the fixture's lang skew makes this a real cut)."""
     from b3_analytics_engine_spark.queries import registry
     from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, load_table
     import pyspark.sql.functions as F
 
     d = load_table(spark, ORACLE_SF_DIR, "documents")
     counts = {
-        r["source"]: r["c"]
-        for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()
+        r["lang"]: r["c"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()
     }
     mn = min(counts.values())
+    assert max(counts.values()) > 2 * mn  # the fixture skew is real
     out = registry()["mixture_rebalance"].fn(spark, ORACLE_SF_DIR)
     rates = {
-        r["source"]: r["rate_permille"]
-        for r in out.select("source", "rate_permille").distinct().collect()
+        r["lang"]: r["rate_permille"]
+        for r in out.select("lang", "rate_permille").distinct().collect()
     }
     for s, n in counts.items():
         assert rates[s] == (1000 * mn) // n
     assert rates[min(counts, key=counts.get)] == 1000
     kept = {
-        r["source"]: r["k"]
-        for r in out.groupBy("source").agg(F.count("*").alias("k")).collect()
+        r["lang"]: r["k"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("k")).collect()
     }
-    # each source lands within sampling noise of the balanced target
+    # each language lands within sampling noise of the balanced target
     for s, k in kept.items():
         assert abs(k - counts[s] * rates[s] / 1000) <= 0.15 * mn + 5
 
@@ -758,3 +759,30 @@ def test_feature_hashing_vector_invariants(spark):
     b_world = int(hashlib.md5(b"world").hexdigest()[:8], 16) % 32
     assert out["features"][b_hello] >= 2
     assert out["features"][b_world] >= 1
+
+
+def test_dedup_keep_best_longest_wins(spark):
+    """Within a shared-prefix group the longest doc wins; equal
+    lengths tie-break to the smallest doc_id; singletons keep
+    themselves."""
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    prefix = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (1, prefix + " tail", "en", "s", 13),
+        (2, prefix + " much longer tail here", "en", "s", 30),
+        (3, prefix + " x", "en", "s", 10),
+        (7, prefix + " equally long tail col", "en", "s", 30),  # tie w/ 2
+        (9, "q1 q2 q3 q4 q5 q6 q7 q8 solo", "en", "s", 29),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, rows)
+        out = registry()["dedup_keep_best"].fn(spark, td).collect()
+    by_n = {r["n_members"]: r for r in out}
+    assert set(by_n) == {4, 1}
+    grp = by_n[4]
+    assert grp["max_chars"] == 30
+    assert grp["keep_doc_id"] == 2  # tie 2 vs 7 -> min doc_id
+    assert by_n[1]["keep_doc_id"] == 9

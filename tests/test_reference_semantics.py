@@ -287,3 +287,41 @@ def test_scd2_history_intervalization(spark):
     )
     assert [r["event_type"] for r in u2] == [None, "C"]
     assert u2[0]["valid_to"] == u2[1]["valid_from"]
+
+
+def test_anomaly_mad_flags_and_zero_mad_guard(spark):
+    """A gross outlier gets |x-med|/MAD > 3.5; a constant-valued
+    group has MAD 0 and must yield NULL scores (no div-by-zero) and
+    no flags."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from b3_analytics_engine_spark.queries import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # type A: tight cluster around 10 + one far outlier
+        *[(i, t0, 1, "A", v, "{}") for i, v in enumerate(
+            [9.0, 9.5, 10.0, 10.5, 11.0, 100.0])],
+        # type B: constant -> MAD = 0
+        *[(10 + i, t0, 1, "B", 5.0, "{}") for i in range(4)],
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+        part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+        shutil.move(part, os.path.join(td, "events.parquet"))
+        out = registry()["anomaly_mad"].fn(spark, td).collect()
+
+    a = {r["event_id"]: r for r in out if r["event_type"] == "A"}
+    assert a[5]["is_outlier"] == 1 and a[5]["mad_score"] > 3.5
+    assert all(a[i]["is_outlier"] == 0 for i in range(5))
+    b = [r for r in out if r["event_type"] == "B"]
+    assert all(r["mad_score"] is None and r["is_outlier"] == 0 for r in b)
