@@ -617,6 +617,80 @@ def duplicated_spans(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Dataset-level n-gram overlap matrix: for every pair of corpus
+    groups (sources), the Jaccard similarity of their distinct
+    n-token-shingle SETS — the diagnostic that tells a curation
+    pipeline which upstream dumps are near-copies of each other
+    BEFORE doc-level dedup spends a shuffle on them (e.g. two
+    CommonCrawl snapshots vs a curated dump).
+
+    Scale design: the corpus-sized work is one distinct
+    (group, shingle) projection of the inverted index the doc-level
+    Jaccard path already builds — after it, every shingle has at most
+    ``n_groups`` postings, so the pair join fans out ≤ n_groups² rows
+    per shingle and the aggregate is map-side combinable on
+    (group_a, group_b) keys (cardinality n_groups², tiny). No
+    document-frequency cap is needed at this granularity: hot
+    shingles cannot explode a posting list that is bounded by the
+    number of groups.
+
+    Group pairs sharing zero shingles are absent from the output
+    (inner-join semantics, same contract as the doc-level pair
+    queries). Returns (group_a, group_b, n_common, jaccard),
+    ``group_a < group_b``, jaccard rounded to 6 dp.
+    """
+    post = shingle_postings(df, id_col, text_col, n)
+    src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    # three consumers (sizes + both self-join sides) — materialize the
+    # distinct (group, shingle) set once or Catalyst rebuilds the whole
+    # inverted index per branch (stance 5b)
+    gs = (
+        post.join(src, "id")
+        .select("grp", "sh")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a = gs.alias("a")
+    b = gs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("group_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("grp").alias("group_b"), F.col("sz").alias("_sb"))
+    from .joins import hint_small
+
+    return (
+        inter.join(hint_small(sa), "group_a")
+        .join(hint_small(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

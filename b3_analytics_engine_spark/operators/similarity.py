@@ -394,6 +394,96 @@ def cosine_ann_ivf(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    cosine ≥ ``threshold`` pairs ONLY within each cluster, take
+    connected components of the pair graph, keep the minimum id per
+    component.
+
+    The third embedding-dedup strategy beside the exact all-pairs
+    baseline (:func:`embedding_neardup_exact`) and RHP-LSH bucketing
+    (:func:`embedding_neardup_pairs`) — the right one when the corpus
+    is *clustered*: near-dups concentrate inside semantic clusters, so
+    the quadratic pair join runs per-cell on ~N/C rows instead of
+    hash buckets whose occupancy the data controls.
+
+    100 TB scale design: centroids train on a bounded hash-sample
+    (:func:`kmeans_centroids`, ≤32 MB driver numpy); the corpus is
+    scanned once for cell assignment (one Arrow matmul per batch);
+    the pair join is an equi-join on ``cell`` — one hash shuffle
+    whose largest task is the largest cell, so ``n_clusters`` scales
+    with the corpus to keep cells bounded (SemDeDup uses 50k clusters
+    for LAION-scale; a skewed mega-cell is the signal to raise it, or
+    to sub-bucket that cell with RHP-LSH). The component map is tiny
+    vs the corpus (only docs with a ≥ threshold pair enter it) and
+    broadcasts back onto the id set.
+
+    Approximation contract: a cross-cell near-dup pair is MISSED by
+    construction (identical vectors always share a nearest centroid,
+    so exact duplicates are never missed; near-misses on a cell
+    boundary can be). Tests measure recall against the exact pair
+    graph; the registered query injects exact duplicates so the
+    whole pipeline is SQL-oracle-checkable.
+
+    Returns one row per input row: ``(id_col, component, keep)``
+    where ``component`` is the min id of the doc's near-dup component
+    (its own id when it has no ≥ threshold neighbor) and
+    ``keep = (component == id)``.
+    """
+    from .dedup import connected_components
+
+    centroids = kmeans_centroids(
+        df, n_clusters, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    )
+    v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
+    cells = ivf_assignments(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+        centroids,
+        "id",
+        "_v",
+        nprobe=1,
+    )
+    # (id, cell, vec): one hash shuffle on id to attach vectors, then
+    # the within-cell pair join shuffles on cell only; materialized
+    # once — both self-join sides would otherwise re-run the
+    # assignment UDF over the full corpus (stance 5b)
+    m = cells.join(v, "id").localCheckpoint(eager=False)
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    ids = v.select("id")
+    return (
+        ids.join(comp, ids["id"] == comp["node"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def embedding_neardup_exact(
     df: DataFrame,
     threshold: float = 0.95,

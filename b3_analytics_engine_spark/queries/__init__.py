@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 123 registered queries, registration order
+# entries each round. With 126 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -55,8 +55,7 @@ def register(
 # round (forced-broadcast-hint removal per VERDICT r4, plus the
 # derived embedding_neardup injection offset) — external
 # re-verification of the changed plans; (c) round-5-NEW queries with
-# zero external evidence; (d) more round-3-greens, preferring complex
-# plans (star joins, ANN, REST/JSON) over simple codegen scans.
+# zero external evidence.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) newest green row is round 2 (12)
     "tz_convert", "rollup_revenue", "ranking_suite", "cube_revenue",
@@ -72,18 +71,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dominant_suppliers", "product_profit", "important_parts",
     "unigram_logprob", "tfidf_topterms",
     "embedding_neardup", "embedding_neardup_exact",
-    # (c) round-5-new, never externally sampled (14)
+    # (c) round-5-new, never externally sampled (17)
     "image_decode_stats", "audio_decode_stats", "image_resize_stats",
     "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
     "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
     "oov_rate", "mixture_rebalance", "feature_hashing",
-    "dedup_keep_best", "anomaly_mad",
-    # (d) r3-green, unchanged — complex-plan subset (3)
-    "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
+    "dedup_keep_best", "anomaly_mad", "semantic_dedup",
+    "source_overlap", "event_transitions",
 )
 # Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence) and 23 round-3-green queries
-# (filter_project, in_list_filter, time_range_filter,
+# possible evidence) and 26 round-3-green queries
+# (approx_aggregates, cosine_ann_lsh, cosine_ann_ivf,
+# filter_project, in_list_filter, time_range_filter,
 # cast_coerce_nulls, null_handling, scalar_functions,
 # multi_key_sort_limit, char_entropy, heavy_hitters,
 # time_rollup_hierarchy, json_payload_parse, order_priority_check,
@@ -92,7 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # importance_resample, semi_anti_join, pricing_summary,
 # shipping_priority, pii_flag, label_centroids) whose plans are
 # unchanged and pinned by tests/test_plans.py or the local parity
-# suite. Until round 5 results land, the fourteen (c)-queries rely
+# suite. Until round 5 results land, the seventeen (c)-queries rely
 # on the local oracle-parity suite only; every other registered
 # query has >=1 external green row across rounds 1-4, and no query's
 # newest row is older than round 3 after this window lands. All

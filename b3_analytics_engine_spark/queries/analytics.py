@@ -805,3 +805,57 @@ def anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(score > 3.5, 1).otherwise(0).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH p AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type,
+         event_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, count(*) AS n_transitions
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n_transitions,
+       round(n_transitions /
+             (sum(n_transitions) OVER (PARTITION BY prev_type)), 6)
+         AS p_next
+FROM c
+""",
+    survey="ext:events-markov-transitions",
+    description="First-order Markov transition matrix over per-user "
+    "event streams: lag() pairs each event with its predecessor "
+    "(PARTITION BY user_id ORDER BY ts, event_id — the same "
+    "deterministic ordering the dedup/SCD2 windows use), then "
+    "P(next | prev) = count / row-total. The event-stream analog of "
+    "the bigram LM: one hash shuffle on user_id for the window, a "
+    "map-side-combinable count on |types|^2 keys, and a window "
+    "total over that tiny matrix — nothing corpus-sized survives "
+    "the first aggregate.",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"), "event_type"
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_next"),
+    )

@@ -852,6 +852,87 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), sizes AS (
+  SELECT source, count(*) AS sz FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = group_a
+JOIN sizes sb ON sb.source = group_b
+""",
+    survey="ext:dedup-source-overlap",
+    description="Dataset-level 3-gram overlap matrix: Jaccard of the "
+    "distinct shingle SETS of every source pair — which upstream "
+    "dumps are near-copies of each other, answered before doc-level "
+    "dedup spends a shuffle on them. One distinct (source, shingle) "
+    "projection of the same inverted index the doc-level path "
+    "builds; after it every posting list is bounded by the group "
+    "count, so the pair join cannot explode and the aggregate is "
+    "map-side combinable on n_groups^2 keys.",
+)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(d, group_col="source", n=3)
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+WITH off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+aug AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT o FROM off) AS vec_id
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id,
+       CASE WHEN vec_id >= (SELECT o FROM off)
+            THEN vec_id - (SELECT o FROM off) ELSE vec_id END AS component,
+       vec_id < (SELECT o FROM off) AS keep
+FROM aug
+""",
+    survey="ext:dedup-semantic-clusters",
+    description="SemDeDup-style semantic dedup (arXiv:2303.09540): "
+    "k-means cells over the embedding space, cosine >= 0.999 pairs "
+    "within cells only, connected components, keep = min id per "
+    "component. Third embedding-dedup strategy beside exact all-pairs "
+    "and RHP-LSH — per-cell quadratic work instead of hash buckets. "
+    "The fixture has no true near-dups, so the registered query "
+    "injects 50 exact duplicates at the corpus-derived offset "
+    "(identical vectors always share a nearest centroid, so cluster "
+    "assignment cannot split them) — making cluster -> pair-join -> "
+    "component -> keep fully hash-checkable; recall vs the exact "
+    "pair graph at looser thresholds is measured in tests.",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    off = emb.agg((F.max("vec_id") + 1).alias("_off"))
+    dup = (
+        emb.filter(F.col("vec_id") < 50)
+        .crossJoin(hint_small(off))  # 1-row scalar broadcast
+        .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    return S.semantic_dedup(aug, threshold=0.999, n_clusters=16)
+
+
+@register(
     "stratified_sample",
     oracle="""
 WITH b AS (

@@ -94,6 +94,12 @@ HEADLINE = [
     "feature_hashing",
     "dedup_keep_best",
     "anomaly_mad",
+    # SemDeDup-style clustered embedding dedup (third embedding-dedup
+    # strategy beside exact all-pairs and RHP-LSH), dataset-level
+    # source overlap, event-transition Markov matrix
+    "semantic_dedup",
+    "source_overlap",
+    "event_transitions",
 ]
 
 

@@ -140,6 +140,68 @@ def test_embedding_neardup_self_consistent(spark):
     assert got.get((0, 99999)) == 1.0
 
 
+def test_semantic_dedup_exact_dups_and_recall(spark):
+    emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
+
+    # (1) injected exact duplicates: identical vectors always share a
+    # nearest centroid, so they MUST be caught and the copy removed
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    out = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in S.semantic_dedup(aug, threshold=0.999).collect()
+    }
+    for i in range(20):
+        assert out[i] == (i, True)
+        assert out[i + 100000] == (i, False)
+    # no false removals: nothing else in the fixture is near-identical
+    assert all(keep for vid, (_, keep) in out.items() if vid < 100000)
+
+    # (2) vs the exact pair graph at a looser threshold: semantic
+    # pairs are a SUBSET of exact pairs (within-cell only), so every
+    # semantic removal must also be an exact-CC removal (soundness),
+    # and recall of removals has a measured floor on the fixture
+    exact_pairs = S.embedding_neardup_exact(emb, threshold=0.4)
+    comp = D.connected_components(exact_pairs, "id_a", "id_b")
+    exact_removed = {
+        r["node"] for r in comp.collect() if r["node"] != r["component"]
+    }
+    # 0.4 is far below the production near-dup band (cos -> 1, where
+    # part (1) measures recall = 1.0): at this loose cut the fixture's
+    # "pairs" are random-direction moderate similarity with no cluster
+    # structure for k-means to exploit, so recall is the price of cell
+    # pruning (measured 0.47-0.49 across 4/8 cells). The floor pins
+    # the worst-case regime; production thresholds sit in part (1)'s.
+    sem = S.semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    sem_removed = {r["vec_id"] for r in sem.collect() if not r["keep"]}
+    assert sem_removed <= exact_removed, "semantic removal not in exact CC"
+    if exact_removed:
+        recall = len(sem_removed) / len(exact_removed)
+        assert recall >= 0.35, f"semantic dedup recall {recall:.2f}"
+
+
+def test_source_overlap_matrix_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="A", text="a b c d"),
+            Row(doc_id=2, source="B", text="a b c d"),
+            Row(doc_id=3, source="B", text="b c d e"),
+            Row(doc_id=4, source="C", text="x y z w"),
+        ]
+    )
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["jaccard"])
+        for r in D.source_overlap_matrix(df).collect()
+    }
+    # A = {abc, bcd}; B = {abc, bcd, cde}; C = {xyz, yzw}
+    assert out[("A", "B")] == (2, round(2 / 3, 6))
+    # zero-overlap pairs are absent (inner-join contract)
+    assert ("A", "C") not in out and ("B", "C") not in out
+    assert len(out) == 1
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [
         Row(
