@@ -859,3 +859,49 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
         ).alias("p_next"),
     )
+
+
+@register(
+    "decayed_engagement",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events
+), mx AS (SELECT max(us) AS mx FROM e)
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS plain_sum,
+       round(sum(value * exp(-(ln(2) / 168.0)
+                             * ((mx - us) / 3600000000.0))), 6)
+         AS decayed_sum
+FROM e CROSS JOIN mx
+GROUP BY user_id
+""",
+    survey="ext:events-decayed-aggregates",
+    description="Recency-weighted engagement: per user, the "
+    "exponentially time-decayed sum of event values with a one-week "
+    "half-life, sum(value * 2^(-age_hours/168)), next to the plain "
+    "sum — the standard freshness feature for ranking/training "
+    "pipelines, and the aggregate form of EWMA (no per-row "
+    "recurrence, so it needs no ordered pass: one scalar max-ts "
+    "broadcast, one map-side-combinable groupBy). Ages are computed "
+    "from MICROsecond-truncated epochs on both engines so the "
+    "decay factors are bit-identical inputs to exp().",
+)
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("mx"))
+    decay = F.exp(
+        -(F.lit(0.6931471805599453) / F.lit(168.0))
+        * ((F.col("mx") - F.col("us")) / F.lit(3.6e9))
+    )
+    return (
+        ev.crossJoin(hint_small(mx))  # 1-row scalar broadcast
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("plain_sum"),
+            F.round(F.sum(F.col("value") * decay), 6).alias("decayed_sum"),
+        )
+    )

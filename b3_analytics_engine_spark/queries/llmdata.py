@@ -1540,6 +1540,89 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pmi_collocations",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), bi AS (
+  SELECT unnest(list_transform(
+    range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), c2 AS (
+  SELECT bg, count(*) AS c12 FROM bi GROUP BY bg
+), cf AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cf FROM bi GROUP BY 1
+), cs AS (
+  SELECT split_part(bg, ' ', 2) AS w2, count(*) AS cs FROM bi GROUP BY 1
+), n AS (SELECT count(*) AS n FROM bi)
+SELECT split_part(bg, ' ', 1) AS w1,
+       split_part(bg, ' ', 2) AS w2,
+       c12 AS n_pair,
+       round(ln(c12 * 1.0 * n / (cf * 1.0 * cs)), 6) AS pmi
+FROM c2
+JOIN cf ON split_part(bg, ' ', 1) = cf.w1
+JOIN cs ON split_part(bg, ' ', 2) = cs.w2
+CROSS JOIN n
+WHERE c12 >= 5
+""",
+    survey="ext:text-pmi-collocations",
+    description="Pointwise-mutual-information collocations: for every "
+    "adjacent token pair seen >= 5 times, "
+    "pmi = ln(c(w1 w2)*N / (c(w1 .)*c(. w2))) over positional "
+    "marginals — the classic phrase-mining statistic (high-PMI pairs "
+    "are multi-word expressions worth preserving as single tokens in "
+    "a tokenizer build; the complement of the bigram LM, which "
+    "scores docs, not pairs). Same one-shuffle bigram explode as "
+    "bigram_logprob; all three count tables reduce to vocabulary "
+    "size, N is a 1-row broadcast scalar, and the count floor makes "
+    "the output frame vocabulary-bounded, never corpus-bounded.",
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .localCheckpoint(eager=False)  # 4 consumers: c2/cf/cs/N
+    )
+    c2 = bg.groupBy("bg", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cf"))
+    cs = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cs"))
+    n = bg.agg(F.count(F.lit(1)).alias("_n"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("_n")
+            / (F.col("cf").cast("double") * F.col("cs"))
+        ),
+        6,
+    )
+    # cf/cs are vocabulary-bounded, not fixed-cardinality — no
+    # broadcast hint (AQE broadcasts them when they fit; a 100 TB
+    # corpus can push unique-token counts past any safe hint)
+    return (
+        c2.filter(F.col("c12") >= 5)
+        .join(cf, "w1")
+        .join(cs, "w2")
+        .crossJoin(hint_small(n))  # 1-row scalar broadcast
+        .select(
+            "w1", "w2", F.col("c12").alias("n_pair"), pmi.alias("pmi")
+        )
+    )
+
+
+@register(
     "pii_flag",
     oracle="""
 SELECT doc_id,

@@ -100,6 +100,9 @@ HEADLINE = [
     "semantic_dedup",
     "source_overlap",
     "event_transitions",
+    # PMI collocations (phrase mining), recency-decayed aggregates
+    "pmi_collocations",
+    "decayed_engagement",
 ]
 
 

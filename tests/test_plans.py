@@ -117,6 +117,9 @@ def test_no_cartesian_anywhere(spark, qs):
         "cosine_ann_ivf",
         "decontaminate_bloom",  # 1-row bloom-bitset broadcast
         "mixture_rebalance",  # 1-row min-count broadcast
+        "semantic_dedup",  # 1-row max-id broadcast (derived offset)
+        "pmi_collocations",  # 1-row bigram-total broadcast
+        "decayed_engagement",  # 1-row max-ts broadcast
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
