@@ -905,3 +905,66 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * decay), 6).alias("decayed_sum"),
         )
     )
+
+
+@register(
+    "beta_per_key",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS close
+  FROM events GROUP BY 1, 2
+), ret AS (
+  SELECT user_id, day,
+         close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1
+           AS rk
+  FROM daily
+), mkt AS (
+  SELECT day, avg(rk) AS rm FROM ret WHERE rk IS NOT NULL GROUP BY day
+), j AS (
+  SELECT r.user_id, r.rk, m.rm
+  FROM ret r JOIN mkt m USING (day)
+  WHERE r.rk IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_days,
+       round(covar_samp(rk, rm) / nullif(var_samp(rm), 0), 6) AS beta,
+       round(avg(rk) - (covar_samp(rk, rm) / nullif(var_samp(rm), 0))
+                       * avg(rm), 6) AS alpha
+FROM j
+GROUP BY user_id
+""",
+    survey="ext:finance-capm-beta (A5/W3 family)",
+    description="CAPM-style market beta per key: daily returns per "
+    "symbol (the reference's pct-change) regressed against the "
+    "equal-weight cross-sectional market return — beta = "
+    "cov(r_k, r_m)/var(r_m), alpha = the OLS intercept. The "
+    "regression upgrade of the correlation matrix (same single-pass "
+    "covariance aggregates, A5): one groupBy builds daily bars, one "
+    "window the returns, one day-keyed aggregate the market series "
+    "(days-bounded, broadcast-sized), and the final per-key "
+    "aggregates are all map-side combinable. Divisor guarded with "
+    "nullif on both engines.",
+)
+def beta_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("close")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    ret = daily.select(
+        "user_id",
+        "day",
+        (F.try_divide(F.col("close"), F.lag("close").over(wlag)) - 1).alias(
+            "rk"
+        ),
+    ).filter(F.col("rk").isNotNull())
+    mkt = ret.groupBy("day").agg(F.avg("rk").alias("rm"))
+    j = ret.join(hint_small(mkt), "day")  # days-bounded frame
+    beta = F.try_divide(
+        F.covar_samp("rk", "rm"), F.nullif(F.var_samp("rm"), F.lit(0.0))
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.avg("rk") - beta * F.avg("rm"), 6).alias("alpha"),
+    )

@@ -100,9 +100,11 @@ HEADLINE = [
     "semantic_dedup",
     "source_overlap",
     "event_transitions",
-    # PMI collocations (phrase mining), recency-decayed aggregates
+    # PMI collocations (phrase mining), recency-decayed aggregates,
+    # CAPM beta regression
     "pmi_collocations",
     "decayed_engagement",
+    "beta_per_key",
 ]
 
 
