@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 129 registered queries, registration order
+# entries each round. With 130 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -93,7 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # unchanged and pinned by tests/test_plans.py or the local parity
 # suite. Until round 5 results land, the seventeen (c)-queries rely
 # on the local oracle-parity suite only — as do pmi_collocations and
-# decayed_engagement and beta_per_key, landed after the 50-slot window
+# decayed_engagement, beta_per_key and containment_pairs, landed after the 50-slot window
 # and are first in line for the round-6 rotation; every other
 # registered query has >=1 external green row across rounds 1-4, and
 # no query's newest row is older than round 3 after this window

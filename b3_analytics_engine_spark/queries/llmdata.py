@@ -892,6 +892,77 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(n_common * 1.0 / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE n_common * 10 >= sa.sz * 8
+""",
+    survey="ext:dedup-containment",
+    description="ASYMMETRIC near-dup: shingle containment "
+    "|A intersect B| / |A| >= 0.8 — doc A is mostly inside doc B "
+    "(quotes, excerpts, sub-document copies), which a symmetric "
+    "Jaccard threshold structurally misses when |B| >> |A| "
+    "(J <= |A|/|B| regardless of overlap). Directed pairs over the "
+    "SAME inverted shingle index as the Jaccard path; the cut is "
+    "integer arithmetic (10*n >= 8*sz), so no float compare decides "
+    "membership on either engine. At corpus scale the identical "
+    "document-frequency cap the Jaccard path exposes "
+    "(max_shingle_df) bounds hot posting lists before this join.",
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    post = D.shingle_postings(d, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )  # 3 consumers: both join sides + sizes
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), "sz"), "id_a"
+        )
+        .filter(F.col("n_common") * 10 >= F.col("sz") * 8)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("sz"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+@register(
     "semantic_dedup",
     oracle="""
 WITH off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),

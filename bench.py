@@ -105,6 +105,8 @@ HEADLINE = [
     "pmi_collocations",
     "decayed_engagement",
     "beta_per_key",
+    # asymmetric containment near-dup (sub-document copies)
+    "containment_pairs",
 ]
 
 

@@ -202,6 +202,42 @@ def test_source_overlap_matrix_known_values(spark):
     assert len(out) == 1
 
 
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(10))  # prefix of big
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=big), Row(doc_id=2, text=small)]
+    )
+    # Jaccard at the registered 0.12 cut misses it: J = 8/98 ≈ 0.08
+    jac = D.ngram_jaccard_pairs(df, threshold=0.12)
+    assert jac.count() == 0
+    # containment catches the directed pair small→big: 8/8 = 1.0
+    # (same operator composition as the registered query, which is
+    # fixture-dir-bound)
+    post = D.shingle_postings(df, "doc_id", "text", 3)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in inter.join(
+            sizes.select(F.col("id").alias("id_a"), "sz"), "id_a"
+        )
+        .filter(F.col("n_common") * 10 >= F.col("sz") * 8)
+        .collect()
+    }
+    assert (2, 1) in got  # small contained in big
+    assert (1, 2) not in got  # big NOT contained in small
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [
         Row(
