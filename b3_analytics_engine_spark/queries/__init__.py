@@ -62,26 +62,32 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_measures", "exact_percentiles", "set_operations",
     "value_histogram", "top1_by_metric", "distinct_sorted_keys",
     "group_share", "text_stats",
-    # (b) r3-green, code touched in round 5 (21)
+    # (b) r3-green, code touched in round 5 (17) — the four simplest
+    # plan-locked shapes (small_order_quantity, dormant_customers,
+    # returned_item_customers, disjunctive_join_filter) ceded their
+    # slots to zero-evidence queries; their hint removal stays pinned
+    # by tests/test_plans.py
     "join_broadcast_dim", "join_normalized_key", "regional_revenue",
-    "promotion_effect", "small_order_quantity", "top_supplier_revenue",
-    "dormant_customers", "min_cost_supplier", "nation_trade_volume",
-    "returned_item_customers", "disjunctive_join_filter",
+    "promotion_effect", "top_supplier_revenue",
+    "min_cost_supplier", "nation_trade_volume",
     "waiting_suppliers", "market_share", "parts_supplier_stats",
     "dominant_suppliers", "product_profit", "important_parts",
     "unigram_logprob", "tfidf_topterms",
     "embedding_neardup", "embedding_neardup_exact",
-    # (c) round-5-new, never externally sampled (17)
+    # (c) round-5-new, never externally sampled (21)
     "image_decode_stats", "audio_decode_stats", "image_resize_stats",
     "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
     "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
     "oov_rate", "mixture_rebalance", "feature_hashing",
     "dedup_keep_best", "anomaly_mad", "semantic_dedup",
-    "source_overlap", "event_transitions",
+    "source_overlap", "event_transitions", "pmi_collocations",
+    "decayed_engagement", "beta_per_key", "containment_pairs",
 )
 # Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence) and 26 round-3-green queries
+# possible evidence) and 30 round-3-green queries
 # (approx_aggregates, cosine_ann_lsh, cosine_ann_ivf,
+# small_order_quantity, dormant_customers, returned_item_customers,
+# disjunctive_join_filter,
 # filter_project, in_list_filter, time_range_filter,
 # cast_coerce_nulls, null_handling, scalar_functions,
 # multi_key_sort_limit, char_entropy, heavy_hitters,
@@ -91,14 +97,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # importance_resample, semi_anti_join, pricing_summary,
 # shipping_priority, pii_flag, label_centroids) whose plans are
 # unchanged and pinned by tests/test_plans.py or the local parity
-# suite. Until round 5 results land, the seventeen (c)-queries rely
-# on the local oracle-parity suite only — as do pmi_collocations and
-# decayed_engagement, beta_per_key and containment_pairs, landed after the 50-slot window
-# and are first in line for the round-6 rotation; every other
-# registered query has >=1 external green row across rounds 1-4, and
-# no query's newest row is older than round 3 after this window
-# lands. All registered queries are re-checked by
-# tests/test_oracle_parity.py every run.
+# suite. Until round 5 results land, the twenty-one (c)-queries rely
+# on the local oracle-parity suite only; every other registered
+# query has >=1 external green row across rounds 1-4, and no query's
+# newest row is older than round 3 after this window lands. All
+# registered queries are re-checked by tests/test_oracle_parity.py
+# every run.
 
 
 def registry() -> dict[str, QuerySpec]:
