@@ -328,3 +328,32 @@ def test_topk_windows_compile_to_window_group_limit(spark, qs):
     # physical shape as topk_per_group
     df = qs["tfidf_topterms"].fn(spark, SMOKE_SF_DIR)
     assert has_node(df, "WindowGroupLimit"), "top-3 filter runs full window"
+
+
+def test_plan_shape_invariant_across_100x_fixture_scales(spark, qs):
+    # "Would this plan survive a 100x scale-up?" — asserted directly:
+    # for a representative slice of the headline families, the
+    # join-strategy multiset and the absence of global windows must be
+    # IDENTICAL at sf0.001 and sf0.1 (a 100x input spread; the dims in
+    # the join queries are fixture-fixed or KB-sized at both ends, so
+    # size-estimate-driven strategy flips would be a design smell, not
+    # AQE doing its job).
+    from b3_analytics_engine_spark.plans import global_windows, join_kinds
+
+    names = [
+        "pricing_summary",       # scan + agg
+        "filter_project",        # pushdown scan
+        "latest_per_key",        # max_by aggregate
+        "dedup_exact",           # fingerprint groupBy
+        "shard_assignment",      # hash shuffle + per-shard sort
+        "join_broadcast_dim",    # fixed 25-row dim join
+        "regional_revenue",      # 3-dim star join
+        "tumbling_window_agg",   # event-time windows
+        "event_transitions",     # lag window + agg
+        "snapshot_join",         # aggregate-before-join
+    ]
+    for name in names:
+        a = qs[name].fn(spark, "/root/testdata/sf0.001")
+        b = qs[name].fn(spark, "/root/testdata/sf0.1")
+        assert sorted(join_kinds(a)) == sorted(join_kinds(b)), name
+        assert global_windows(a) == [] and global_windows(b) == [], name
