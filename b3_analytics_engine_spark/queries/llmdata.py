@@ -1284,6 +1284,57 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_fuzzy",
+    oracle="WITH pairs AS ("
+    + _sql_minhash_oracle()
+    + """),
+x AS (
+  SELECT CASE WHEN id_a % 10 <> 0 THEN id_a ELSE id_b END AS doc_id,
+         jaccard
+  FROM pairs
+  WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+)
+SELECT doc_id, count(*) AS n_fuzzy_matches,
+       round(max(jaccard), 6) AS max_jaccard
+FROM x GROUP BY doc_id
+""",
+    survey="ext:curation-decontamination-fuzzy",
+    description="FUZZY train/eval decontamination: training docs "
+    "NEAR-duplicating a held-out doc (MinHash+LSH candidates, exact "
+    "Jaccard >= 0.12 verify, cross-split pairs only) — catches the "
+    "paraphrased/templated contamination the exact shared-shingle "
+    "join (`decontaminate`) under-weights and n-gram-exact "
+    "membership misses entirely. Reuses the portable md5 MinHash "
+    "pipeline, so the DuckDB oracle replays signatures -> bands -> "
+    "candidates -> verify bit-for-bit. The fixture derives both "
+    "corpora from one table (doc_id % 10), sharing the self-join "
+    "index; a dedicated two-corpus run band-joins train x eval "
+    "directly — same shape, strictly fewer candidates.",
+)
+def decontaminate_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=64, bands=16, n=3, threshold=0.12, portable=True
+    )
+    cross = pairs.filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    return (
+        cross.select(
+            F.when(F.col("id_a") % 10 != 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id"),
+            "jaccard",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+@register(
     "decontaminate_bloom",
     oracle="""
 WITH toks AS (

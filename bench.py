@@ -105,8 +105,10 @@ HEADLINE = [
     "pmi_collocations",
     "decayed_engagement",
     "beta_per_key",
-    # asymmetric containment near-dup (sub-document copies)
+    # asymmetric containment near-dup (sub-document copies), fuzzy
+    # cross-split decontamination
     "containment_pairs",
+    "decontaminate_fuzzy",
 ]
 
 
