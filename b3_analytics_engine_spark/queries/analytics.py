@@ -968,3 +968,39 @@ def beta_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round(F.avg("rk") - beta * F.avg("rm"), 6).alias("alpha"),
     )
+
+
+@register(
+    "ohlc_bars",
+    oracle="""
+SELECT user_id, CAST(ts AS DATE) AS day,
+       round(arg_min(value, epoch_ns(ts) // 1000), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, epoch_ns(ts) // 1000), 6) AS close,
+       count(*) AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+    survey="ext:finance-ohlc-resample (A2/W5 family)",
+    description="OHLC candle resample: per (symbol, day) the first/"
+    "highest/lowest/last tick value plus tick count — the canonical "
+    "time-series downsample every market pipeline starts from "
+    "(the reference's daily bars use period averages; OHLC is the "
+    "lossless-shape alternative). Single map-side-combinable "
+    "aggregate: open/close are min_by/max_by on the microsecond "
+    "epoch (first/last partial maxima merge associatively — one row "
+    "per key-day crosses the shuffle, never raw ticks). "
+    "Deterministic because (user_id, ts) is unique in the feed; "
+    "both engines key on the SAME micros-truncated epoch.",
+)
+def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.min_by("value", us), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", us), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

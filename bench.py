@@ -109,6 +109,8 @@ HEADLINE = [
     # cross-split decontamination
     "containment_pairs",
     "decontaminate_fuzzy",
+    # OHLC candle resample
+    "ohlc_bars",
 ]
 
 
