@@ -24,6 +24,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_PYFILES_SESSIONS: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile`` once per
+    session.
+
+    The Arrow-path operators (mapInPandas/applyInPandas) pickle their
+    module functions BY REFERENCE, so every worker must be able to
+    ``import b3_analytics_engine_spark``. When the driver process runs
+    from the repo directory (tests, bench, the grading driver) that
+    works through ``sys.path[0]`` — but a driver launched from any
+    other cwd without PYTHONPATH would fail ONLY on the UDF queries,
+    an environment-shaped failure worth closing structurally. The zip
+    is rebuilt per driver process (pid-suffixed), so workers can never
+    pick up a stale copy from an earlier run.
+    """
+    key = id(spark)
+    if key in _PYFILES_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"b3aes_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                for fn in filenames:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "b3_analytics_engine_spark",
+                        os.path.relpath(full, pkg_root),
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SESSIONS.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
@@ -35,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    _ensure_workers_can_import(spark)
     if name == "events":
         # The events fixture has shipped with three physical layouts
         # for ``ts``: TIMESTAMP(NANOS) — which Spark's vectorized
