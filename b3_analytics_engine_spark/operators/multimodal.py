@@ -126,6 +126,68 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pix
 
 
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for uncompressed 24-bit BMP (BI_RGB): pure Python.
+
+    Returns ``(width, height, 3, pixel_bytes)`` with ``pixel_bytes``
+    interleaved RGB, top-down — the same contract as
+    :func:`_parse_ppm`, so the stats path is codec-agnostic. Handles
+    the two BMP-specific raster rules: 4-byte row padding and
+    bottom-up row order (a negative DIB height means top-down, also
+    handled). Rejects palettes, compression, and any bpp other than
+    24 with ``ValueError`` so bad blobs quarantine instead of
+    crashing the batch.
+    """
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic / short header)")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} "
+            f"compression={compression}; need uncompressed 24-bit)"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    stride = ((width * 3 + 3) // 4) * 4
+    need = pix_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"truncated BMP raster: {len(payload)}/{need} bytes"
+        )
+    rows = []
+    row_range = range(height) if top_down else range(height - 1, -1, -1)
+    for r in row_range:
+        off = pix_offset + r * stride
+        row = payload[off : off + width * 3]
+        # BGR -> RGB per pixel
+        rows.append(
+            b"".join(
+                row[i + 2 : i + 3] + row[i + 1 : i + 2] + row[i : i + 1]
+                for i in range(0, width * 3, 3)
+            )
+        )
+    return width, height, 3, b"".join(rows)
+
+
+def _parse_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch on magic bytes: P6 → PPM, BM → BMP; anything else is a
+    ValueError (→ quarantine row)."""
+    if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    w, h, _maxval, pix = _parse_ppm(payload)
+    return w, h, 3, pix
+
+
 AUDIO_STATS_SCHEMA = (
     "media_id long, ok boolean, channels int, sample_rate int, "
     "bits int, n_frames long, duration_ms double, mean_amp double, "
@@ -257,12 +319,13 @@ def resize_image_ppm(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def decode_image_stats(df: DataFrame) -> DataFrame:
-    """REAL image decode via ``mapInPandas``: parse each binary PPM
-    payload and emit dimensions + per-channel pixel means — the same
-    Arrow-batch, zero-shuffle plan shape as :func:`extract_features`,
-    but with the codec actually running. Malformed payloads yield
-    ``ok=false`` rows (nulls elsewhere) instead of failing the batch —
-    at 100 TB some blobs WILL be corrupt."""
+    """REAL image decode via ``mapInPandas``: parse each binary PPM or
+    uncompressed-24-bit-BMP payload (magic-byte dispatch) and emit
+    dimensions + per-channel pixel means — the same Arrow-batch,
+    zero-shuffle plan shape as :func:`extract_features`, but with the
+    codec actually running. Malformed payloads yield ``ok=false`` rows
+    (nulls elsewhere) instead of failing the batch — at 100 TB some
+    blobs WILL be corrupt."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,7 +333,7 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, _maxval, pix = _parse_ppm(payload)
+                    w, h, _nc, pix = _parse_image(payload)
                     a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
                     means = a.mean(axis=0)
                     rows.append(

@@ -545,6 +545,88 @@ def test_ppm_parser_rejects_malformed():
             _parse_ppm(bad)
 
 
+def _bmp_bytes(width, height, rows_bgr_topdown, top_down=False):
+    """Build an uncompressed 24-bit BMP. rows_bgr_topdown: list of
+    rows (top to bottom), each a bytes of BGR triplets."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = rows_bgr_topdown if top_down else rows_bgr_topdown[::-1]
+    raster = b"".join(
+        r + b"\x00" * (stride - len(r)) for r in rows
+    )
+    pix_offset = 14 + 40
+    file_size = pix_offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return header + dib + raster
+
+
+def test_bmp_parser_padding_roworder_and_malformed():
+    """3x2 BMP: odd row width forces 4-byte padding; bottom-up AND
+    top-down storage must decode to the SAME top-down RGB plane."""
+    import numpy as np
+    import pytest as _pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import _parse_bmp
+
+    # top row pixels (RGB): (1,2,3) (4,5,6) (7,8,9)
+    # bottom row pixels:    (10,11,12) (13,14,15) (16,17,18)
+    top_bgr = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7])
+    bot_bgr = bytes([12, 11, 10, 15, 14, 13, 18, 17, 16])
+    want_rgb = bytes(range(1, 19))
+    for td in (False, True):
+        w, h, nc, pix = _parse_bmp(
+            _bmp_bytes(3, 2, [top_bgr, bot_bgr], top_down=td)
+        )
+        assert (w, h, nc) == (3, 2, 3)
+        assert pix == want_rgb, f"top_down={td}"
+    means = np.frombuffer(want_rgb, np.uint8).reshape(-1, 3).mean(axis=0)
+    assert list(means) == [8.5, 9.5, 10.5]
+
+    good = _bmp_bytes(3, 2, [top_bgr, bot_bgr])
+    for bad in (
+        b"",  # empty
+        good[:30],  # short header
+        good[:-3],  # truncated raster
+        good[:28] + bytes([8, 0]) + good[30:],  # bpp=8
+        good[:30] + bytes([1, 0, 0, 0]) + good[34:],  # compressed (RLE8)
+    ):
+        with _pytest.raises(ValueError):
+            _parse_bmp(bad)
+
+
+def test_decode_image_stats_dispatches_ppm_and_bmp(spark):
+    from pyspark.sql import types as T
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        decode_image_stats,
+    )
+
+    ppm = b"P6\n1 2\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    bmp = _bmp_bytes(1, 2, [bytes([30, 20, 10]), bytes([70, 60, 50])])
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, ppm), (2, bmp)], schema)
+    got = {
+        r["media_id"]: (
+            r["ok"], r["width"], r["height"],
+            r["mean_r"], r["mean_g"], r["mean_b"],
+        )
+        for r in decode_image_stats(df).collect()
+    }
+    # same pixels through both codecs -> identical stats
+    assert got[1] == got[2] == (True, 1, 2, 30.0, 40.0, 50.0)
+
+
 def test_decode_image_stats_quarantines_bad_blobs(spark):
     """Corrupt payloads must come back ok=false with null stats — not
     crash the Arrow batch (at 100 TB some blobs WILL be corrupt)."""
