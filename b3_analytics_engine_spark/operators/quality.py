@@ -167,3 +167,24 @@ def orphan_count(
         F.col("_n").alias("n_rows"),
         rate.alias("violation_rate"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: every
+    equivalence class with its size and whether it re-identifies
+    (size < k) — the privacy check a curation pipeline runs before a
+    table with demographic-ish columns is released for training
+    (Sweeney 2002, public definition).
+
+    Scale design: one ``groupBy`` over the QI columns — the output is
+    bounded by QI cardinality, not row count, and the count is
+    map-side combined. Pairs with :func:`~..operators.text.redact_pii`
+    (row contents) the way this audits row LINKABILITY.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < k)
+    )

@@ -558,3 +558,102 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _h60(expr: Column) -> Column:
+    """60-bit md5-derived hash of a string expression — deterministic
+    across engines (DuckDB replay:
+    ``('0x' || substr(md5(expr), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def negative_sampling(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: for each query
+    row, ``k`` pseudo-random corpus rows with a DIFFERENT label — the
+    negatives a contrastive-training pipeline pairs with each anchor.
+
+    Scale design: a true uniform draw would need a global shuffle (or
+    driver-side sampling) per epoch. Instead every corpus row is
+    assigned a stable md5 hash bucket once; each (query, probe j)
+    derives a target bucket from ``md5(query:j)`` and equi-joins into
+    it, then keeps the candidate minimizing ``md5(query:j:cand)``.
+    Everything is a pure function of the row ids, so retries, other
+    engines, and epoch replays agree; bumping the probe-salt is a
+    fresh epoch of negatives with zero state. One equi-join on the
+    bucket key + a per-(query, probe) top-1 window over one bucket's
+    rows (~N / n_buckets — size the knob so a bucket fits an
+    executor; at 100 TB use 2^20 buckets, not 64).
+
+    Returns ``(query_id, probe, neg_id, neg_label)``; a probe whose
+    bucket holds no eligible candidate yields no row (deterministic).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.pmod(
+            _h60(F.concat(F.col(id_col).cast("string"), F.lit(":nb"))),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))
+            ).alias("_probe_i"),
+        )
+        .withColumn("probe", F.col("_probe_i").cast("long"))
+        .drop("_probe_i")
+        .withColumn(
+            "bucket",
+            F.pmod(
+                _h60(
+                    F.concat(
+                        F.col("query_id").cast("string"),
+                        F.lit(":"),
+                        F.col("probe").cast("string"),
+                        F.lit(":probe"),
+                    )
+                ),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    cand = (
+        probes.join(c, "bucket")
+        .filter(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .withColumn(
+            "pick",
+            _h60(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("probe").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id", "probe").orderBy("pick", "neg_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "probe", "neg_id", "neg_label")
+    )

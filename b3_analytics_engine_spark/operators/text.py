@@ -196,3 +196,47 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(c).alias("fingerprint"),
         lang_id(c).alias("lang_guess"),
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", min_count: int = 50
+) -> DataFrame:
+    """First BPE merge iteration: adjacent character-pair frequencies
+    over the corpus, the statistic a tokenizer build computes before
+    each merge (Sennrich et al. 2016, public algorithm).
+
+    Scale design — the classic BPE trick: aggregate the corpus to a
+    token-frequency table FIRST (vocabulary-bounded, one shuffle over
+    16-byte-ish tokens), then explode character pairs over DISTINCT
+    tokens only, weighting each pair by the token's corpus count. The
+    expensive per-character explode therefore runs over |vocab| rows,
+    not |corpus| rows — at 100 TB the vocabulary is millions while the
+    corpus is trillions of tokens. Pure codegen'd SQL (substring over
+    a sequence); no UDF.
+
+    Returns ``(a, b, pair_count)`` for pairs seen ≥ ``min_count``
+    times (weighted) — the arg-max row is the first merge.
+    """
+    tok = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+    )
+    pairs = tok.select(
+        "tok_cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> struct(substring(tok, i, 1) AS a,"
+                "             substring(tok, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        )
+        .agg(F.sum("tok_cnt").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )

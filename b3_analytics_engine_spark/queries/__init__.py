@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 132 registered queries, registration order
+# entries each round. With 138 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -98,7 +98,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # shipping_priority, pii_flag, label_centroids) whose plans are
 # unchanged and pinned by tests/test_plans.py or the local parity
 # suite. Until round 5 results land, the twenty-one (c)-queries and
-# decontaminate_fuzzy and ohlc_bars (landed after the window filled; round-6
+# decontaminate_fuzzy, ohlc_bars, psi_drift, ks_drift,
+# bpe_merge_pairs, negative_sampling, acf_per_key and k_anonymity
+# (landed after the window filled; round-6
 # front-line) rely on the local oracle-parity suite only; every
 # other registered query has >=1 external green row across rounds
 # 1-4, and no query's newest row is older than round 3 after this

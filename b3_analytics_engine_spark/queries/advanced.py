@@ -1072,3 +1072,29 @@ def quarantine_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     _, bad = quarantine_split(li, checks)
     return bad.select("l_orderkey", "l_linenumber", "failed_rules")
+
+
+@register(
+    "k_anonymity",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS group_size,
+       count(*) < 5 AS at_risk
+FROM customer
+GROUP BY 1, 2
+""",
+    survey="ext:privacy-k-anonymity",
+    description="k-anonymity audit (k=5) over the "
+    "(c_nationkey, c_mktsegment) quasi-identifier set: every "
+    "equivalence class with its size and whether it re-identifies "
+    "(size < k) — the release gate a curation pipeline runs on "
+    "tables with demographic-ish columns, complementing pii_redact "
+    "(contents) with a linkability check. One map-side-combined "
+    "groupBy; output bounded by QI cardinality (<= 125 rows here) "
+    "at any row count.",
+)
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], k=5)

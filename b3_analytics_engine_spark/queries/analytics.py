@@ -1004,3 +1004,68 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", us), 6).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+@register(
+    "acf_per_key",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+         lag(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+         lag(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+  FROM daily
+), unp AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS lag, v, l1 AS vl FROM lagged
+  UNION ALL
+  SELECT event_type, 2, v, l2 FROM lagged
+  UNION ALL
+  SELECT event_type, 3, v, l3 FROM lagged
+)
+SELECT event_type, lag,
+       round(corr(v, vl), 6) AS acf,
+       count(vl) AS n_pairs
+FROM unp WHERE vl IS NOT NULL
+GROUP BY 1, 2 HAVING count(vl) >= 8
+""",
+    survey="ext:timeseries-acf",
+    description="Lag-1..3 autocorrelation of each event type's daily "
+    "value series: Pearson corr between the daily sum and its "
+    "k-day lag — the seasonality/persistence diagnostic behind "
+    "forecast model selection. Scale shape: the corpus reduces to "
+    "(type, day) partial-aggregated sums FIRST (calendar-bounded, "
+    "one shuffle); lags, the 3-way unpivot and corr then run over "
+    "days-per-type rows. Daily sums round(6) before corr so "
+    "float summation order can't leak into the statistic.",
+)
+def acf_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 3).over(w).alias("l3"),
+    )
+    unp = lagged.selectExpr(
+        "event_type",
+        "v",
+        "stack(3, CAST(1 AS BIGINT), l1, CAST(2 AS BIGINT), l2,"
+        " CAST(3 AS BIGINT), l3) AS (lag, vl)",
+    ).filter(F.col("vl").isNotNull())
+    return (
+        unp.groupBy("event_type", "lag")
+        .agg(
+            F.round(F.corr("v", "vl"), 6).alias("acf"),
+            F.count("vl").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= 8)
+    )

@@ -2516,3 +2516,187 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("l.doc_id")).alias("keep_doc_id"))
         .select("fingerprint", "keep_doc_id", "n_members", "max_chars")
     )
+
+
+@register(
+    "psi_drift",
+    oracle="""
+WITH binned AS (
+  SELECT source AS grp,
+         CAST(least(floor(n_chars / 32), 19) AS BIGINT) AS bin
+  FROM documents
+), counts AS (
+  SELECT grp, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT g.grp, b.bin
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN (SELECT unnest(range(20)) AS bin) b
+), dense AS (
+  SELECT grid.grp, grid.bin, coalesce(counts.cnt, 0) AS cnt
+  FROM grid LEFT JOIN counts
+    ON grid.grp = counts.grp AND grid.bin = counts.bin
+), ref AS (SELECT bin, sum(cnt) AS ref_cnt FROM dense GROUP BY 1),
+ref_tot AS (SELECT sum(ref_cnt) AS ref_tot FROM ref),
+grp_tot AS (SELECT grp, sum(cnt) AS grp_tot FROM dense GROUP BY 1)
+SELECT d.grp AS source,
+       round(sum(
+         (d.cnt / gt.grp_tot + 1e-6 - (r.ref_cnt / rt.ref_tot + 1e-6))
+         * ln((d.cnt / gt.grp_tot + 1e-6) / (r.ref_cnt / rt.ref_tot + 1e-6))
+       ), 6) AS psi,
+       CAST(any_value(gt.grp_tot) AS BIGINT) AS n_rows
+FROM dense d
+JOIN grp_tot gt ON d.grp = gt.grp
+JOIN ref r ON d.bin = r.bin
+CROSS JOIN ref_tot rt
+GROUP BY 1
+""",
+    survey="ext:drift-psi",
+    description="Population-stability-index drift audit: per source, "
+    "PSI of the n_chars histogram (32-wide bins, 20 bins, "
+    "eps-smoothed) against the whole corpus — the admit/flag score a "
+    "curation pipeline computes before a feed enters the training "
+    "mix. One scan-stage bin id + one (source, bin) count shuffle; "
+    "everything after is vocabulary-bounded (|sources| x 20 rows), "
+    "so the dense-grid join and the reference histogram broadcast at "
+    "any corpus scale.",
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import drift as DR
+
+    d = load_table(spark, sf_dir, "documents")
+    return DR.psi(d, "source", "n_chars", bin_width=32, n_bins=20)
+
+
+@register(
+    "ks_drift",
+    oracle="""
+WITH binned AS (
+  SELECT source AS grp,
+         CAST(least(floor(n_chars / 16), 39) AS BIGINT) AS bin
+  FROM documents
+), counts AS (
+  SELECT grp, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT g.grp, b.bin
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN (SELECT unnest(range(40)) AS bin) b
+), dense AS (
+  SELECT grid.grp, grid.bin, coalesce(counts.cnt, 0) AS cnt
+  FROM grid LEFT JOIN counts
+    ON grid.grp = counts.grp AND grid.bin = counts.bin
+), tot AS (SELECT bin, sum(cnt) AS tot_cnt FROM dense GROUP BY 1),
+cum AS (
+  SELECT d.grp, d.bin,
+         sum(d.cnt) OVER (PARTITION BY d.grp ORDER BY d.bin) AS g_cum,
+         sum(t.tot_cnt - d.cnt) OVER (PARTITION BY d.grp ORDER BY d.bin) AS r_cum,
+         sum(d.cnt) OVER (PARTITION BY d.grp) AS g_tot,
+         sum(t.tot_cnt - d.cnt) OVER (PARTITION BY d.grp) AS r_tot
+  FROM dense d JOIN tot t ON d.bin = t.bin
+)
+SELECT grp AS source,
+       round(max(abs(g_cum / g_tot - r_cum / r_tot)), 6) AS ks_stat,
+       CAST(any_value(g_tot) AS BIGINT) AS n_rows
+FROM cum GROUP BY 1
+""",
+    survey="ext:drift-ks",
+    description="Binned two-sample Kolmogorov-Smirnov drift audit: "
+    "per source, max |CDF_source - CDF_rest| of n_chars over 40 "
+    "fixed 16-wide bins — location-shift-sensitive complement of "
+    "psi_drift. The classical sorted-sample KS needs a global sort; "
+    "binning replaces it with the same single (source, bin) count "
+    "shuffle as PSI plus a 40-row-per-source cumulative window — "
+    "bounded by the resolution knob, never by data size.",
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import drift as DR
+
+    d = load_table(spark, sf_dir, "documents")
+    return DR.ks_binned(d, "source", "n_chars", bin_width=16, n_bins=40)
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT t AS tok, count(*) AS tok_cnt
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+  )
+  WHERE length(t) >= 2
+  GROUP BY 1
+), pairs AS (
+  SELECT substr(ab, 1, 1) AS a, substr(ab, 2, 1) AS b, tok_cnt
+  FROM (
+    SELECT unnest(list_transform(
+      range(1, length(tok)),
+      i -> substr(tok, i, 1) || substr(tok, i + 1, 1))) AS ab,
+      tok_cnt
+    FROM tok
+  )
+)
+SELECT a, b, CAST(sum(tok_cnt) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2 HAVING sum(tok_cnt) >= 50
+""",
+    survey="ext:tokenizer-bpe-pairs",
+    description="First BPE merge iteration: corpus-weighted adjacent "
+    "character-pair counts (pairs seen >= 50 times) — the statistic "
+    "a tokenizer build maximizes before each merge. Classic BPE "
+    "trick at scale: aggregate to the token-frequency table first "
+    "(vocabulary-bounded), then explode character pairs over "
+    "DISTINCT tokens only, weighted by corpus count — the "
+    "per-character explode runs over |vocab| rows, not the trillions "
+    "of corpus tokens. Pure codegen'd substring/sequence SQL, no "
+    "UDF.",
+)
+def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bpe_merge_pairs(d, "text", min_count=50)
+
+
+@register(
+    "negative_sampling",
+    oracle="""
+WITH c AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+         ('0x' || substr(md5(vec_id::VARCHAR || ':nb'), 1, 15))::BIGINT
+           % 64 AS bucket
+  FROM embeddings
+), q AS (
+  SELECT e.vec_id AS query_id, e.label AS q_label,
+         CAST(p.probe AS BIGINT) AS probe,
+         ('0x' || substr(md5(e.vec_id::VARCHAR || ':' ||
+            p.probe::VARCHAR || ':probe'), 1, 15))::BIGINT % 64 AS bucket
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(5)) AS probe) p
+  WHERE e.vec_id < 10
+), cand AS (
+  SELECT q.query_id, q.probe, c.neg_id, c.neg_label,
+         ('0x' || substr(md5(q.query_id::VARCHAR || ':' ||
+            q.probe::VARCHAR || ':' || c.neg_id::VARCHAR), 1, 15))::BIGINT
+           AS pick
+  FROM q JOIN c USING (bucket)
+  WHERE c.neg_id != q.query_id AND c.neg_label != q.q_label
+)
+SELECT query_id, probe, neg_id, neg_label FROM (
+  SELECT cand.*, row_number() OVER (
+    PARTITION BY query_id, probe ORDER BY pick, neg_id) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+    survey="ext:contrastive-negative-sampling",
+    description="Deterministic contrastive negative sampling: for "
+    "each of the 10 anchor vectors, 5 pseudo-random different-label "
+    "corpus rows via stable md5 hash buckets — the (anchor, "
+    "negative) pairs a contrastive-training pipeline needs per "
+    "epoch, as a pure function of the row ids (retries, engines and "
+    "replays agree; salt bump = fresh epoch). One equi-join on the "
+    "bucket key + a per-(anchor, probe) top-1 window over a single "
+    "bucket (~N/64 rows here; 2^20 buckets at 100 TB) — never a "
+    "global shuffle or driver-side draw.",
+)
+def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.negative_sampling(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_buckets=64
+    )

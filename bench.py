@@ -111,6 +111,15 @@ HEADLINE = [
     "decontaminate_fuzzy",
     # OHLC candle resample
     "ohlc_bars",
+    # drift audits (PSI + binned KS), first BPE merge iteration,
+    # deterministic contrastive negatives, daily-series ACF,
+    # k-anonymity release gate
+    "psi_drift",
+    "ks_drift",
+    "bpe_merge_pairs",
+    "negative_sampling",
+    "acf_per_key",
+    "k_anonymity",
 ]
 
 
