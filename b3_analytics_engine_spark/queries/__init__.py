@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 138 registered queries, registration order
+# entries each round. With 141 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -57,24 +57,22 @@ def register(
 # re-verification of the changed plans; (c) round-5-NEW queries with
 # zero external evidence.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest green row is round 2 (12)
+    # (a) newest green row is round 2 (12) — the oldest evidence
+    # anywhere
     "tz_convert", "rollup_revenue", "ranking_suite", "cube_revenue",
     "unpivot_measures", "exact_percentiles", "set_operations",
     "value_histogram", "top1_by_metric", "distinct_sorted_keys",
     "group_share", "text_stats",
-    # (b) r3-green, code touched in round 5 (17) — the four simplest
-    # plan-locked shapes (small_order_quantity, dormant_customers,
-    # returned_item_customers, disjunctive_join_filter) ceded their
-    # slots to zero-evidence queries; their hint removal stays pinned
-    # by tests/test_plans.py
-    "join_broadcast_dim", "join_normalized_key", "regional_revenue",
-    "promotion_effect", "top_supplier_revenue",
-    "min_cost_supplier", "nation_trade_volume",
-    "waiting_suppliers", "market_share", "parts_supplier_stats",
-    "dominant_suppliers", "product_profit", "important_parts",
-    "unigram_logprob", "tfidf_topterms",
+    # (b) code SEMANTICS touched in round 5 (6): the derived
+    # embedding_neardup injection offset changes output ids, and the
+    # four biggest hint-removal joins re-verify the new plans
+    # externally. The remaining eleven hint-removal queries only
+    # changed plan shape (pinned by tests/test_plans.py + local
+    # parity) and ceded their slots to zero-evidence queries.
     "embedding_neardup", "embedding_neardup_exact",
-    # (c) round-5-new, never externally sampled (21)
+    "regional_revenue", "nation_trade_volume", "market_share",
+    "promotion_effect",
+    # (c) round-5-new, never externally sampled (32)
     "image_decode_stats", "audio_decode_stats", "image_resize_stats",
     "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
     "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
@@ -82,30 +80,35 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best", "anomaly_mad", "semantic_dedup",
     "source_overlap", "event_transitions", "pmi_collocations",
     "decayed_engagement", "beta_per_key", "containment_pairs",
+    "decontaminate_fuzzy", "ohlc_bars", "psi_drift", "ks_drift",
+    "bpe_merge_pairs", "negative_sampling", "acf_per_key",
+    "k_anonymity", "temperature_mix", "source_quota_cap",
+    "key_skew_audit",
 )
 # Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence) and 30 round-3-green queries
-# (approx_aggregates, cosine_ann_lsh, cosine_ann_ivf,
+# possible evidence), 30 round-3-green queries whose plans/code are
+# unchanged (approx_aggregates, cosine_ann_lsh, cosine_ann_ivf,
 # small_order_quantity, dormant_customers, returned_item_customers,
-# disjunctive_join_filter,
-# filter_project, in_list_filter, time_range_filter,
-# cast_coerce_nulls, null_handling, scalar_functions,
-# multi_key_sort_limit, char_entropy, heavy_hitters,
-# time_rollup_hierarchy, json_payload_parse, order_priority_check,
-# customer_order_histogram, large_volume_customer,
-# sql_interface_revenue, forecast_revenue, ewma_per_key,
-# importance_resample, semi_anti_join, pricing_summary,
-# shipping_priority, pii_flag, label_centroids) whose plans are
-# unchanged and pinned by tests/test_plans.py or the local parity
-# suite. Until round 5 results land, the twenty-one (c)-queries and
-# decontaminate_fuzzy, ohlc_bars, psi_drift, ks_drift,
-# bpe_merge_pairs, negative_sampling, acf_per_key and k_anonymity
-# (landed after the window filled; round-6
-# front-line) rely on the local oracle-parity suite only; every
-# other registered query has >=1 external green row across rounds
-# 1-4, and no query's newest row is older than round 3 after this
-# window lands. All registered queries are re-checked by
-# tests/test_oracle_parity.py every run.
+# disjunctive_join_filter, filter_project, in_list_filter,
+# time_range_filter, cast_coerce_nulls, null_handling,
+# scalar_functions, multi_key_sort_limit, char_entropy,
+# heavy_hitters, time_rollup_hierarchy, json_payload_parse,
+# order_priority_check, customer_order_histogram,
+# large_volume_customer, sql_interface_revenue, forecast_revenue,
+# ewma_per_key, importance_resample, semi_anti_join,
+# pricing_summary, shipping_priority, pii_flag, label_centroids),
+# and 11 r3-green queries whose only round-5 change was plan shape
+# (forced-broadcast-hint removal: join_broadcast_dim,
+# join_normalized_key, top_supplier_revenue, min_cost_supplier,
+# waiting_suppliers, parts_supplier_stats, dominant_suppliers,
+# product_profit, important_parts, unigram_logprob,
+# tfidf_topterms), pinned by tests/test_plans.py + the local parity
+# suite. After round-5 results land every registered query has >=1
+# external green row and none's newest row is older than round 3.
+# All registered queries are re-checked by
+# tests/test_oracle_parity.py every run, and this round's full
+# driver-contract simulation (stock ANSI session) swept all 141
+# green.
 
 
 def registry() -> dict[str, QuerySpec]:

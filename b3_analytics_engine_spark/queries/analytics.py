@@ -1069,3 +1069,61 @@ def acf_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 8)
     )
+
+
+@register(
+    "key_skew_audit",
+    oracle="""
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT sum(cnt) AS n_rows FROM c
+)
+SELECT CAST(t.n_rows AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(max(c.cnt) AS BIGINT) AS max_cnt,
+       round(max(c.cnt) * 1.0 / t.n_rows, 6) AS max_share,
+       round(sum((c.cnt * 1.0 / t.n_rows) * (c.cnt * 1.0 / t.n_rows)),
+             6) AS hhi,
+       round(-sum((c.cnt * 1.0 / t.n_rows)
+                  * ln(c.cnt * 1.0 / t.n_rows)), 6) AS entropy
+FROM c CROSS JOIN t
+GROUP BY t.n_rows
+""",
+    survey="ext:scale-key-skew-audit",
+    description="Join/shuffle-key skew audit over events.user_id: "
+    "one row with key count, max key share, Herfindahl index "
+    "(sum p^2 — the expected relative reducer load) and Shannon "
+    "entropy of the key distribution — the diagnostic that decides "
+    "whether a planned groupBy/join key needs salting or AQE skew "
+    "handling BEFORE the 100 TB job runs. Scale shape: one "
+    "map-side-combined count per key, then order-independent "
+    "aggregates over the (bounded) key-count frame; the total is a "
+    "1-row broadcast.",
+)
+def key_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n_rows"))
+    p = F.col("cnt") * 1.0 / F.col("n_rows")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_rows")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.max("cnt") * 1.0 / F.first("n_rows"), 6).alias(
+                "max_share"
+            ),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_keys",
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            "max_share",
+            "hhi",
+            "entropy",
+        )
+    )

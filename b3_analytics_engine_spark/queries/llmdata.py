@@ -2700,3 +2700,96 @@ def negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.negative_sampling(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_buckets=64
     )
+
+
+@register(
+    "temperature_mix",
+    oracle="""
+WITH n AS (
+  SELECT lang, count(*) AS n_s FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n_s) AS mn FROM n
+), r AS (
+  SELECT lang, n_s,
+         CAST(floor(1000.0 * pow(m.mn * 1.0 / n.n_s, 0.5)) AS BIGINT)
+           AS rate_permille
+  FROM n, m
+)
+SELECT d.doc_id, d.lang, r.rate_permille,
+       ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 1000 AS bucket_permille
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 1000 < r.rate_permille
+""",
+    survey="ext:curation-temperature-sampling",
+    description="Temperature-based mixture sampling (alpha = 0.5): "
+    "per-language keep-rates proportional to n_s^(alpha-1), the "
+    "multilingual-LM sampling rule (p_s ~ n_s^alpha) expressed as "
+    "downsampling with the largest language damped hardest and the "
+    "smallest kept whole — between mixture_rebalance's uniform "
+    "target (alpha=0) and natural sampling (alpha=1). Same "
+    "deterministic md5-uniform coin as stratified_sample, so the "
+    "draw is reproducible across engines, retries and epochs. "
+    "Scale: rates derive from a language-bounded count frame "
+    "(broadcast), the coin is scan-stage arithmetic — one shuffle "
+    "total, for the count.",
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = n.agg(F.min("n_s").alias("mn"))
+    r = n.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            1000.0
+            * F.pow(F.col("mn") * 1.0 / F.col("n_s"), F.lit(0.5))
+        )
+        .cast("long")
+        .alias("rate_permille"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 1000
+    return (
+        d.join(hint_small(r), "lang")
+        .withColumn("bucket_permille", bucket)
+        .filter(F.col("bucket_permille") < F.col("rate_permille"))
+        .select("doc_id", "lang", "rate_permille", "bucket_permille")
+    )
+
+
+@register(
+    "source_quota_cap",
+    oracle="""
+SELECT source, doc_id, quota_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS quota_rank
+  FROM documents
+) WHERE quota_rank <= 10
+""",
+    survey="ext:curation-domain-quota",
+    description="Per-source quota capping: keep at most 10 documents "
+    "per source, preferring the longest (n_chars DESC, doc_id "
+    "tie-break) — the domain-quota rule web-scale curation applies "
+    "so no single site dominates the mix. Compiles to "
+    "WindowGroupLimit: the per-source top-10 is pushed into the "
+    "shuffle (partial group-limit map-side), so the exchange "
+    "carries at most 10 rows per source, never the corpus.",
+)
+def source_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("quota_rank"),
+        )
+        .filter(F.col("quota_rank") <= 10)
+    )

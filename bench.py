@@ -120,6 +120,11 @@ HEADLINE = [
     "negative_sampling",
     "acf_per_key",
     "k_anonymity",
+    # temperature mixture sampling, per-source quota cap, shuffle-key
+    # skew diagnostics
+    "temperature_mix",
+    "source_quota_cap",
+    "key_skew_audit",
 ]
 
 

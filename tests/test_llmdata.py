@@ -966,3 +966,109 @@ def test_dedup_keep_best_longest_wins(spark):
     assert grp["max_chars"] == 30
     assert grp["keep_doc_id"] == 2  # tie 2 vs 7 -> min doc_id
     assert by_n[1]["keep_doc_id"] == 9
+
+
+def test_psi_identical_distribution_is_near_zero(spark):
+    """PSI of a group whose histogram equals the reference is ~0; a
+    shifted group scores strictly higher."""
+    from b3_analytics_engine_spark.operators import drift as DR
+
+    same = [Row(g="same", x=i % 100) for i in range(400)] + [
+        Row(g="same2", x=i % 100) for i in range(400)
+    ]
+    out = {
+        r["g"]: r["psi"]
+        for r in DR.psi(
+            spark.createDataFrame(same), "g", "x", bin_width=50, n_bins=12
+        ).collect()
+    }
+    # both groups equal the corpus distribution exactly → PSI ≈ 0
+    assert max(abs(v) for v in out.values()) < 1e-3
+    shifted = [Row(g="same", x=i % 100) for i in range(400)] + [
+        Row(g="shifted", x=400 + i % 100) for i in range(400)
+    ]
+    out2 = {
+        r["g"]: r["psi"]
+        for r in DR.psi(
+            spark.createDataFrame(shifted), "g", "x", bin_width=50, n_bins=12
+        ).collect()
+    }
+    # a fully-disjoint group diverges hard from the pooled reference
+    assert out2["shifted"] > 1.0 and out2["same"] > 1.0
+
+
+def test_ks_binned_bounds_and_separation(spark):
+    """KS is in [0, 1]; a disjoint-support group scores ~1 against
+    its complement, identical groups ~0."""
+    from b3_analytics_engine_spark.operators import drift as DR
+
+    rows = [Row(g="a", x=i % 100) for i in range(300)] + [
+        Row(g="b", x=i % 100) for i in range(300)
+    ] + [Row(g="far", x=1000 + i % 100) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["g"]: r["ks_stat"]
+        for r in DR.ks_binned(df, "g", "x", bin_width=64, n_bins=32).collect()
+    }
+    for v in out.values():
+        assert 0.0 <= v <= 1.0
+    assert out["far"] > 0.99  # support disjoint from its complement
+    # 'a' vs its complement (b ∪ far): half the complement mass sits
+    # in far bins → the CDF gap peaks at exactly 0.5
+    assert abs(out["a"] - 0.5) < 0.01 and abs(out["b"] - 0.5) < 0.01
+    # identical-only frame: KS ≈ 0 between twin groups
+    twin = [Row(g="a", x=i % 100) for i in range(300)] + [
+        Row(g="b", x=i % 100) for i in range(300)
+    ]
+    out2 = {
+        r["g"]: r["ks_stat"]
+        for r in DR.ks_binned(
+            spark.createDataFrame(twin), "g", "x", bin_width=64, n_bins=32
+        ).collect()
+    }
+    assert max(out2.values()) < 1e-9
+
+
+def test_negative_sampling_invariants(spark):
+    """Negatives never share the anchor's label, never equal the
+    anchor, at most one per (anchor, probe), and the draw is
+    reproducible."""
+    emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out1 = S.negative_sampling(emb, q, k=5, n_buckets=64).collect()
+    out2 = S.negative_sampling(emb, q, k=5, n_buckets=64).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    labels = {r["vec_id"]: r["label"] for r in q.collect()}
+    seen = set()
+    for r in out1:
+        assert r["neg_id"] != r["query_id"]
+        assert r["neg_label"] != labels[r["query_id"]]
+        key = (r["query_id"], r["probe"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_bpe_merge_pairs_weighting(spark):
+    """Pair counts are corpus-weighted: 'ab' seen in a token that
+    occurs 3 times counts 3."""
+    from b3_analytics_engine_spark.operators.text import bpe_merge_pairs
+
+    rows = [Row(text="abc abc abc xy")]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["a"], r["b"]): r["pair_count"]
+        for r in bpe_merge_pairs(df, "text", min_count=1).collect()
+    }
+    assert out[("a", "b")] == 3
+    assert out[("b", "c")] == 3
+    assert out[("x", "y")] == 1
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from b3_analytics_engine_spark.operators.quality import k_anonymity
+
+    rows = [Row(qa="x", qb=1)] * 6 + [Row(qa="y", qb=2)] * 2
+    df = spark.createDataFrame(rows)
+    out = {(r["qa"], r["qb"]): r for r in k_anonymity(df, ["qa", "qb"], k=5).collect()}
+    assert out[("x", 1)]["group_size"] == 6 and not out[("x", 1)]["at_risk"]
+    assert out[("y", 2)]["group_size"] == 2 and out[("y", 2)]["at_risk"]
