@@ -1107,7 +1107,7 @@ def key_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(F.sum("cnt").alias("n_rows"))
     p = F.col("cnt") * 1.0 / F.col("n_rows")
     return (
-        c.crossJoin(F.broadcast(t))
+        c.crossJoin(hint_small(t))
         .groupBy("n_rows")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),

@@ -2739,7 +2739,7 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
     mn = n.agg(F.min("n_s").alias("mn"))
-    r = n.crossJoin(F.broadcast(mn)).select(
+    r = n.crossJoin(hint_small(mn)).select(
         "lang",
         F.floor(
             1000.0

@@ -120,6 +120,14 @@ def test_no_cartesian_anywhere(spark, qs):
         "semantic_dedup",  # 1-row max-id broadcast (derived offset)
         "pmi_collocations",  # 1-row bigram-total broadcast
         "decayed_engagement",  # 1-row max-ts broadcast
+        # drift audits: dense (group × bin) grid built from two
+        # POST-aggregation frames (|sources| × n_bins rows) plus a
+        # 1-row reference-total broadcast — bounded by the resolution
+        # knob, never by data size
+        "psi_drift",
+        "ks_drift",
+        "temperature_mix",  # 1-row min-count broadcast
+        "key_skew_audit",  # 1-row key-total broadcast
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
@@ -351,9 +359,76 @@ def test_plan_shape_invariant_across_100x_fixture_scales(spark, qs):
         "tumbling_window_agg",   # event-time windows
         "event_transitions",     # lag window + agg
         "snapshot_join",         # aggregate-before-join
+        "psi_drift",             # binned drift audit
+        "negative_sampling",     # hash-bucket join
+        "source_quota_cap",      # window group limit
+        "temperature_mix",       # broadcast rates join
     ]
     for name in names:
         a = qs[name].fn(spark, "/root/testdata/sf0.001")
         b = qs[name].fn(spark, "/root/testdata/sf0.1")
         assert sorted(join_kinds(a)) == sorted(join_kinds(b)), name
         assert global_windows(a) == [] and global_windows(b) == [], name
+
+
+def test_drift_audits_prune_to_two_columns(spark, qs):
+    # PSI/KS bin at scan stage: only (source, n_chars) may be read,
+    # and no window may run unpartitioned (the cumulative KS window
+    # is per-source over a resolution-bounded 40 rows)
+    from b3_analytics_engine_spark.plans import global_windows
+
+    for name in ("psi_drift", "ks_drift"):
+        df = qs[name].fn(spark, SMOKE_SF_DIR)
+        cols = scan_read_schema(df)
+        assert set(cols) <= {"source", "n_chars"}, name
+        assert global_windows(df) == [], name
+
+
+def test_source_quota_cap_compiles_to_window_group_limit(spark, qs):
+    # the per-source top-10 must push into the shuffle as a partial
+    # group limit — the exchange carries <= 10 rows per source
+    df = qs["source_quota_cap"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "WindowGroupLimit")
+
+
+def test_negative_sampling_is_bucket_join_plus_group_limit(spark, qs):
+    # one equi-join on the hash bucket (broadcast at this SF), and the
+    # per-(anchor, probe) top-1 compiled to WindowGroupLimit — never a
+    # cartesian against the corpus
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["negative_sampling"].fn(spark, SMOKE_SF_DIR)
+    kinds = join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+    assert has_node(df, "WindowGroupLimit")
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange\b", physical_plan(df))) <= 1
+
+
+def test_temperature_mix_rates_broadcast_not_shuffled(spark, qs):
+    # the per-language rate frame is language-bounded → its join back
+    # onto the corpus must be broadcast, never a sort-merge shuffle
+    df = qs["temperature_mix"].fn(spark, SMOKE_SF_DIR)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_key_skew_audit_no_global_window(spark, qs):
+    from b3_analytics_engine_spark.plans import global_windows
+
+    df = qs["key_skew_audit"].fn(spark, SMOKE_SF_DIR)
+    assert global_windows(df) == []
+
+
+def test_bpe_merge_pairs_vocab_bounded_shuffles(spark, qs):
+    # two aggregations only (token counts, pair counts) — the
+    # per-character explode must sit above the vocabulary-bounded
+    # frame, adding no extra exchange
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["bpe_merge_pairs"].fn(spark, SMOKE_SF_DIR)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange\b", physical_plan(df))) <= 2
