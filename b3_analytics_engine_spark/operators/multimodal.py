@@ -401,3 +401,74 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def _parse_pvf_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Header of the PVF toy video container used by the test corpus:
+    ``b"PVF <n_frames> <w> <h> <fps>\\n"`` followed by ``n_frames``
+    raw 8-bit RGB rasters of ``w*h*3`` bytes each. (A deliberately
+    trivial stand-in for a real container: what matters to the engine
+    is the SEEK arithmetic, which is identical for any fixed-size-
+    frame format.) Returns (header_len, n_frames, w, h, fps)."""
+    nl = payload.find(b"\n", 0, 64)
+    if nl < 0 or not payload.startswith(b"PVF "):
+        raise ValueError("not a PVF payload")
+    parts = payload[4:nl].split()
+    if len(parts) != 4:
+        raise ValueError("malformed PVF header")
+    n, w, h, fps = (int(p) for p in parts)
+    if n < 0 or w <= 0 or h <= 0 or fps <= 0:
+        raise ValueError("bad PVF dimensions")
+    if len(payload) - (nl + 1) < n * w * h * 3:
+        raise ValueError("truncated PVF raster")
+    return nl + 1, n, w, h, fps
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, ok boolean, frame_idx long, ts_ms long, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling via ``mapInPandas``: decode every
+    ``every_n``-th frame of each PVF payload and emit per-channel
+    means. The sampler SEEKS — frame k lives at a closed-form byte
+    offset, so skipped frames are never read or copied; cost scales
+    with frames SAMPLED, not frames stored (for a 1 fps sample of a
+    30 fps archive, 97% of the bytes are never touched). Same
+    Arrow-batch zero-shuffle shape as the image/audio decoders;
+    malformed payloads yield one ``ok=false`` row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    off, n, w, h, fps = _parse_pvf_header(payload)
+                    fsz = w * h * 3
+                    for idx in range(0, n, every_n):
+                        a = np.frombuffer(
+                            payload, np.uint8, count=fsz, offset=off + idx * fsz
+                        ).reshape(h, w, 3)
+                        m = a.mean(axis=(0, 1))
+                        rows.append(
+                            (mid, True, idx, idx * 1000 // fps, w, h,
+                             float(m[0]), float(m[1]), float(m[2]))
+                        )
+                except (ValueError, TypeError):
+                    rows.append(
+                        (mid, False, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "ok", "frame_idx", "ts_ms", "width",
+                    "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )

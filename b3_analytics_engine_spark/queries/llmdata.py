@@ -2793,3 +2793,78 @@ def source_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quota_rank") <= 10)
     )
+
+
+@register(
+    "video_frame_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 8 + 2 AS n
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, unnest(range(0, n, 2)) AS idx FROM p
+)
+SELECT doc_id AS media_id,
+       CAST(idx AS BIGINT) AS frame_idx,
+       CAST(idx * 100 AS BIGINT) AS ts_ms,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       round(CAST((doc_id * 3 + idx * 7) % 256 AS DOUBLE), 6) AS mean_r,
+       round(CAST((doc_id * 3 + idx * 7 + 50) % 256 AS DOUBLE), 6) AS mean_g,
+       round(CAST((doc_id * 3 + idx * 7 + 100) % 256 AS DOUBLE), 6)
+         AS mean_b
+FROM f
+""",
+    survey="ext:multimodal-video-frame-sample (real codec)",
+    description="REAL video frame sampling end-to-end: each 'video' "
+    "media row carries a PVF payload (toy uncompressed container: "
+    "ASCII header + fixed-size raw RGB rasters) assembled with Spark "
+    "binary expressions from closed-form per-(doc, frame) channel "
+    "values, and operators.multimodal.sample_video_frames decodes "
+    "every 2nd frame inside mapInPandas by SEEKING to its byte "
+    "offset — skipped frames are never read, so cost scales with "
+    "frames sampled, not stored (the property that matters when the "
+    "archive is 30 fps and training wants 1). Constant-valued "
+    "rasters make the per-channel means exact, so a sampler that "
+    "misreads the header, frame stride, or channel order cannot "
+    "match the closed-form oracle.",
+)
+def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    frames_hex = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(doc_id % 8 + 1 AS INT)),"
+        " i -> repeat(concat("
+        "   lpad(hex((doc_id * 3 + i * 7) % 256), 2, '0'),"
+        "   lpad(hex((doc_id * 3 + i * 7 + 50) % 256), 2, '0'),"
+        "   lpad(hex((doc_id * 3 + i * 7 + 100) % 256), 2, '0')"
+        " ), 16)))"
+    )
+    header = F.concat(
+        F.lit("PVF "),
+        (F.col("doc_id") % 8 + 2).cast("string"),
+        F.lit(" 4 4 10\n"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(header, "UTF-8"), F.unhex(frames_hex)
+        ).alias("payload"),
+    )
+    return (
+        sample_video_frames(media, every_n=2)
+        .filter(F.col("ok"))
+        .select(
+            "media_id",
+            "frame_idx",
+            "ts_ms",
+            "width",
+            "height",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+    )

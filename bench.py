@@ -125,6 +125,8 @@ HEADLINE = [
     "temperature_mix",
     "source_quota_cap",
     "key_skew_audit",
+    # real video frame sampling (seek, don't scan)
+    "video_frame_stats",
 ]
 
 

@@ -1072,3 +1072,39 @@ def test_k_anonymity_flags_small_groups(spark):
     out = {(r["qa"], r["qb"]): r for r in k_anonymity(df, ["qa", "qb"], k=5).collect()}
     assert out[("x", 1)]["group_size"] == 6 and not out[("x", 1)]["at_risk"]
     assert out[("y", 2)]["group_size"] == 2 and out[("y", 2)]["at_risk"]
+
+
+def test_video_frame_sampler_seek_matches_full_decode(spark):
+    """The seek arithmetic is pinned on NON-constant rasters: frame k
+    decoded via offset must equal the k-th slice of a full decode,
+    and malformed/truncated payloads yield ok=false."""
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    w, h, n, fps = 3, 2, 5, 10
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    payload = f"PVF {n} {w} {h} {fps}\n".encode() + frames.tobytes()
+    rows = [
+        Row(media_id=1, payload=bytearray(payload)),
+        Row(media_id=2, payload=bytearray(b"PVF x y\n")),
+        Row(media_id=3, payload=bytearray(payload[:-4])),  # truncated
+    ]
+    df = spark.createDataFrame(rows)
+    out = sample_video_frames(df, every_n=2).collect()
+    good = sorted(
+        (r for r in out if r["media_id"] == 1),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in good] == [0, 2, 4]
+    assert [r["ts_ms"] for r in good] == [0, 200, 400]
+    for r in good:
+        expect = frames[r["frame_idx"]].mean(axis=(0, 1))
+        assert abs(r["mean_r"] - expect[0]) < 1e-9
+        assert abs(r["mean_g"] - expect[1]) < 1e-9
+        assert abs(r["mean_b"] - expect[2]) < 1e-9
+    bad = {r["media_id"]: r for r in out if r["media_id"] != 1}
+    assert not bad[2]["ok"] and not bad[3]["ok"]
