@@ -2868,3 +2868,99 @@ def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_b", 6).alias("mean_b"),
         )
     )
+
+
+@register(
+    "reservoir_per_group",
+    oracle="""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':rsv'), 1, 15))
+                      ::BIGINT ASC,
+                    doc_id ASC
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+    survey="ext:curation-reservoir-sample",
+    description="Exact-k uniform sample per stratum (k=5 per source): "
+    "rank rows within each group by a stable md5 hash of the id and "
+    "keep the first k — the deterministic, distributed equivalent of "
+    "per-group reservoir sampling (every subset of size k equally "
+    "likely under the hash's uniformity), used to build eval panels "
+    "and spot-check samples with an EXACT size guarantee per group, "
+    "which rate-based sampling (stratified_sample) cannot give. "
+    "Replayable across engines/retries; compiles to WindowGroupLimit "
+    "so the shuffle carries at most k rows per group.",
+)
+def reservoir_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "source", "doc_id", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT
+           % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    survey="ext:curation-dataset-split",
+    description="Deterministic 80/10/10 train/val/test assignment: "
+    "each row's split is a pure function of its id (md5 bucket in "
+    "[0, 1000)), so the partition is disjoint and exhaustive by "
+    "construction, stable across engines, retries, reruns and "
+    "incremental appends (a new row never moves an old one — the "
+    "property random split() loses the moment data arrives "
+    "incrementally), and auditable row-by-row. Scan-stage "
+    "arithmetic, zero shuffles; downstream decontaminate/"
+    "decontaminate_fuzzy check the leakage this assignment must "
+    "not create.",
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -127,6 +127,9 @@ HEADLINE = [
     "key_skew_audit",
     # real video frame sampling (seek, don't scan)
     "video_frame_stats",
+    # exact-k per-stratum sample, deterministic train/val/test split
+    "reservoir_per_group",
+    "dataset_split",
 ]
 
 

@@ -432,3 +432,18 @@ def test_bpe_merge_pairs_vocab_bounded_shuffles(spark, qs):
     import re as _re
 
     assert len(_re.findall(r"\(\d+\) Exchange\b", physical_plan(df))) <= 2
+
+
+def test_reservoir_per_group_compiles_to_window_group_limit(spark, qs):
+    # exact-k per-stratum sample: the shuffle must carry at most k
+    # rows per group, not the corpus
+    df = qs["reservoir_per_group"].fn(spark, SMOKE_SF_DIR)
+    assert has_node(df, "WindowGroupLimit")
+
+
+def test_dataset_split_is_scan_stage(spark, qs):
+    # split assignment is pure scan-stage arithmetic — zero shuffles
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    df = qs["dataset_split"].fn(spark, SMOKE_SF_DIR)
+    assert "Exchange" not in physical_plan(df)
