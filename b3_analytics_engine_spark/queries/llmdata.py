@@ -2964,3 +2964,110 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - 3, 0) + 2),
+    i -> array_to_string(t[i:i+2], ' ')
+  ))) AS u(sh)
+), df AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       count(*) AS n_grams,
+       round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novel_share
+FROM sh JOIN df USING (sh)
+GROUP BY 1
+""",
+    survey="ext:text-ngram-novelty",
+    description="N-gram novelty score: per document, the share of its "
+    "distinct token trigrams that occur NOWHERE else in the corpus — "
+    "high novelty marks fresh content worth keeping, low novelty "
+    "marks boilerplate/templates that near-dup thresholds miss "
+    "(complement of the dedup family: measures corpus-level "
+    "repetitiveness per doc rather than pairing docs). Same "
+    "inverted-index shape as ngram_jaccard_pairs: distinct "
+    "(doc, shingle) postings, document-frequency count, one join "
+    "back — at 100 TB the shingle key becomes xxhash64 exactly as "
+    "the dedup siblings do, so the shuffle carries 8-byte keys.",
+)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("sh")
+    ).distinct()
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_share"),
+        )
+    )
+
+
+@register(
+    "lang_mismatch_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, lang,
+{_sql_lang_score_cols()}
+  FROM toks
+), guessed AS (
+  SELECT source, lang,
+  {_sql_lang_argmax()} AS g
+FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN g != 'und' AND g != lang THEN 1 ELSE 0 END)
+         AS n_mismatch,
+       sum(CASE WHEN g = 'und' THEN 1 ELSE 0 END) AS n_und,
+       round(sum(CASE WHEN g != 'und' AND g != lang THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS mismatch_share
+FROM guessed GROUP BY 1
+""",
+    survey="ext:quality-lang-mismatch",
+    description="Language-metadata audit: per source, how often the "
+    "content-based language guess (same marker argmax as lang_id) "
+    "CONTRADICTS the recorded lang column — mislabeled language "
+    "metadata silently poisons mixture sampling "
+    "(temperature_mix / mixture_rebalance key on that column), so "
+    "this is the audit run before trusting it; 'und' docs counted "
+    "separately, not as mismatches. Scan-stage scoring + one "
+    "source-bounded aggregate.",
+)
+def lang_mismatch_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(d)
+    g = (
+        d.join(scores, "doc_id")
+        .select("source", "lang", TX.lang_id_from_scores().alias("g"))
+    )
+    mism = F.when((F.col("g") != "und") & (F.col("g") != F.col("lang")), 1).otherwise(0)
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(mism).alias("n_mismatch"),
+        F.sum(F.when(F.col("g") == "und", 1).otherwise(0)).alias("n_und"),
+        F.round(F.sum(mism) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mismatch_share"
+        ),
+    )

@@ -130,6 +130,9 @@ HEADLINE = [
     # exact-k per-stratum sample, deterministic train/val/test split
     "reservoir_per_group",
     "dataset_split",
+    # n-gram novelty score, language-metadata audit
+    "ngram_novelty",
+    "lang_mismatch_audit",
 ]
 
 
