@@ -1098,3 +1098,142 @@ def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return k_anonymity(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "table_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       round(min(o_orderkey) * 1.0, 6) AS min_num,
+       round(max(o_orderkey) * 1.0, 6) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       round(min(o_custkey) * 1.0, 6), round(max(o_custkey) * 1.0, 6)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       round(min(o_totalprice), 6), round(max(o_totalprice), 6)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate), NULL, NULL
+FROM orders
+""",
+    survey="ext:quality-table-profile",
+    description="Column-profiling report over orders: per column, row "
+    "count, null count, exact distinct count, and (numerics) min/max "
+    "— the first command anyone runs against an unfamiliar table. "
+    "ONE pass: every statistic is computed in a single wide "
+    "aggregate (all map-side-combinable except the distincts) and "
+    "unpivoted to the per-column frame with stack(); at 100 TB the "
+    "exact count(DISTINCT) columns swap for approx_count_distinct "
+    "exactly as approx_aggregates demonstrates, making the whole "
+    "profile one scan + one 1-row-ish shuffle.",
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    num = {"o_orderkey": True, "o_custkey": True, "o_totalprice": True,
+           "o_orderstatus": False, "o_orderpriority": False,
+           "o_orderdate": False}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if num[c]:
+            aggs.append(F.round(F.min(c) * 1.0, 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c) * 1.0, 6).alias(f"mx_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, "
+        + (f"mn_{c}, mx_{c}" if num[c]
+           else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        for c in num
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(num)}, {stack_args})"
+        " AS (col_name, nn, n_distinct, min_num, max_num)",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_null"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+    )
+
+
+@register(
+    "benford_audit",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                1, 1)::BIGINT AS digit
+  FROM orders WHERE o_totalprice >= 1
+), t AS (SELECT count(*) AS n FROM d)
+SELECT digit,
+       count(*) AS n_obs,
+       round(count(*) * 1.0 / t.n, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(abs(count(*) * 1.0 / t.n - log10(1.0 + 1.0 / digit)), 6)
+         AS abs_dev
+FROM d CROSS JOIN t
+GROUP BY digit, t.n
+""",
+    survey="ext:quality-benford-audit",
+    description="Benford first-digit audit of o_totalprice: observed "
+    "leading-digit shares vs the Benford expectation log10(1 + 1/d) "
+    "— the classic anomaly screen for fabricated or truncated "
+    "numeric feeds. The first digit is extracted via integer→string "
+    "(exact in every engine), NEVER via floating log10 of the value "
+    "(log10(1000) is 2.999… in some libms — an engine-dependent "
+    "digit flip). One scan-stage digit projection + a 9-row "
+    "aggregate with a 1-row total broadcast.",
+)
+def benford_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.crossJoin(hint_small(t))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") * 1.0 / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford_share"
+            ),
+            F.round(
+                F.abs(
+                    F.col("n_obs") * 1.0 / F.col("n")
+                    - F.log10(1.0 + 1.0 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )

@@ -133,6 +133,9 @@ HEADLINE = [
     # n-gram novelty score, language-metadata audit
     "ngram_novelty",
     "lang_mismatch_audit",
+    # one-pass column profiling, Benford first-digit audit
+    "table_profile",
+    "benford_audit",
 ]
 
 

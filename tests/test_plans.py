@@ -128,6 +128,7 @@ def test_no_cartesian_anywhere(spark, qs):
         "ks_drift",
         "temperature_mix",  # 1-row min-count broadcast
         "key_skew_audit",  # 1-row key-total broadcast
+        "benford_audit",  # 1-row digit-total broadcast
     }
     for name, spec in qs.items():
         df = spec.fn(spark, SMOKE_SF_DIR)
