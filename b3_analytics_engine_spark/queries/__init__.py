@@ -45,7 +45,7 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 148 registered queries, registration order
+# entries each round. With 150 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
 # external evidence. Round-5 front window (after round 4 went 50/50
@@ -104,7 +104,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # product_profit, important_parts, unigram_logprob,
 # tfidf_topterms), pinned by tests/test_plans.py + the local parity
 # suite. video_frame_stats, reservoir_per_group, dataset_split,
-# ngram_novelty, lang_mismatch_audit, table_profile and benford_audit
+# ngram_novelty, lang_mismatch_audit, table_profile, benford_audit,
+# percentile_normalize and gini_per_key
 # landed after the window filled — round-6
 # front-line with the 11 plan-shape-only queries. After round-5
 # results land every other registered query has >=1 external green

@@ -1127,3 +1127,89 @@ def key_skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+@register(
+    "percentile_normalize",
+    oracle="""
+SELECT doc_id, lang,
+       round(percent_rank() OVER (
+         PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+       ), 6) AS len_pctile
+FROM documents
+""",
+    survey="ext:feature-quantile-normalize",
+    description="Quantile feature normalization: percent_rank of "
+    "document length within each language — the rank transform that "
+    "makes a skewed feature comparable across strata before "
+    "thresholding or curriculum ordering (deterministic doc_id "
+    "tie-break so equal lengths can't flip ranks across engines). "
+    "One shuffle on the stratum key; each partition sorts only its "
+    "own stratum — never a global sort. At 100 TB a stratum that "
+    "outgrows one executor switches to the two-pass form: "
+    "approx-quantile cutpoints (sketch, map-side) + scan-stage "
+    "binary-search assignment, same output contract.",
+)
+def percentile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id", "lang", F.round(F.percent_rank().over(w), 6).alias("len_pctile")
+    )
+
+
+@register(
+    "gini_per_key",
+    oracle="""
+WITH pos AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value ASC, event_id ASC
+         ) AS rk
+  FROM events WHERE value >= 0
+), g AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(value) AS tot,
+         sum(rk * value) AS rws
+  FROM pos GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round(2.0 * rws / (n * tot) - (n + 1.0) / n, 6) AS gini
+FROM g WHERE tot > 0
+""",
+    survey="ext:analytics-gini-concentration",
+    description="Gini concentration coefficient of event value per "
+    "event type (0 = evenly spread, 1 = one event holds all value) — "
+    "the inequality measure behind 'do a few whales dominate this "
+    "feed'. Rank formulation G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n "
+    "over non-negative values with deterministic event_id "
+    "tie-breaks: one per-key ranking window (partition sorts its own "
+    "key only) + one map-side-combinable aggregate; zero-total "
+    "groups are excluded rather than divided by.",
+)
+def gini_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("tot"),
+        F.sum(F.col("rk") * F.col("value")).alias("rws"),
+    )
+    return g.filter(F.col("tot") > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.col("rws") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -136,6 +136,9 @@ HEADLINE = [
     # one-pass column profiling, Benford first-digit audit
     "table_profile",
     "benford_audit",
+    # per-stratum quantile normalization, Gini concentration
+    "percentile_normalize",
+    "gini_per_key",
 ]
 
 
