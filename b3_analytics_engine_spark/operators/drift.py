@@ -60,11 +60,16 @@ def _dense_counts(
     counts = binned.groupBy("grp", "bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # distinct groups come from the already-aggregated counts frame
+    # (|groups| x |bins| rows), NOT from the raw corpus — deriving
+    # them from `binned` would re-scan and re-shuffle the full input
+    # a second time; this keeps the corpus shuffled exactly once and
+    # the grid genuinely vocabulary-bounded
     grid = (
-        binned.select("grp")
+        counts.select("grp")
         .distinct()
         .crossJoin(
-            binned.sparkSession.range(n_bins).select(
+            df.sparkSession.range(n_bins).select(
                 F.col("id").alias("bin")
             )
         )
@@ -137,6 +142,12 @@ def ks_binned(
     6 dp: ``max_bins |cum_share_group - cum_share_rest|``. The
     cumulative window runs over ``n_bins`` rows per group — bounded
     by the resolution knob, never by data size.
+
+    Degenerate input: if the frame holds a SINGLE group, its
+    complement is empty and the two-sample statistic is undefined —
+    the division is explicitly guarded (``r_tot > 0``) and the row
+    is emitted with ``ks_stat = NULL`` by design, so callers see a
+    deliberate NULL rather than an accidental divide-by-zero one.
     """
     dense = _dense_counts(df, group_col, metric_col, bin_width, n_bins)
     tot = dense.groupBy("bin").agg(F.sum("cnt").alias("tot_cnt"))
@@ -165,9 +176,12 @@ def ks_binned(
         .agg(
             F.round(
                 F.max(
-                    F.abs(
-                        F.col("g_cum") / F.col("g_tot")
-                        - F.col("r_cum") / F.col("r_tot")
+                    F.when(
+                        F.col("r_tot") > 0,
+                        F.abs(
+                            F.col("g_cum") / F.col("g_tot")
+                            - F.col("r_cum") / F.col("r_tot")
+                        ),
                     )
                 ),
                 6,

@@ -3,14 +3,14 @@
 Images / audio / video ride through the engine as opaque ``binary``
 columns plus a typed metadata struct. The Spark-side contract —
 schema, partition-friendly batch iteration, Arrow transfer shape — is
-real and tested. Codec status: **binary PPM (P6) decode is REAL** —
-a pure-Python parser in :func:`_parse_ppm` feeding
-:func:`decode_image_stats` (oracle-checked end-to-end by the
-``image_decode_stats`` registered query); compressed formats
-(JPEG/PNG/audio/video) remain stubbed in ``_decode_image`` because no
-codec libraries ship in this container — swapping the stub for
-Pillow/libav is a one-function change; nothing about the plan shape
-moves.
+real and tested. Codec status: **PPM (P6), 24-bit BMP, PNG
+(8-bit gray/RGB/RGBA incl. zlib inflate + all five scanline
+filters + CRC checks), RIFF/WAVE PCM, and PVF video decode are all
+REAL** — pure-Python/stdlib parsers feeding the ``*_decode_stats``
+oracle-checked registered queries. Only entropy-coded formats with
+no stdlib codec (JPEG/MP3/H.264) remain stubbed in
+``_decode_image`` — swapping the stub for Pillow/libav is a
+one-function change; nothing about the plan shape moves.
 
 Scale design: decode/feature steps run via ``mapInPandas`` — one
 Python worker per partition, Arrow batches in/out, no shuffle. The
@@ -63,14 +63,15 @@ IMAGE_STATS_SCHEMA = (
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB decode → feature vector (compressed formats only).
+    """STUB decode → feature vector (entropy-coded formats only:
+    JPEG/MP3/H.264, which have no stdlib codec).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
     → resize → normalized pixel tensor. Not available in this
     container, so we derive a deterministic 8-dim fake feature from the
     byte content (keeps the full pipeline testable and reproducible).
-    Uncompressed binary PPM has a REAL pure-Python decoder — see
-    :func:`_parse_ppm` / :func:`decode_image_stats`.
+    PPM, BMP, **PNG** (zlib), WAV and PVF have REAL pure-Python
+    decoders — see :func:`_parse_image` / :func:`_parse_png`.
     """
     if not STUB_REAL_DECODERS:
         raise NotImplementedError("real image decoding requires Pillow")
@@ -179,9 +180,189 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, b"".join(rows)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for non-interlaced 8-bit PNG: stdlib-only
+    (``zlib`` inflate + ``struct``), no codec libs.
+
+    Supports the three 8-bit color types a training corpus actually
+    holds — 0 (grayscale, replicated to RGB), 2 (truecolor RGB) and
+    6 (RGBA, alpha dropped) — and implements the full per-scanline
+    unfiltering grammar (None/Sub/Up/Average/Paeth). Chunk CRCs are
+    verified, so a bit-flipped blob quarantines instead of decoding
+    to garbage. Returns ``(width, height, 3, rgb_bytes)`` — the same
+    contract as :func:`_parse_ppm`/:func:`_parse_bmp`, so every stats
+    path downstream is codec-agnostic. Raises ``ValueError`` on
+    anything malformed or unsupported (palette, 16-bit, interlaced).
+    """
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (need 8)")
+            if color not in (0, 2, 6):
+                raise ValueError(f"unsupported color type {color}")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported compression/filter/interlace")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
+            ihdr = (w, h, color)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR, IDAT or IEND")
+    w, h, color = ihdr
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"inflated size {len(raw)} != {(stride + 1) * h} expected"
+        )
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        if color == 2:
+            out += line
+        elif color == 0:  # gray -> replicate to RGB
+            for px in line:
+                out += bytes((px, px, px))
+        else:  # RGBA -> drop alpha
+            for i in range(0, stride, 4):
+                out += line[i : i + 3]
+    return w, h, 3, bytes(out)
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """REAL PNG writer for 8-bit truecolor: stdlib-only. Scanline
+    filters cycle 0→4 by row (None/Sub/Up/Average/Paeth), so a
+    round-trip through :func:`_parse_png` exercises every unfilter
+    branch — and the output is a spec-valid PNG any external viewer
+    opens. Used as the media-sink encoder and the fixture builder for
+    the ``png_decode_stats`` oracle query."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        line = rgb[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - 3] if i >= 3 else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _png_paeth(
+                        line[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _parse_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes: P6 → PPM, BM → BMP; anything else is a
-    ValueError (→ quarantine row)."""
+    """Dispatch on magic bytes: ``\\x89PNG`` → PNG, ``BM`` → BMP,
+    else P6 PPM; anything unrecognized is a ValueError (→ quarantine
+    row)."""
+    if payload is not None and len(payload) >= 8 and payload[:8] == _PNG_MAGIC:
+        return _parse_png(payload)
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return _parse_bmp(payload)
     w, h, _maxval, pix = _parse_ppm(payload)
@@ -448,6 +629,15 @@ def sample_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 try:
                     off, n, w, h, fps = _parse_pvf_header(payload)
                     fsz = w * h * 3
+                    if n == 0:
+                        # structurally valid but empty video: emit one
+                        # ok=true row with NULL frame fields so every
+                        # input media_id appears in the audit output
+                        # (malformed payloads get ok=false; silence is
+                        # reserved for nothing)
+                        rows.append(
+                            (mid, True, None, None, w, h, None, None, None)
+                        )
                     for idx in range(0, n, every_n):
                         a = np.frombuffer(
                             payload, np.uint8, count=fsz, offset=off + idx * fsz

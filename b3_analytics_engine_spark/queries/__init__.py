@@ -45,75 +45,62 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 150 registered queries, registration order
+# entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-5 front window (after round 4 went 50/50
-# green on the previous window): (a) the 12 queries whose newest green
-# row is round 2 — now three rounds stale, the oldest evidence
-# anywhere; (b) the 21 round-3-green queries whose code changes this
-# round (forced-broadcast-hint removal per VERDICT r4, plus the
-# derived embedding_neardup injection offset) — external
-# re-verification of the changed plans; (c) round-5-NEW queries with
-# zero external evidence.
+# external evidence. Round-6 front window (round 5 went 49/50 on the
+# previous window — the one red was feature_hashing's array-output
+# packaging bug, fixed this round): (a) queries with ZERO external
+# evidence (landed after the r5 window filled); (b) code changed or
+# new in round 6; (c) the 11 r5 hint-removal queries whose newest
+# external row is round 3; (d) r3-newest unchanged queries, now
+# three rounds stale.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest green row is round 2 (12) — the oldest evidence
-    # anywhere
-    "tz_convert", "rollup_revenue", "ranking_suite", "cube_revenue",
-    "unpivot_measures", "exact_percentiles", "set_operations",
-    "value_histogram", "top1_by_metric", "distinct_sorted_keys",
-    "group_share", "text_stats",
-    # (b) code SEMANTICS touched in round 5 (6): the derived
-    # embedding_neardup injection offset changes output ids, and the
-    # four biggest hint-removal joins re-verify the new plans
-    # externally. The remaining eleven hint-removal queries only
-    # changed plan shape (pinned by tests/test_plans.py + local
-    # parity) and ceded their slots to zero-evidence queries.
-    "embedding_neardup", "embedding_neardup_exact",
-    "regional_revenue", "nation_trade_volume", "market_share",
-    "promotion_effect",
-    # (c) round-5-new, never externally sampled (32)
-    "image_decode_stats", "audio_decode_stats", "image_resize_stats",
-    "stream_stream_join_twin", "decontaminate_bloom", "bigram_logprob",
-    "embedding_quantize", "scd2_history", "fuzzy_levenshtein_pairs",
-    "oov_rate", "mixture_rebalance", "feature_hashing",
-    "dedup_keep_best", "anomaly_mad", "semantic_dedup",
-    "source_overlap", "event_transitions", "pmi_collocations",
-    "decayed_engagement", "beta_per_key", "containment_pairs",
-    "decontaminate_fuzzy", "ohlc_bars", "psi_drift", "ks_drift",
-    "bpe_merge_pairs", "negative_sampling", "acf_per_key",
-    "k_anonymity", "temperature_mix", "source_quota_cap",
-    "key_skew_audit",
+    # (a) zero external evidence — landed late in round 5 (9)
+    "video_frame_stats", "reservoir_per_group", "dataset_split",
+    "ngram_novelty", "lang_mismatch_audit", "table_profile",
+    "benford_audit", "percentile_normalize", "gini_per_key",
+    # (b) round-6 changed/new (2): feature_hashing's output is now a
+    # scalar CSV column (the r5 red was the driver's canonicalizer
+    # dying on array cells); png_decode_stats is the new real
+    # compressed-image codec query
+    "feature_hashing", "png_decode_stats",
+    # (c) newest external row is round 3; round-5 change was plan
+    # shape only (forced-broadcast-hint removal), pinned since by
+    # tests/test_plans.py + local parity — externally re-verified now
+    "join_broadcast_dim", "join_normalized_key",
+    "top_supplier_revenue", "min_cost_supplier", "waiting_suppliers",
+    "parts_supplier_stats", "dominant_suppliers", "product_profit",
+    "important_parts", "unigram_logprob", "tfidf_topterms",
+    # (d) newest external row is round 3, code unchanged since (28)
+    "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
+    "small_order_quantity", "dormant_customers",
+    "returned_item_customers", "disjunctive_join_filter",
+    "in_list_filter", "time_range_filter", "cast_coerce_nulls",
+    "null_handling", "scalar_functions", "multi_key_sort_limit",
+    "char_entropy", "heavy_hitters", "time_rollup_hierarchy",
+    "json_payload_parse", "order_priority_check",
+    "customer_order_histogram", "large_volume_customer",
+    "forecast_revenue", "ewma_per_key", "importance_resample",
+    "semi_anti_join", "pricing_summary", "shipping_priority",
+    "pii_flag", "label_centroids",
 )
-# Outside this window: the 50 queries green in round 4 (freshest
-# possible evidence), 30 round-3-green queries whose plans/code are
-# unchanged (approx_aggregates, cosine_ann_lsh, cosine_ann_ivf,
-# small_order_quantity, dormant_customers, returned_item_customers,
-# disjunctive_join_filter, filter_project, in_list_filter,
-# time_range_filter, cast_coerce_nulls, null_handling,
-# scalar_functions, multi_key_sort_limit, char_entropy,
-# heavy_hitters, time_rollup_hierarchy, json_payload_parse,
-# order_priority_check, customer_order_histogram,
-# large_volume_customer, sql_interface_revenue, forecast_revenue,
-# ewma_per_key, importance_resample, semi_anti_join,
-# pricing_summary, shipping_priority, pii_flag, label_centroids),
-# and 11 r3-green queries whose only round-5 change was plan shape
-# (forced-broadcast-hint removal: join_broadcast_dim,
-# join_normalized_key, top_supplier_revenue, min_cost_supplier,
-# waiting_suppliers, parts_supplier_stats, dominant_suppliers,
-# product_profit, important_parts, unigram_logprob,
-# tfidf_topterms), pinned by tests/test_plans.py + the local parity
-# suite. video_frame_stats, reservoir_per_group, dataset_split,
-# ngram_novelty, lang_mismatch_audit, table_profile, benford_audit,
-# percentile_normalize and gini_per_key
-# landed after the window filled — round-6
-# front-line with the 11 plan-shape-only queries. After round-5
-# results land every other registered query has >=1 external green
-# row and none's newest row is older than round 3.
+# Outside this window: everything whose newest external row is round
+# 4 or 5 (the freshest evidence possible), plus exactly TWO r3-newest
+# queries that did not fit the 50-slot budget, chosen for maximal
+# redundant coverage — filter_project (P1/P9 semantics also
+# exercised by in_list_filter/time_range_filter, both IN this
+# window) and sql_interface_revenue (the spark.sql() twin of the
+# regional_revenue aggregation shape, r3-green and semantics shared
+# with r5-green joins). They are first in line for the round-7
+# window. psi_drift/ks_drift changed this round but only in plan
+# shape (grid derived from the aggregated counts frame instead of
+# re-scanning the corpus) and in a documented degenerate guard
+# (single-group KS) that sf0.01 never triggers — their r5 external
+# rows remain valid for the semantics; local parity re-checks them
+# every pytest run.
 # All registered queries are re-checked by
-# tests/test_oracle_parity.py every run, and this round's full
-# driver-contract simulation (stock ANSI session) swept every
-# registered query green.
+# tests/test_oracle_parity.py every run.
 
 
 def registry() -> dict[str, QuerySpec]:

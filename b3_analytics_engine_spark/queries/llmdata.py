@@ -648,6 +648,75 @@ def image_resize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "png_decode_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(n_chars % 16 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(doc_id * 7 % 200
+             + (n_chars % 16) / 2.0 + (doc_id % 8) / 2.0, 6) AS mean_r,
+       round((doc_id * 7 + 13) % 200
+             + (n_chars % 16) / 2.0 + (doc_id % 8) / 2.0, 6) AS mean_g,
+       round((doc_id * 7 + 26) % 200
+             + (n_chars % 16) / 2.0 + (doc_id % 8) / 2.0, 6) AS mean_b
+FROM documents WHERE doc_id % 3 = 0
+""",
+    survey="ext:multimodal-png-decode (real compressed codec)",
+    description="REAL compressed-image decode end-to-end: each 'image' "
+    "row carries a spec-valid 8-bit truecolor PNG — zlib-deflated "
+    "IDAT, CRC-checked chunks, scanline filters cycling "
+    "None/Sub/Up/Average/Paeth by row — built by multimodal."
+    "encode_png from a closed-form per-doc GRADIENT raster "
+    "(pixel(c,x,y) = (doc_id*7+13c)%200 + x + y, never wrapping), "
+    "and multimodal._parse_png inflates, CRC-verifies and unfilters "
+    "it stdlib-only inside mapInPandas (Arrow batches, zero "
+    "shuffle). The gradient makes every filter branch do real work "
+    "(a constant raster would zero out Sub/Up/Paeth deltas), while "
+    "the channel mean stays closed-form (base + (w-1)/2 + (h-1)/2, "
+    "an exact multiple of 0.5) so the DuckDB oracle recomputes it "
+    "bit-exactly. A decoder that misapplies any filter, channel "
+    "order, or stride hash-mismatches.",
+)
+def png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image_stats, encode_png
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, nchars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(nchars) % 16 + 1
+                h = int(did) % 8 + 1
+                base = [(int(did) * 7 + 13 * c) % 200 for c in range(3)]
+                rgb = bytes(
+                    base[c] + x + y
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append((int(did), encode_png(w, h, rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.select("doc_id", "n_chars").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return decode_image_stats(media).filter(F.col("ok")).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _queries_side(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
@@ -2409,7 +2478,9 @@ WITH tok AS (
 )
 SELECT g.doc_id,
        CAST(sum(coalesce(b.c, 0)) AS BIGINT) AS n_tokens,
-       list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY r.i) AS features
+       array_to_string(
+         list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY r.i), ','
+       ) AS features
 FROM grid g
 CROSS JOIN range(0, 32) r(i)
 LEFT JOIN b ON b.doc_id = g.doc_id AND b.bucket = r.i
@@ -2423,9 +2494,11 @@ GROUP BY g.doc_id
     "standard first featurizer at 100 TB). The md5 bucket is the "
     "same cross-engine-reproducible hash as the sampling family, "
     "so the DuckDB oracle rebuilds identical vectors. One shuffle "
-    "to (doc, bucket) counts, one to assemble the per-doc array; "
+    "to (doc, bucket) counts, one to assemble the per-doc vector; "
     "vector width is a constant, so the dense assembly via "
-    "map_from_entries + sequence is bounded per row.",
+    "map_from_entries + sequence is bounded per row. The vector is "
+    "emitted as a comma-joined string because the driver contract "
+    "requires scalar output columns.",
 )
 def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -2447,9 +2520,17 @@ def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(
-                "transform(sequence(0, 31),"
-                " i -> coalesce(try_element_at(m, cast(i as bigint)), 0L))"
+            # scalar CSV, not array<long>: the driver canonicalizes
+            # result frames with pandas sort_values, which cannot hash
+            # complex cells — every registered query must emit scalar
+            # columns only (guard: tests/test_registry.py shape test)
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, 31),"
+                    " i -> coalesce(try_element_at(m,"
+                    " cast(i as bigint)), 0L))"
+                ),
+                ",",
             ).alias("features"),
         )
     )

@@ -139,6 +139,9 @@ HEADLINE = [
     # per-stratum quantile normalization, Gini concentration
     "percentile_normalize",
     "gini_per_key",
+    # round 6: real compressed-image decode (PNG: zlib inflate + CRC
+    # + scanline unfilter, stdlib-only)
+    "png_decode_stats",
 ]
 
 
@@ -213,6 +216,22 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
                 "cpus": CPUS,
+            }
+        )
+    )
+    # compact summary printed LAST: the driver captures a bounded tail
+    # of stdout, and the full per-query line above grows with the
+    # headline set (~2 KB at 80 queries) — r5's total was truncated
+    # away. This short line always fits in the tail and parses alone.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+                "n_queries": len(timings),
             }
         )
     )

@@ -933,12 +933,15 @@ def test_feature_hashing_vector_invariants(spark):
     with tempfile.TemporaryDirectory() as td:
         _write_docs(spark, td, rows)
         out = registry()["feature_hashing"].fn(spark, td).collect()[0]
-    assert len(out["features"]) == 32
-    assert sum(out["features"]) == out["n_tokens"] == 3
+    # the vector is emitted as a comma-joined scalar string (driver
+    # contract: no complex-typed output columns)
+    feats = [int(x) for x in out["features"].split(",")]
+    assert len(feats) == 32
+    assert sum(feats) == out["n_tokens"] == 3
     b_hello = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 32
     b_world = int(hashlib.md5(b"world").hexdigest()[:8], 16) % 32
-    assert out["features"][b_hello] >= 2
-    assert out["features"][b_world] >= 1
+    assert feats[b_hello] >= 2
+    assert feats[b_world] >= 1
 
 
 def test_dedup_keep_best_longest_wins(spark):
@@ -1108,3 +1111,138 @@ def test_video_frame_sampler_seek_matches_full_decode(spark):
         assert abs(r["mean_b"] - expect[2]) < 1e-9
     bad = {r["media_id"]: r for r in out if r["media_id"] != 1}
     assert not bad[2]["ok"] and not bad[3]["ok"]
+
+def test_png_codec_roundtrip_and_color_types(spark):
+    """The stdlib PNG decoder: encode→decode round-trips non-constant
+    rasters through every scanline filter (encode_png cycles 0→4 by
+    row), grayscale replicates to RGB, RGBA drops alpha, and the
+    decoder dispatches from decode_image_stats on the PNG signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+        decode_image_stats,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    w, h = 9, 7  # h >= 5 → all five filters exercised
+    rgb = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    assert _parse_png(encode_png(w, h, rgb)) == (w, h, 3, rgb)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # grayscale 2x2 → replicated channels
+    raw = b"\x00" + bytes([10, 20]) + b"\x00" + bytes([30, 40])
+    gray = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(gray)[3] == bytes(
+        [10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40]
+    )
+    # RGBA 2x1 → alpha dropped
+    raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 128])
+    rgba = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(rgba)[3] == bytes([1, 2, 3, 4, 5, 6])
+
+    # decode_image_stats routes PNG payloads alongside PPM/BMP
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(encode_png(w, h, rgb)))]
+    )
+    out = decode_image_stats(df).collect()[0]
+    a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+    assert out["ok"] and (out["width"], out["height"]) == (w, h)
+    assert abs(out["mean_r"] - a[:, 0].mean()) < 1e-9
+
+
+def test_png_parser_rejects_malformed():
+    """Bit-flips fail CRC; palette/16-bit/interlaced/truncated inputs
+    all raise ValueError (→ quarantine rows, never garbage decodes)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+        encode_png,
+    )
+
+    good = encode_png(4, 4, bytes(range(48)))
+    corrupt = bytearray(good)
+    corrupt[len(good) // 2] ^= 0xFF
+    for bad in (
+        None,
+        b"",
+        b"\x89PNG",
+        bytes(corrupt),
+        good[:-8],  # IEND lost
+    ):
+        with pytest.raises(ValueError):
+            _parse_png(bad)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        hdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        payload = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", hdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            _parse_png(payload)
+
+
+def test_video_sampler_empty_but_valid_emits_row(spark):
+    """A structurally valid PVF with n_frames=0 must emit one ok=true
+    row with NULL frame fields — every input media_id appears in the
+    audit output; silence is reserved for nothing (ADVICE r5)."""
+    from b3_analytics_engine_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [Row(media_id=11, payload=bytearray(b"PVF 0 4 4 10\n"))]
+    )
+    out = sample_video_frames(df, every_n=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["media_id"] == 11 and r["ok"]
+    assert r["frame_idx"] is None and r["mean_r"] is None
+    assert (r["width"], r["height"]) == (4, 4)
+
+
+def test_ks_binned_single_group_is_null_by_design(spark):
+    """A single-group frame has an empty complement: the two-sample
+    statistic is undefined and the guarded division emits ks_stat =
+    NULL deliberately (documented), never a divide-by-zero artifact."""
+    from b3_analytics_engine_spark.operators import drift as DR
+
+    df = spark.createDataFrame([Row(g="only", x=i % 50) for i in range(100)])
+    out = DR.ks_binned(df, "g", "x", bin_width=16, n_bins=8).collect()
+    assert len(out) == 1
+    assert out[0]["ks_stat"] is None
+    assert out[0]["n_rows"] == 100

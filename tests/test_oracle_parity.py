@@ -2,11 +2,15 @@
 query with an oracle, run the Spark query AND the DuckDB SQL at sf0.01
 and compare row count + column names + order-insensitive values.
 
-Comparison is STRICTER than a hash: exact equality on non-floats,
-equality-after-round(6) already applied inside the queries for floats —
-so any mismatch here would also be a driver hash mismatch and vice
-versa (modulo the driver's normalization, which we can't see; exact
-match is the conservative bound).
+On VALUES the comparison is stricter than a hash: exact equality on
+non-floats, equality-after-round(6) already applied inside the
+queries for floats. On SHAPE it is weaker: ``_norm_cell`` tolerates
+list cells (converts to tuples and sorts by repr) where the driver's
+pandas ``sort_values`` canonicalizer CRASHES on unhashable complex
+cells — round 5's ``feature_hashing`` red proved it. That gap is
+closed by ``test_no_complex_output_columns`` below, which bans
+Array/Map/Struct columns from every registered query's output, so
+list tolerance here can never again mask a driver-side shape crash.
 """
 
 from __future__ import annotations
@@ -77,7 +81,7 @@ def test_registry_order_and_full_oracle_coverage():
     # _DRIVER_PRIORITY pins which queries occupy that window. Guard
     # the invariants the rotation depends on: the priority names all
     # exist, fill the window exactly once each, and every registered
-    # query (105/105) carries a DuckDB oracle.
+    # query carries a DuckDB oracle.
     from b3_analytics_engine_spark.queries import _DRIVER_PRIORITY
 
     regs = registry()
@@ -113,3 +117,28 @@ def test_all_declared_queries_run(spark):
         df = spec.fn(spark, SMOKE_SF_DIR)
         assert df.columns, f"{spec.name} returned no columns"
         df.limit(5).collect()
+
+
+def test_no_complex_output_columns(spark):
+    # DRIVER CONTRACT: the external checker canonicalizes each result
+    # frame with pandas sort_values over every column, which raises
+    # TypeError on unhashable cells — so a registered query whose
+    # output schema contains ArrayType/MapType/StructType is a
+    # guaranteed driver red regardless of the values being correct
+    # (round 5's feature_hashing). Building the DataFrame is lazy, so
+    # scanning all 151 schemas costs seconds, not a run per query.
+    from pyspark.sql import types as T
+
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR
+
+    offenders = []
+    for spec in registry().values():
+        for f in spec.fn(spark, SMOKE_SF_DIR).schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append((spec.name, f.name, str(f.dataType)))
+    assert not offenders, (
+        "complex-typed output columns break the driver's pandas "
+        f"canonicalizer: {offenders}"
+    )
