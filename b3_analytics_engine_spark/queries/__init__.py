@@ -48,58 +48,52 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-6 front window (round 5 went 49/50 on the
-# previous window — the one red was feature_hashing's array-output
-# packaging bug, fixed this round): (a) queries with ZERO external
-# evidence (landed after the r5 window filled); (b) code changed or
-# new in round 6; (c) the 11 r5 hint-removal queries whose newest
-# external row is round 3; (d) r3-newest unchanged queries, now
-# three rounds stale.
+# external evidence. Round-7 front window (round 6 went 49/50 on the
+# previous window — the one red was lang_mismatch_audit's DuckDB
+# HUGEINT oracle columns, CAST-fixed this round): (a) the r6 red,
+# re-proving the fix; (b) the two r3-newest queries deliberately
+# deferred from the r6 window; (c) the full r4-newest cohort, now
+# three rounds stale — 50 queries, of which the 3 with the strongest
+# redundant coverage are deferred to round 8 (see below).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) zero external evidence — landed late in round 5 (9)
-    "video_frame_stats", "reservoir_per_group", "dataset_split",
-    "ngram_novelty", "lang_mismatch_audit", "table_profile",
-    "benford_audit", "percentile_normalize", "gini_per_key",
-    # (b) round-6 changed/new (2): feature_hashing's output is now a
-    # scalar CSV column (the r5 red was the driver's canonicalizer
-    # dying on array cells); png_decode_stats is the new real
-    # compressed-image codec query
-    "feature_hashing", "png_decode_stats",
-    # (c) newest external row is round 3; round-5 change was plan
-    # shape only (forced-broadcast-hint removal), pinned since by
-    # tests/test_plans.py + local parity — externally re-verified now
-    "join_broadcast_dim", "join_normalized_key",
-    "top_supplier_revenue", "min_cost_supplier", "waiting_suppliers",
-    "parts_supplier_stats", "dominant_suppliers", "product_profit",
-    "important_parts", "unigram_logprob", "tfidf_topterms",
-    # (d) newest external row is round 3, code unchanged since (28)
-    "approx_aggregates", "cosine_ann_lsh", "cosine_ann_ivf",
-    "small_order_quantity", "dormant_customers",
-    "returned_item_customers", "disjunctive_join_filter",
-    "in_list_filter", "time_range_filter", "cast_coerce_nulls",
-    "null_handling", "scalar_functions", "multi_key_sort_limit",
-    "char_entropy", "heavy_hitters", "time_rollup_hierarchy",
-    "json_payload_parse", "order_priority_check",
-    "customer_order_histogram", "large_volume_customer",
-    "forecast_revenue", "ewma_per_key", "importance_resample",
-    "semi_anti_join", "pricing_summary", "shipping_priority",
-    "pii_flag", "label_centroids",
+    # (a) round-6 red: oracle sum(CASE..) was HUGEINT → pandas
+    # float64 → hash mismatch on identical values; now CAST AS BIGINT
+    # and guarded registry-wide by test_no_risky_oracle_output_types
+    "lang_mismatch_audit",
+    # (b) newest external row r3, deferred from r6 for redundancy
+    "filter_project", "sql_interface_revenue",
+    # (c1) newest external row r4, one green total (7)
+    "duplicated_spans", "pii_redact", "quarantine_rows",
+    "shard_assignment", "shipmode_priority", "sliding_window_agg",
+    "tumbling_window_agg",
+    # (c2) newest external row r4, two greens (20)
+    "chunk_documents", "corpus_curation", "data_quality_report",
+    "decontaminate", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "distribution_rank", "dup_cluster_keep",
+    "incident_window_join", "incremental_agg_merge",
+    "repetition_ratio", "sequence_packing", "skew_salted_join",
+    "snapshot_diff_feed", "stratified_sample", "trade_pagerank",
+    "vocab_topk", "window_dedup", "winsorized_stats",
+    # (c3) newest external row r4, three greens (23 − 3 deferred = 20)
+    "asof_join", "cohort_retention", "funnel_conversion",
+    "gap_fill_forward", "grouped_zscore", "lang_id",
+    "latest_per_key", "max_drawdown", "multimodal_features",
+    "multimodal_frame_plan", "ngram_jaccard_pairs",
+    "pivot_daily_mean", "rolling_volatility", "session_windows",
+    "snapshot_join", "text_fingerprint", "text_quality",
+    "time_range_window", "topk_per_group", "union_dedup_keeplast",
 )
 # Outside this window: everything whose newest external row is round
-# 4 or 5 (the freshest evidence possible), plus exactly TWO r3-newest
-# queries that did not fit the 50-slot budget, chosen for maximal
-# redundant coverage — filter_project (P1/P9 semantics also
-# exercised by in_list_filter/time_range_filter, both IN this
-# window) and sql_interface_revenue (the spark.sql() twin of the
-# regional_revenue aggregation shape, r3-green and semantics shared
-# with r5-green joins). They are first in line for the round-7
-# window. psi_drift/ks_drift changed this round but only in plan
-# shape (grid derived from the aggregated counts frame instead of
-# re-scanning the corpus) and in a documented degenerate guard
-# (single-group KS) that sf0.01 never triggers — their r5 external
-# rows remain valid for the semantics; local parity re-checks them
-# every pytest run.
-# All registered queries are re-checked by
+# 5 or 6 (the freshest evidence possible), plus exactly THREE
+# r4-newest queries that did not fit the 50-slot budget, chosen for
+# maximal redundant coverage — warehouse_metrics (the flagship query
+# the driver's entry() smoke check executes EVERY round, plus the
+# entry-contract test), corr_matrix (three greens r1/r2/r4; its
+# pivot+N²-agg shape shared with pivot_daily_mean, IN this window),
+# and cosine_topk (three greens; the exact top-k it computes is
+# recomputed internally by cosine_ann_lsh/cosine_ann_ivf's
+# recall-verification frames, both green r6). They are first in line
+# for the round-8 window. All registered queries are re-checked by
 # tests/test_oracle_parity.py every run.
 
 

@@ -3119,9 +3119,9 @@ FROM scored
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN g != 'und' AND g != lang THEN 1 ELSE 0 END)
-         AS n_mismatch,
-       sum(CASE WHEN g = 'und' THEN 1 ELSE 0 END) AS n_und,
+       CAST(sum(CASE WHEN g != 'und' AND g != lang THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_mismatch,
+       CAST(sum(CASE WHEN g = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
        round(sum(CASE WHEN g != 'und' AND g != lang THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS mismatch_share
 FROM guessed GROUP BY 1

@@ -142,3 +142,25 @@ def test_no_complex_output_columns(spark):
         "complex-typed output columns break the driver's pandas "
         f"canonicalizer: {offenders}"
     )
+
+
+def test_no_risky_oracle_output_types(duck_oracle):
+    # DRIVER CONTRACT, oracle side (the mirror of the test above): the
+    # checker fetches the DuckDB result into pandas, where HUGEINT
+    # (int128, e.g. sum(CASE...)) lands as float64 and hash-mismatches
+    # Spark's int64 even with identical values (round 6's
+    # lang_mismatch_audit), and DECIMAL/LIST/STRUCT/MAP cells are
+    # object-dtype or unhashable. LIMIT-0 type-scan every oracle; this
+    # class of bug has now struck once per side, kill it for good.
+    banned = ("HUGEINT", "DECIMAL", "STRUCT", "MAP(", "UNION", "[]")
+    offenders = []
+    for spec in ORACLE_SPECS:
+        rel = duck_oracle.sql(f"SELECT * FROM ({spec.oracle}) _q LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in banned):
+                offenders.append((spec.name, col, t))
+    assert not offenders, (
+        "oracle output types that pandas-canonicalize away from the "
+        f"Spark dtype (cast to BIGINT/DOUBLE/VARCHAR in the SQL): {offenders}"
+    )
