@@ -217,14 +217,16 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     pos, ihdr, idat, ended = 8, None, bytearray(), False
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk (body+CRC past EOF)")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError(f"truncated {ctype!r} chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC on {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body is {len(body)} bytes, not 13")
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -249,11 +251,20 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR, IDAT or IEND")
     w, h, color = ihdr
     nch = {0: 1, 2: 3, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    # cap inflation at the declared raster size so a crafted
+    # decompression bomb can't allocate beyond it, and surface any
+    # corrupt deflate stream as the documented ValueError
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
+    if dec.unconsumed_tail or len(raw) != expected:
         raise ValueError(
-            f"inflated size {len(raw)} != {(stride + 1) * h} expected"
+            f"inflated size {len(raw)}{'+' if dec.unconsumed_tail else ''}"
+            f" != {expected} expected"
         )
     prev = bytearray(stride)
     out = bytearray()

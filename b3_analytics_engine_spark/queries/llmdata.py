@@ -661,7 +661,7 @@ SELECT doc_id AS media_id,
              + (n_chars % 16) / 2.0 + (doc_id % 8) / 2.0, 6) AS mean_g,
        round((doc_id * 7 + 26) % 200
              + (n_chars % 16) / 2.0 + (doc_id % 8) / 2.0, 6) AS mean_b
-FROM documents WHERE doc_id % 3 = 0
+FROM documents WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
 """,
     survey="ext:multimodal-png-decode (real compressed codec)",
     description="REAL compressed-image decode end-to-end: each 'image' "
@@ -686,8 +686,12 @@ def png_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_image_stats, encode_png
 
+    # doc_id % 3 == 0 already drops NULL doc_ids (NULL%3 is NULL on
+    # both engines); n_chars needs its own guard or the synth loop's
+    # int(nchars) raises TypeError in the executor on dirty rows —
+    # the decoder side quarantines, the synth side must not crash
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
+        (F.col("doc_id") % 3 == 0) & F.col("n_chars").isNotNull()
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

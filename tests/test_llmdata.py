@@ -1216,6 +1216,82 @@ def test_png_parser_rejects_malformed():
             _parse_png(payload)
 
 
+def test_png_parser_malformed_raises_valueerror_only():
+    """ADVICE r6: every reachable malformed-input path must raise the
+    documented ValueError — struct.error (short IHDR with valid CRC,
+    CRC field past EOF) and zlib.error (CRC-valid but incomplete IDAT
+    stream) used to escape the quarantine tuple and kill the whole
+    mapInPandas batch. Also: a crafted decompression bomb must be
+    rejected with allocation capped at the declared raster size."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+        encode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # (1) IHDR body 8 bytes, CRC valid → was struct.error from unpack
+    short_ihdr = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">II", 2, 2))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _parse_png(short_ihdr)
+
+    # (2) dropped middle IDAT chunk, IEND intact, every CRC valid →
+    # incomplete deflate stream (was zlib.error / silent short output)
+    good = encode_png(4, 4, bytes(range(48)))
+    hdr13 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    full = zlib.compress(b"".join(
+        b"\x00" + bytes(range(48))[y * 12 : (y + 1) * 12] for y in range(4)
+    ))
+    half = len(full) // 2
+    incomplete = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", hdr13)
+        + chunk(b"IDAT", full[:half])
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _parse_png(incomplete)
+    # sanity: the same stream split across BOTH IDAT chunks decodes
+    both = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", hdr13)
+        + chunk(b"IDAT", full[:half])
+        + chunk(b"IDAT", full[half:])
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(both)[:3] == (4, 4, 3)
+
+    # (3) bomb: declares 4x4 but IDAT inflates to 10 MB — must reject
+    # without inflating past (stride+1)*h
+    bomb = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", hdr13)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _parse_png(bomb)
+
+    # (4) chunk CRC field past EOF → was struct.error from unpack_from
+    with pytest.raises(ValueError):
+        _parse_png(good[:-2])
+
+
 def test_video_sampler_empty_but_valid_emits_row(spark):
     """A structurally valid PVF with n_frames=0 must emit one ok=true
     row with NULL frame fields — every input media_id appears in the
