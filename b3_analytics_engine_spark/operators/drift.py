@@ -64,7 +64,15 @@ def _dense_counts(
     # (|groups| x |bins| rows), NOT from the raw corpus — deriving
     # them from `binned` would re-scan and re-shuffle the full input
     # a second time; this keeps the corpus shuffled exactly once and
-    # the grid genuinely vocabulary-bounded
+    # the grid genuinely vocabulary-bounded.
+    # counts feeds MULTIPLE consumers (the grid distinct here, the
+    # left join below, and psi/ks derive 3 more frames from `dense`)
+    # whose exchanges hash on different keys, so ReuseExchange never
+    # fires — without materialization the full input scan+shuffle
+    # replays once per consumer (measured: 8 parquet scans in
+    # psi_drift's physical plan). localCheckpoint the tiny aggregate
+    # so the corpus is scanned and shuffled exactly once.
+    counts = counts.localCheckpoint(eager=False)
     grid = (
         counts.select("grp")
         .distinct()
@@ -74,9 +82,15 @@ def _dense_counts(
             )
         )
     )
+    # psi/ks each hang 3+ consumers off the dense frame (ref, totals,
+    # the share join); materialize it too so the grid join runs once.
+    # A/B at sf0.1 (interleaved min-of-4, ARCHITECTURE.md r7): this
+    # double-checkpoint shape times within noise of the fastest local
+    # variant while being the only one that scans the raw corpus
+    # exactly once — the property that matters at 100 TB.
     return grid.join(counts, ["grp", "bin"], "left").select(
         "grp", "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
 
 
 def psi(

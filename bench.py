@@ -184,22 +184,30 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # one untimed warmup run: whole-stage-codegen compilation and
-        # JIT are per-plan one-offs (~1-2 s each locally) that a
-        # long-running cluster amortizes to zero. Then two timed runs,
-        # keeping the min — a cold JVM/page cache right after other
-        # work inflates single measurements 30-50%; the min is the
-        # steady-state throughput a cluster actually sustains.
+    def time_query(fn) -> float:
+        # one untimed warmup run (codegen/JIT are per-plan one-offs a
+        # cluster amortizes), then min-of-2 timed runs = steady state
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    # machine-state control: one pinned, never-changing query timed
+    # FIRST with the same protocol. This box's throughput swings
+    # 1.4-5x between rounds on identical code (r6 burned its perf
+    # signal on that); the driver can divide any round's numbers by
+    # control_sec to normalize before calling something a regression.
+    CONTROL = "dedup_exact"
+    control_sec = time_query(qs[CONTROL])
+    _unpersist_all(spark)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        timings[name] = time_query(fn)
         # cleanup AFTER timing: dropping the query's checkpointed RDDs
         # between timed runs overlaps block removal with the next
         # measurement; dropping after keeps executor memory flat across
@@ -216,6 +224,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
                 "cpus": CPUS,
+                "control": CONTROL,
+                "control_sec": control_sec,
             }
         )
     )
@@ -232,6 +242,8 @@ def main() -> None:
                 "sf": sf_from_dir(SF_DIR),
                 "cpus": CPUS,
                 "n_queries": len(timings),
+                "control": CONTROL,
+                "control_sec": control_sec,
             }
         )
     )
