@@ -95,14 +95,24 @@ def shingle_postings(
     """Distinct (id, shingle) postings — the inverted-index input.
 
     Codegen-friendly shape: posexplode tokens → window lead(1..n-1)
-    per doc → concat. One hash shuffle on id (token rows are small),
-    everything else whole-stage codegen — ~5× faster than evaluating
-    the equivalent array-transform expression interpreted per row,
-    and the same shape scales out (tokens of one doc stay in one
-    partition).
+    per doc → concat, in a SINGLE corpus pass. Documents shorter than
+    ``n`` tokens contribute their whole token string as one shingle
+    (same contract as :func:`shingles`) — emitted from the SAME
+    window pass at ``pos == 0``, where ``concat_ws`` skipping the
+    null leads yields exactly the whole-token join. The r6 shape
+    computed that fallback as a second scan + anti-join, so the raw
+    corpus was scanned 3× per call (and ReuseExchange never fires
+    across differently-keyed consumers); r7 A/B at sf0.1: this
+    one-pass shape is 25-40% faster on every consumer AND the only
+    corpus pass is the one window shuffle. The zero-shuffle
+    array-transform equivalent measured 2-2.5× slower end-to-end
+    (higher-order functions evaluate interpreted, outside codegen) —
+    see ARCHITECTURE.md round-7 A/B.
 
-    Documents shorter than ``n`` tokens contribute their whole token
-    string as a single shingle (same contract as :func:`shingles`).
+    Null-text docs contribute no posting (``posexplode`` of a null
+    array emits nothing) — matching the DuckDB oracle's UNNEST
+    semantics; hashing NULL would make all null docs mutual
+    "duplicates".
     """
     from pyspark.sql import Window
 
@@ -112,15 +122,17 @@ def shingle_postings(
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = (
-        toks.select("id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_t"))
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
+    return (
+        toks.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("sh"),
+            parts[-1].alias("_t"),
+            "pos",
+        )
+        .filter(F.col("_t").isNotNull() | (F.col("pos") == 0))
+        .select("id", "sh")
+        .distinct()
     )
-    short = df.select(
-        F.col(id_col).alias("id"), F.array_join(tokens(text_col), " ").alias("sh")
-    ).join(sh.select("id").distinct(), "id", "left_anti")
-    return sh.unionByName(short).distinct()
 
 
 def hashed_postings(
@@ -151,20 +163,22 @@ def hashed_postings(
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = (
+    # single corpus pass: short docs (< n tokens) fall out of the
+    # same window at pos == 0, where concat_ws skips the null leads
+    # and yields the whole-token join (see shingle_postings docstring
+    # for the r7 A/B; the r6 two-scan anti-join shape tripled the
+    # raw-corpus scan count)
+    return (
         toks.select(
             "id",
             hash_fn(F.concat_ws(" ", *parts)).alias("sh"),
             parts[-1].alias("_t"),
+            "pos",
         )
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
+        .filter(F.col("_t").isNotNull() | (F.col("pos") == 0))
+        .select("id", "sh")
+        .distinct()
     )
-    short = df.select(
-        F.col(id_col).alias("id"),
-        hash_fn(F.array_join(tokens(text_col), " ")).alias("sh"),
-    ).join(sh.select("id").distinct(), "id", "left_anti")
-    return sh.unionByName(short).distinct()
 
 
 def exact_duplicates(

@@ -285,8 +285,18 @@ SELECT user_id, 'click_only' FROM (SELECT user_id FROM clickers EXCEPT SELECT us
 )
 def set_operations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    # each key set feeds three set operators; materialize the
+    # |users|-bounded distinct sets so the events scan runs once per
+    # side instead of once per consumer (6 scans, scan_audit r7) —
+    # the INTERSECT/EXCEPT operators themselves are the point here
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().localCheckpoint(eager=False)
+    )
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id").distinct().localCheckpoint(eager=False)
+    )
     both = buyers.intersect(clickers).select(
         "user_id", F.lit("both").alias("membership")
     )

@@ -538,25 +538,47 @@ LEFT JOIN p ON p.user_id = v.user_id
     "standard product-analytics sequence query at any scale.",
 )
 def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    # stacked per-user window aggregates, each stage's condition
+    # referencing the previous stage's window column: Spark compiles
+    # the three Window nodes over ONE hash exchange on user_id, so
+    # the whole funnel is a single events scan + single shuffle. The
+    # r6 shape (three progressively-joined aggregations) replayed
+    # the events scan 6x because each stage's subplan embeds the
+    # previous ones and their exchanges hash on different outputs
+    # (scan_audit.py finding, r7). A click before the first view
+    # yields NULL in `ts > t_view` -> excluded from the min, exactly
+    # the oracle's join-filter semantics.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     stage = (
         F.lit(1)
@@ -564,8 +586,13 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        staged.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
         .select("user_id", "t_view", "t_click", "t_purchase",
                 stage.alias("stage_reached"))
     )
@@ -779,15 +806,20 @@ def anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    # med and mad are |event_type|-bounded; without materialization
+    # each downstream consumer replays the events scan inside their
+    # subplans (4 scans, scan_audit r7) — checkpointing both leaves
+    # the two passes MAD inherently needs (one to rank deviations,
+    # one to score rows) and nothing more
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")
-    )
+    ).localCheckpoint(eager=False)
     with_med = ev.join(hint_small(med), "event_type")
     mad = with_med.groupBy("event_type").agg(
         F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
             "mad"
         )
-    )
+    ).localCheckpoint(eager=False)
     score = F.round(
         F.try_divide(
             F.abs(F.col("value") - F.col("med")),

@@ -915,10 +915,15 @@ FROM embeddings WHERE vec_id < 50
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     off = emb.agg((F.max("vec_id") + 1).alias("_off"))
+    # the injected-duplicate scaffolding is 50 rows; checkpoint it so
+    # the LSH self-join's two corpus passes don't each replay the
+    # scalar-offset subplan (6 scans -> the self-join's inherent 2,
+    # scan_audit r7)
     dup = (
         emb.filter(F.col("vec_id") < 50)
         .crossJoin(hint_small(off))  # 1-row scalar broadcast
         .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
+        .localCheckpoint(eager=False)
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     return S.embedding_neardup_pairs(aug, threshold=0.999, dim=64)
@@ -1067,10 +1072,13 @@ FROM aug
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     off = emb.agg((F.max("vec_id") + 1).alias("_off"))
+    # 50-row fixture scaffolding, checkpointed for the same reason as
+    # embedding_neardup (scan_audit r7)
     dup = (
         emb.filter(F.col("vec_id") < 50)
         .crossJoin(hint_small(off))  # 1-row scalar broadcast
         .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
+        .localCheckpoint(eager=False)
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     # n_clusters tracks corpus size (SemDeDup §3: cells must stay
@@ -2446,7 +2454,12 @@ WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 )
 def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    # |langs|-bounded counts feed both the min-scalar and the rate
+    # frame; checkpoint so the corpus is counted once, not once per
+    # consumer (3 scans -> the inherent 2, scan_audit r7)
+    n = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_s")
+    ).localCheckpoint(eager=False)
     mn = n.agg(F.min("n_s").alias("mn"))
     rates = n.crossJoin(hint_small(mn)).select(
         "lang",
@@ -2822,7 +2835,11 @@ WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 )
 def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    # same |langs|-bounded two-consumer shape as mixture_rebalance
+    # (scan_audit r7)
+    n = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_s")
+    ).localCheckpoint(eager=False)
     mn = n.agg(F.min("n_s").alias("mn"))
     r = n.crossJoin(hint_small(mn)).select(
         "lang",
