@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .common import materialize
 from .text import fingerprint, tokens
 
 # Deterministic Mersenne-prime permutation family for MinHash.
@@ -229,7 +230,7 @@ def ngram_jaccard_pairs(
     persisting/bucketing the inverted index — any production near-dup
     pass materializes it once.
     """
-    sh = hashed_postings(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = hashed_postings(df, id_col, text_col, n).transform(materialize)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -341,9 +342,7 @@ def minhash_lsh_pairs(
     # One materialization of the inverted index feeds all four plan
     # branches (signature agg, per-doc sizes, both verify-join sides) —
     # without it Catalyst re-runs tokenize→window→distinct per branch.
-    posts = hashed_postings(df, id_col, text_col, n, portable).localCheckpoint(
-        eager=False
-    )
+    posts = hashed_postings(df, id_col, text_col, n, portable).transform(materialize)
     sig = _signatures_from_hashed(posts, num_hashes, seed)
     band_structs = [
         F.struct(
@@ -511,9 +510,7 @@ def simhash_pairs(
     chunk_mask = (1 << chunk_bits) - 1
     # one row per doc; materialized once so the self-join's two sides
     # don't each re-run the tokenize + per-bit-sum aggregation
-    sig = simhash_signatures(df, id_col, text_col, nbits, portable).localCheckpoint(
-        eager=False
-    )
+    sig = simhash_signatures(df, id_col, text_col, nbits, portable).transform(materialize)
     chunked = sig.select(
         "id",
         "sig",
@@ -669,7 +666,7 @@ def source_overlap_matrix(
         post.join(src, "id")
         .select("grp", "sh")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
     a = gs.alias("a")
@@ -746,11 +743,11 @@ def connected_components(
     # pair-join cost on semantic_dedup/dup_cluster_keep; stance 5b)
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    n_edges = sym.count()  # free: checkpointed
+    ).transform(materialize)
+    n_edges = sym.count()  # materializes the cache; later reads hit it
 
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -786,6 +783,11 @@ def connected_components(
         rows = [(n, comp_min[find(n)]) for n in parent]
         return sym.sparkSession.createDataFrame(rows, schema)
 
+    # the loop frames keep localCheckpoint DELIBERATELY (the one
+    # exception to the materialize() policy, with trade_pagerank):
+    # lineage truncation is the point — persist() leaves the logical
+    # plan growing with the round count, so Pregel-style loops
+    # re-plan round k-1 inside round k
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

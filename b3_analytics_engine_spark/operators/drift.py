@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .common import materialize
+
 EPS = 1e-6
 
 
@@ -70,9 +72,9 @@ def _dense_counts(
     # whose exchanges hash on different keys, so ReuseExchange never
     # fires — without materialization the full input scan+shuffle
     # replays once per consumer (measured: 8 parquet scans in
-    # psi_drift's physical plan). localCheckpoint the tiny aggregate
+    # psi_drift's physical plan). Materialize the tiny aggregate
     # so the corpus is scanned and shuffled exactly once.
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(materialize)
     grid = (
         counts.select("grp")
         .distinct()
@@ -85,12 +87,12 @@ def _dense_counts(
     # psi/ks each hang 3+ consumers off the dense frame (ref, totals,
     # the share join); materialize it too so the grid join runs once.
     # A/B at sf0.1 (interleaved min-of-4, ARCHITECTURE.md r7): this
-    # double-checkpoint shape times within noise of the fastest local
+    # double-materialize shape times within noise of the fastest local
     # variant while being the only one that scans the raw corpus
     # exactly once — the property that matters at 100 TB.
     return grid.join(counts, ["grp", "bin"], "left").select(
         "grp", "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
 
 
 def psi(

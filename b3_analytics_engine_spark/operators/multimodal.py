@@ -266,6 +266,11 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
             f"inflated size {len(raw)}{'+' if dec.unconsumed_tail else ''}"
             f" != {expected} expected"
         )
+    if not dec.eof:
+        # r7 advice: a stream truncated exactly after the expected
+        # byte count passes both checks above but never reaches the
+        # deflate end marker (+ adler32 trailer) — reject it
+        raise ValueError("truncated IDAT deflate stream (no stream end)")
     prev = bytearray(stride)
     out = bytearray()
     for y in range(h):

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .common import materialize
+
 
 def _dbl(col: Column) -> Column:
     return col.cast("array<double>")
@@ -455,7 +457,7 @@ def semantic_dedup(
     # the within-cell pair join shuffles on cell only; materialized
     # once — both self-join sides would otherwise re-run the
     # assignment UDF over the full corpus (stance 5b)
-    m = cells.join(v, "id").localCheckpoint(eager=False)
+    m = cells.join(v, "id").transform(materialize)
     a = m.alias("a")
     b = m.alias("b")
     pairs = (
@@ -534,9 +536,7 @@ def embedding_neardup_pairs(
     same RHP-LSH bucketing, self-join form (id_a < id_b)."""
     v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
     # materialized once: both self-join sides read one bucketize pass
-    buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed).localCheckpoint(
-        eager=False
-    )
+    buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed).transform(materialize)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -58,6 +58,37 @@ def has_node(df: DataFrame, node: str) -> bool:
     return node in physical_plan(df)
 
 
+def parquet_scan_counts(df: DataFrame) -> dict[str, int]:
+    """How many DISTINCT physical scan nodes read each base parquet
+    table — the scale-critical invariant (each extra scan node is a
+    full corpus pass at 100 TB).
+
+    Counts the formatted plan's ``(n) Scan parquet`` DETAIL headers
+    (one per physical node, printed once regardless of how many times
+    the tree section references the node — ReusedExchange subtrees
+    and the plans cached inside InMemoryRelation repeat node ids in
+    the TREE but not in the details), then attributes each to the
+    table named by its ``Location:`` line. Counting raw
+    ``<name>.parquet`` substrings instead over-counts path echoes —
+    the round-7 tool's heuristic gap.
+    """
+    import re as _re
+    from collections import Counter
+
+    lines = physical_plan(df).splitlines()
+    counts: Counter[str] = Counter()
+    for i, line in enumerate(lines):
+        if _re.match(r"\(\d+\) Scan parquet\b", line.strip()):
+            for detail in lines[i + 1 : i + 10]:
+                if detail.strip().startswith("(") or not detail.strip():
+                    break
+                m = _re.search(r"(\w+)\.parquet", detail)
+                if m and detail.lstrip().startswith("Location"):
+                    counts[m.group(1)] += 1
+                    break
+    return dict(counts)
+
+
 def global_windows(df: DataFrame) -> list[str]:
     """Window operators with an EMPTY partition spec in the optimized
     logical plan — the 'Moving all data to a single partition' idiom

@@ -48,53 +48,55 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-7 front window (round 6 went 49/50 on the
-# previous window — the one red was lang_mismatch_audit's DuckDB
-# HUGEINT oracle columns, CAST-fixed this round): (a) the r6 red,
-# re-proving the fix; (b) the two r3-newest queries deliberately
-# deferred from the r6 window; (c) the full r4-newest cohort, now
-# three rounds stale — 50 queries, of which the 3 with the strongest
-# redundant coverage are deferred to round 8 (see below).
+# external evidence. Round-8 front window (round 7 went 50/50 green):
+# (a) the three queries whose CODE changed this round after their
+# newest external row — ngram_novelty (postings rewrite, the r7 perf
+# regression fix), funnel_conversion (NULL-user/NULL-ts guards from
+# r7 advice), png_decode_stats (r7 null-guard + this round's
+# truncated-deflate eof check); (b) the three r4-newest queries
+# deferred from r7 — the weakest evidence anywhere; (c) the full
+# r5-newest one-green cohort, which includes every query the r7
+# verdict named as changed-but-unproven (psi/ks drift, anomaly_mad,
+# semantic_dedup, containment/source overlap, decontaminate_fuzzy,
+# mixture/temperature sampling) — all additionally touched by this
+# round's localCheckpoint→materialize swap; (d) the r5-newest
+# two-green cohort (embedding_neardup also verdict-named); (e) as
+# many r5-newest three-green queries as fit.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-6 red: oracle sum(CASE..) was HUGEINT → pandas
-    # float64 → hash mismatch on identical values; now CAST AS BIGINT
-    # and guarded registry-wide by test_no_risky_oracle_output_types
-    "lang_mismatch_audit",
-    # (b) newest external row r3, deferred from r6 for redundancy
-    "filter_project", "sql_interface_revenue",
-    # (c1) newest external row r4, one green total (7)
-    "duplicated_spans", "pii_redact", "quarantine_rows",
-    "shard_assignment", "shipmode_priority", "sliding_window_agg",
-    "tumbling_window_agg",
-    # (c2) newest external row r4, two greens (20)
-    "chunk_documents", "corpus_curation", "data_quality_report",
-    "decontaminate", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "distribution_rank", "dup_cluster_keep",
-    "incident_window_join", "incremental_agg_merge",
-    "repetition_ratio", "sequence_packing", "skew_salted_join",
-    "snapshot_diff_feed", "stratified_sample", "trade_pagerank",
-    "vocab_topk", "window_dedup", "winsorized_stats",
-    # (c3) newest external row r4, three greens (23 − 3 deferred = 20)
-    "asof_join", "cohort_retention", "funnel_conversion",
-    "gap_fill_forward", "grouped_zscore", "lang_id",
-    "latest_per_key", "max_drawdown", "multimodal_features",
-    "multimodal_frame_plan", "ngram_jaccard_pairs",
-    "pivot_daily_mean", "rolling_volatility", "session_windows",
-    "snapshot_join", "text_fingerprint", "text_quality",
-    "time_range_window", "topk_per_group", "union_dedup_keeplast",
+    # (a) changed this round — freshest code, needs external re-proof
+    "ngram_novelty", "funnel_conversion", "png_decode_stats",
+    # (b) newest external row r4 (deferred from r7's window)
+    "corr_matrix", "cosine_topk", "warehouse_metrics",
+    # (c) newest external row r5, one green total (31)
+    "acf_per_key", "anomaly_mad", "audio_decode_stats",
+    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
+    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
+    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
+    "event_transitions", "fuzzy_levenshtein_pairs",
+    "image_decode_stats", "image_resize_stats", "k_anonymity",
+    "key_skew_audit", "ks_drift", "mixture_rebalance",
+    "negative_sampling", "ohlc_bars", "oov_rate", "pmi_collocations",
+    "psi_drift", "scd2_history", "semantic_dedup", "source_overlap",
+    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
+    # (d) newest external row r5, two greens (6)
+    "embedding_neardup", "embedding_neardup_exact", "market_share",
+    "nation_trade_volume", "promotion_effect", "regional_revenue",
+    # (e) newest external row r5, three greens (7 of 12 fit)
+    "distinct_sorted_keys", "exact_percentiles", "group_share",
+    "ranking_suite", "rollup_revenue", "set_operations", "text_stats",
 )
 # Outside this window: everything whose newest external row is round
-# 5 or 6 (the freshest evidence possible), plus exactly THREE
-# r4-newest queries that did not fit the 50-slot budget, chosen for
-# maximal redundant coverage — warehouse_metrics (the flagship query
-# the driver's entry() smoke check executes EVERY round, plus the
-# entry-contract test), corr_matrix (three greens r1/r2/r4; its
-# pivot+N²-agg shape shared with pivot_daily_mean, IN this window),
-# and cosine_topk (three greens; the exact top-k it computes is
-# recomputed internally by cosine_ann_lsh/cosine_ann_ivf's
-# recall-verification frames, both green r6). They are first in line
-# for the round-8 window. All registered queries are re-checked by
-# tests/test_oracle_parity.py every run.
+# 6 or 7 (the freshest evidence possible), plus FIVE r5-newest
+# three-green queries that did not fit the 50-slot budget, chosen
+# for maximal redundant coverage — cube_revenue (same grouping-sets
+# family as rollup_revenue, IN the window), top1_by_metric (its
+# TakeOrdered shape is pinned by a plan test and shared with
+# distribution_rank, green r7), tz_convert / unpivot_measures /
+# value_histogram (single-operator rowops with three greens each and
+# code untouched since r5). They are first in line for round 9. All
+# registered queries are re-checked by tests/test_oracle_parity.py
+# every run, and tests/test_scan_audit.py pins every query's
+# physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:

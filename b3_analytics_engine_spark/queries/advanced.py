@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.common import materialize
 from ..operators.joins import hint_small
 from ..tables import load_table
 from . import register
@@ -291,11 +292,11 @@ def set_operations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the INTERSECT/EXCEPT operators themselves are the point here
     buyers = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("user_id").distinct().localCheckpoint(eager=False)
+        .select("user_id").distinct().transform(materialize)
     )
     clickers = (
         ev.filter(F.col("event_type") == "click")
-        .select("user_id").distinct().localCheckpoint(eager=False)
+        .select("user_id").distinct().transform(materialize)
     )
     both = buyers.intersect(clickers).select(
         "user_id", F.lit("both").alias("membership")

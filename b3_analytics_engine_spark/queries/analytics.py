@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import windows as W
 from ..operators.aggregates import corr_matrix, distinct_sorted, top_k_global
+from ..operators.common import materialize
 from ..operators.joins import hint_small, latest_per_key, pivot_wide
 from ..tables import load_table
 from . import register
@@ -547,13 +548,27 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous ones and their exchanges hash on different outputs
     # (scan_audit.py finding, r7). A click before the first view
     # yields NULL in `ts > t_view` -> excluded from the min, exactly
-    # the oracle's join-filter semantics.
+    # the oracle's join-filter semantics. Two NULL edges mirrored
+    # from the oracle (r7 advice): the window treats NULL user_id as
+    # one partition where the oracle's equi-joins drop NULL keys, so
+    # the click/purchase stages require user_id IS NOT NULL (the
+    # t_view row itself survives — GROUP BY keeps the NULL group);
+    # and a user whose every 'view' has NULL ts keeps a t_view-NULL
+    # stage-1 row under GROUP BY, so presence-of-view gates the
+    # output, not t_view non-null.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
     w = Window.partitionBy("user_id")
+    uid_ok = F.col("user_id").isNotNull()
     staged = (
         ev.withColumn(
+            "has_view",
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).over(w),
+        )
+        .withColumn(
             "t_view",
             F.min(
                 F.when(F.col("event_type") == "view", F.col("ts"))
@@ -563,7 +578,8 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_click",
             F.min(
                 F.when(
-                    (F.col("event_type") == "click")
+                    uid_ok
+                    & (F.col("event_type") == "click")
                     & (F.col("ts") > F.col("t_view")),
                     F.col("ts"),
                 )
@@ -573,7 +589,8 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_purchase",
             F.min(
                 F.when(
-                    (F.col("event_type") == "purchase")
+                    uid_ok
+                    & (F.col("event_type") == "purchase")
                     & (F.col("ts") > F.col("t_click")),
                     F.col("ts"),
                 )
@@ -586,7 +603,7 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
     )
     return (
-        staged.filter(F.col("t_view").isNotNull())
+        staged.filter(F.col("has_view") == 1)
         .groupBy("user_id")
         .agg(
             F.first("t_view").alias("t_view"),
@@ -808,18 +825,18 @@ def anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # med and mad are |event_type|-bounded; without materialization
     # each downstream consumer replays the events scan inside their
-    # subplans (4 scans, scan_audit r7) — checkpointing both leaves
+    # subplans (4 scans, scan_audit r7) — materializing both leaves
     # the two passes MAD inherently needs (one to rank deviations,
     # one to score rows) and nothing more
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     with_med = ev.join(hint_small(med), "event_type")
     mad = with_med.groupBy("event_type").agg(
         F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
             "mad"
         )
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     score = F.round(
         F.try_divide(
             F.abs(F.col("value") - F.col("med")),

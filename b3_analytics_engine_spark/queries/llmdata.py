@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import bloom as B
+from ..operators.common import materialize
 from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -783,7 +784,7 @@ def _ann_vs_exact(
     exact = S.cosine_topk_bruteforce(emb, _queries_side(spark, sf_dir), k=5)
     # the ANN frame feeds two consumers (hit counting and n_ann);
     # checkpoint its ≤ k·|Q| rows so the bucketed join runs once
-    ann = ann.localCheckpoint(eager=False)
+    ann = ann.transform(materialize)
     hits = (
         ann.join(
             exact.select("query_id", "neighbor_id"),
@@ -923,7 +924,7 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 50)
         .crossJoin(hint_small(off))  # 1-row scalar broadcast
         .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     return S.embedding_neardup_pairs(aug, threshold=0.999, dim=64)
@@ -1008,9 +1009,7 @@ WHERE n_common * 10 >= sa.sz * 8
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    post = D.shingle_postings(d, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )  # 3 consumers: both join sides + sizes
+    post = D.shingle_postings(d, "doc_id", "text", 3).transform(materialize)  # 3 consumers: both join sides + sizes
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = post.alias("a"), post.alias("b")
     inter = (
@@ -1078,7 +1077,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 50)
         .crossJoin(hint_small(off))  # 1-row scalar broadcast
         .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     # n_clusters tracks corpus size (SemDeDup §3: cells must stay
@@ -1253,7 +1252,7 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One corpus scan, then reuse. Keep-first exact dedup is a
     # row_number window over the content fingerprint (the r2
     # groupBy+semi-join pair re-scanned documents once per consumer —
-    # twice over); the deduped frame is localCheckpoint'd because two
+    # twice over); the deduped frame is materialized because two
     # consumers read it (per-doc text metrics; exploded-token language
     # scores) — at scale this is the standard disk-backed persist of a
     # multi-consumer intermediate, priced once instead of recomputing
@@ -1271,7 +1270,7 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     metrics = kept.select(
         "doc_id",
@@ -1454,7 +1453,7 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         posts.filter(F.col("id") % 10 == 0)
         .select("sh")
         .distinct()
-        .localCheckpoint(eager=False)  # used twice: bloom build + exact confirm
+        .transform(materialize)  # used twice: bloom build + exact confirm
     )
     bloom = B.bloom_build(eval_sh, "sh")
     candidates = (
@@ -1654,7 +1653,7 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("t"))
     lp = F.log(F.col("c") / F.col("t"))
@@ -1725,7 +1724,7 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .withColumn("w1", F.substring_index("bg", " ", 1))
-        .localCheckpoint(eager=False)  # used 3x: scoring + both count tables
+        .transform(materialize)  # used 3x: scoring + both count tables
     )
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1797,7 +1796,7 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .withColumn("w2", F.substring_index("bg", " ", -1))
-        .localCheckpoint(eager=False)  # 4 consumers: c2/cf/cs/N
+        .transform(materialize)  # 4 consumers: c2/cf/cs/N
     )
     c2 = bg.groupBy("bg", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     cf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cf"))
@@ -1947,14 +1946,14 @@ GROUP BY 1, 2
     "Physical shape: posexplode -> groupBy(label, dim) partial-avg — "
     "component rows shuffle, never whole vectors; centroids are "
     "round(6)'d BEFORE the distance so both engines square identical "
-    "operands. The exploded table is localCheckpoint'd once for its "
+    "operands. The exploded table is materialized once for its "
     "two readers (centroid agg + distance join).",
 )
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double")).localCheckpoint(eager=False)
+    ).withColumn("val", F.col("val").cast("double")).transform(materialize)
     cent = pos.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
     diff = F.col("val") - F.col("c")
     return (
@@ -2134,7 +2133,7 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -2313,7 +2312,7 @@ def fuzzy_levenshtein_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nb") <= 64)
         .select("blk")
     )
-    dbc = db.join(small_blocks, "blk").localCheckpoint(eager=False)
+    dbc = db.join(small_blocks, "blk").transform(materialize)
     a, b = dbc.alias("a"), dbc.alias("b")
     # The DP is the whole cost, so it runs (a) once per pair, not once
     # in the filter and again in the projection (Catalyst does not CSE
@@ -2392,7 +2391,7 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -2459,7 +2458,7 @@ def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (3 scans -> the inherent 2, scan_audit r7)
     n = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_s")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     mn = n.agg(F.min("n_s").alias("mn"))
     rates = n.crossJoin(hint_small(mn)).select(
         "lang",
@@ -2594,7 +2593,7 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = d.select(
         "doc_id", "n_chars", fp.alias("fp")
-    ).localCheckpoint(eager=False)  # read twice: group stats + winner pick
+    ).transform(materialize)  # read twice: group stats + winner pick
     g = d2.groupBy("fp").agg(
         F.max("n_chars").alias("max_chars"),
         F.count(F.lit(1)).alias("n_members"),
@@ -2839,7 +2838,7 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scan_audit r7)
     n = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_s")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     mn = n.agg(F.min("n_s").alias("mn"))
     r = n.crossJoin(hint_small(mn)).select(
         "lang",
@@ -3097,16 +3096,22 @@ GROUP BY 1
     "marks boilerplate/templates that near-dup thresholds miss "
     "(complement of the dedup family: measures corpus-level "
     "repetitiveness per doc rather than pairing docs). Same "
-    "inverted-index shape as ngram_jaccard_pairs: distinct "
-    "(doc, shingle) postings, document-frequency count, one join "
-    "back — at 100 TB the shingle key becomes xxhash64 exactly as "
-    "the dedup siblings do, so the shuffle carries 8-byte keys.",
+    "inverted-index shape as ngram_jaccard_pairs: one-pass "
+    "shingle_postings (the window shape the r7 A/B measured 2-2.5x "
+    "faster than the interpreted array-transform path), materialized "
+    "once for its two consumers (DF count + join-back) so the corpus "
+    "is scanned exactly once. String shingle keys here because the "
+    "DuckDB oracle compares raw shingle text; at 100 TB swap in "
+    "hashed_postings so the shuffle carries 8-byte keys exactly as "
+    "the dedup siblings do.",
 )
 def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(D.shingles("text", 3)).alias("sh")
-    ).distinct()
+    sh = (
+        D.shingle_postings(d, "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .transform(materialize)
+    )
     dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(dfc, "sh")

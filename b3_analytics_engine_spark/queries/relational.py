@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.common import materialize
 from ..operators.joins import hint_small
 from ..tables import load_table
 from . import register
@@ -657,7 +658,7 @@ def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
         .alias("total_rev")
-    ).localCheckpoint(eager=False)  # one aggregation feeds both branches
+    ).transform(materialize)  # one aggregation feeds both branches
     mx = rev.agg(F.max("total_rev").alias("total_rev"))
     return (
         rev.join(hint_small(mx), "total_rev", "left_semi")
@@ -1397,7 +1398,7 @@ def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value"
             )
         )
-        .localCheckpoint(eager=False)  # one aggregation feeds both branches
+        .transform(materialize)  # one aggregation feeds both branches
     )
     total = pv.agg(F.sum("value").alias("t"))
     return (

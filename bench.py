@@ -151,13 +151,16 @@ def sf_from_dir(path: str) -> float:
 
 
 def _unpersist_all(spark) -> None:
-    """Drop RDDs materialized by localCheckpoint inside operators.
+    """Drop frames materialized inside operators: persisted
+    DataFrames (operators.common.materialize) via the catalog cache,
+    plus RDDs from the two remaining localCheckpoint sites.
 
     Each query is timed as an independent job; without this, dozens of
-    checkpointed RDDs from earlier queries sit in executor memory and
+    cached frames from earlier queries sit in executor memory and
     the GC pressure inflates whatever runs last (measured ~30% on the
     dedup family). A long-lived production session does the same
     cleanup per pipeline run."""
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc
     for rdd in list(jsc.getPersistentRDDs().values()):
         rdd.unpersist()

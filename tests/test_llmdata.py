@@ -1291,6 +1291,26 @@ def test_png_parser_malformed_raises_valueerror_only():
     with pytest.raises(ValueError):
         _parse_png(good[:-2])
 
+    # (5) ADVICE r7: deflate stream cut exactly after the expected
+    # byte count (Z_SYNC_FLUSH: no final block, no adler trailer) —
+    # inflates to precisely (stride+1)*h with empty unconsumed_tail,
+    # so only the dec.eof check can catch it
+    co = zlib.compressobj()
+    raster = b"".join(
+        b"\x00" + bytes(range(48))[y * 12 : (y + 1) * 12] for y in range(4)
+    )
+    no_end = co.compress(raster) + co.flush(zlib.Z_SYNC_FLUSH)
+    dec = zlib.decompressobj()
+    assert len(dec.decompress(no_end)) == len(raster) and not dec.eof
+    truncated_exact = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", hdr13)
+        + chunk(b"IDAT", no_end)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        _parse_png(truncated_exact)
+
 
 def test_video_sampler_empty_but_valid_emits_row(spark):
     """A structurally valid PVF with n_frames=0 must emit one ok=true

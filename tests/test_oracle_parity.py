@@ -56,7 +56,13 @@ ORACLE_SPECS = [s for s in registry().values() if s.oracle is not None]
 def test_query_matches_oracle(spec, spark, duck_oracle):
     sdf = spec.fn(spark, ORACLE_SF_DIR)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        spark_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # operators.common.materialize persists multi-consumer frames;
+        # 151 queries against one session would otherwise accumulate
+        # cache entries (the same hygiene bench.py's _unpersist_all does)
+        spark.catalog.clearCache()
 
     res = duck_oracle.sql(spec.oracle)
     duck_cols = res.columns

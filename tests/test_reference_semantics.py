@@ -325,3 +325,69 @@ def test_anomaly_mad_flags_and_zero_mad_guard(spark):
     assert all(a[i]["is_outlier"] == 0 for i in range(5))
     b = [r for r in out if r["event_type"] == "B"]
     assert all(r["mad_score"] is None and r["is_outlier"] == 0 for r in b)
+
+
+def test_funnel_conversion_null_user_and_null_ts(spark):
+    """r7 advice: the window-funnel rewrite must mirror the oracle's
+    NULL semantics — (a) NULL user_id forms a window partition but
+    the oracle's equi-joined click/purchase stages drop NULL keys, so
+    those stages must stay NULL for it; (b) a user whose every 'view'
+    has NULL ts keeps a stage-1 row (GROUP BY retains it), not get
+    dropped. Runs the registered Spark query AND its DuckDB oracle on
+    a synthetic events fixture exercising both edges."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from b3_analytics_engine_spark.queries import registry
+
+    def ts(i):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1, 12, 0, i)
+
+    rows = [
+        # user 1: full funnel
+        (0, ts(0), 1, "view", 0.0, "{}"),
+        (1, ts(1), 1, "click", 0.0, "{}"),
+        (2, ts(2), 1, "purchase", 0.0, "{}"),
+        # NULL user: view then click — oracle's JOIN ON user_id never
+        # matches NULL, so t_click must be NULL, stage 1
+        (3, ts(0), None, "view", 0.0, "{}"),
+        (4, ts(1), None, "click", 0.0, "{}"),
+        # user 3: only a NULL-ts view — stage-1 row with t_view NULL
+        (5, None, 3, "view", 0.0, "{}"),
+        (6, ts(1), 3, "click", 0.0, "{}"),
+        # user 4: click only — no view, absent from output
+        (7, ts(0), 4, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    spec = registry()["funnel_conversion"]
+    with tempfile.TemporaryDirectory() as td:
+        ev.coalesce(1).write.parquet(os.path.join(td, "tmp"))
+        part = glob.glob(os.path.join(td, "tmp", "*.parquet"))[0]
+        shutil.move(part, os.path.join(td, "events.parquet"))
+        got = {
+            r["user_id"]: r for r in spec.fn(spark, td).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(td, 'events.parquet')}')"
+        )
+        want = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+
+    assert set(got) == set(want) == {1, 3, None}
+    assert got[1]["stage_reached"] == want[1][4] == 3
+    assert got[None]["t_click"] is None and want[None][2] is None
+    assert got[None]["stage_reached"] == want[None][4] == 1
+    assert got[3]["t_view"] is None and want[3][1] is None
+    assert got[3]["t_click"] is None and want[3][2] is None
+    assert got[3]["stage_reached"] == want[3][4] == 1

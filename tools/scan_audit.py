@@ -16,7 +16,7 @@ base parquet table is scanned. Interpretation:
     2 scans  usually a genuine self-join (dedup pair joins, asof self
              windows) — legitimate
     3+ scans the drift bug class: a shared frame recomputed per
-             consumer — materialize it (localCheckpoint(eager=False))
+             consumer — materialize it (operators.common.materialize)
              or restructure
 
 Usage: python tools/scan_audit.py [--min N]   (default: report >= 2)
@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import re
 import sys
-from collections import Counter
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -36,7 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def main() -> None:
-    from b3_analytics_engine_spark.plans import physical_plan
+    from b3_analytics_engine_spark.plans import (
+        parquet_scan_counts,
+        physical_plan,
+    )
     from b3_analytics_engine_spark.queries import registry
     from b3_analytics_engine_spark.session import get_spark
 
@@ -50,19 +52,18 @@ def main() -> None:
     rows = []
     for name, spec in registry().items():
         try:
-            plan = physical_plan(spec.fn(spark, SF_DIR))
+            df = spec.fn(spark, SF_DIR)
+            tables = parquet_scan_counts(df)
+            reused = physical_plan(df).count("ReusedExchange")
         except Exception as e:  # pragma: no cover - report, don't die
             rows.append((name, f"PLAN ERROR: {e}"))
             continue
-        tables = Counter(
-            m.group(1)
-            for m in re.finditer(r"(\w+)\.parquet", plan)
-        )
+        finally:
+            spark.catalog.clearCache()  # materialize() persists frames
         flagged = {t: n for t, n in tables.items() if n >= min_scans}
         if flagged:
-            rows.append(
-                (name, ", ".join(f"{t}×{n}" for t, n in sorted(flagged.items())))
-            )
+            detail = ", ".join(f"{t}×{n}" for t, n in sorted(flagged.items()))
+            rows.append((name, f"{detail}  (ReusedExchange: {reused})"))
     print(f"{'query':32s} tables scanned >= {min_scans}x in physical plan")
     for name, info in rows:
         print(f"{name:32s} {info}")
