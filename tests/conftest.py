@@ -24,6 +24,26 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _cache_hygiene():
+    """Unpersist whatever the test materialize()'d.
+
+    Queries persist shared frames (`operators.common.materialize`);
+    a frame left cached by one test changes the NEXT test's plans —
+    known sizes flip SMJ→BHJ and InMemoryTableScan replaces the
+    parquet scan, which broke the cross-scale plan-shape test when
+    it ran after the llmdata suite. Same hygiene bench.py's
+    `_unpersist_all` applies between queries. Uses the active
+    session (if any) so pure non-Spark tests don't pay JVM startup.
+    """
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.catalog.clearCache()
+
+
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
