@@ -2312,7 +2312,19 @@ def fuzzy_levenshtein_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nb") <= 64)
         .select("blk")
     )
-    dbc = db.join(small_blocks, "blk").transform(materialize)
+    # Hash-repartition on the block key BEFORE caching: the DP cost
+    # lives in the join stage, and a broadcast self-join inherits the
+    # STREAM side's partitioning — for a single-file corpus that is
+    # ONE partition, serializing every levenshtein onto one core
+    # (measured: 5.5 s -> 1.16 s at sf0.1/local[32] from this line
+    # alone). By-key partitioning is also the cluster-scale shape:
+    # blocks co-locate, so the pair join never shuffles texts twice,
+    # and AQE right-sizes the partition count from observed bytes.
+    dbc = (
+        db.join(small_blocks, "blk")
+        .repartition(F.col("blk"))
+        .transform(materialize)
+    )
     a, b = dbc.alias("a"), dbc.alias("b")
     # The DP is the whole cost, so it runs (a) once per pair, not once
     # in the filter and again in the projection (Catalyst does not CSE
