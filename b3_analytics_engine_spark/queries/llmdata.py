@@ -1393,11 +1393,20 @@ FROM x GROUP BY doc_id
 )
 def decontaminate_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        d, num_hashes=64, bands=16, n=3, threshold=0.12, portable=True
-    )
-    cross = pairs.filter(
-        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    # the cross-split cut happens INSIDE the band join (pair_pred),
+    # not on the finished pair set: with eval = 10% of the corpus,
+    # post-filtering would compute-and-discard the ~81% train×train
+    # share of candidates and their exact-Jaccard verifies — the part
+    # that dominates at 100 TB. Result set is identical (the oracle's
+    # WHERE applies the same predicate to the same pair universe).
+    cross = D.minhash_lsh_pairs(
+        d,
+        num_hashes=64,
+        bands=16,
+        n=3,
+        threshold=0.12,
+        portable=True,
+        pair_pred=lambda ia, ib: (ia % 10 == 0) != (ib % 10 == 0),
     )
     return (
         cross.select(
