@@ -46,6 +46,25 @@ def test_minhash_lsh_recall_and_precision(spark):
         assert len(lsh) / len(exact) > 0.3  # sanity floor on recall
 
 
+def test_minhash_pair_pred_equals_post_filter(spark):
+    # pair_pred prunes candidates INSIDE the band join (the scale
+    # shape decontaminate_fuzzy relies on: never generate the
+    # within-population pairs you'd discard). The contract is exact
+    # result equality with filtering the finished pair set.
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    pred = lambda ia, ib: (ia % 10 == 0) != (ib % 10 == 0)  # noqa: E731
+    kw = dict(num_hashes=64, bands=16, n=3, threshold=THRESH, portable=True)
+    post = D.minhash_lsh_pairs(docs, **kw).filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    pushed = D.minhash_lsh_pairs(docs, pair_pred=pred, **kw)
+    assert _pairs(pushed) == _pairs(post)
+    # jaccard values must agree too, not just the pair set
+    j_post = {(r["id_a"], r["id_b"]): r["jaccard"] for r in post.collect()}
+    j_push = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pushed.collect()}
+    assert j_post == j_push
+
+
 def test_simhash_pairs_structure(spark):
     docs = load_table(spark, ORACLE_SF_DIR, "documents")
     out = D.simhash_pairs(docs, max_hamming=3)
