@@ -64,7 +64,12 @@ def register(
 # many r5-newest three-green queries as fit.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed this round — freshest code, needs external re-proof
+    # (round-8 session adds: fuzzy_levenshtein_pairs got the block-key
+    # repartition, decontaminate_fuzzy + dedup_minhash_lsh share the
+    # minhash_lsh_pairs path that gained pair_pred — the first two
+    # were already in cohort (c); dedup_minhash_lsh promoted here)
     "ngram_novelty", "funnel_conversion", "png_decode_stats",
+    "dedup_minhash_lsh",
     # (b) newest external row r4 (deferred from r7's window)
     "corr_matrix", "cosine_topk", "warehouse_metrics",
     # (c) newest external row r5, one green total (31)
@@ -81,19 +86,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (d) newest external row r5, two greens (6)
     "embedding_neardup", "embedding_neardup_exact", "market_share",
     "nation_trade_volume", "promotion_effect", "regional_revenue",
-    # (e) newest external row r5, three greens (7 of 12 fit)
+    # (e) newest external row r5, three greens (6 of 12 fit)
     "distinct_sorted_keys", "exact_percentiles", "group_share",
-    "ranking_suite", "rollup_revenue", "set_operations", "text_stats",
+    "ranking_suite", "rollup_revenue", "set_operations",
 )
 # Outside this window: everything whose newest external row is round
-# 6 or 7 (the freshest evidence possible), plus FIVE r5-newest
+# 6 or 7 (the freshest evidence possible), plus SIX r5-newest
 # three-green queries that did not fit the 50-slot budget, chosen
 # for maximal redundant coverage — cube_revenue (same grouping-sets
 # family as rollup_revenue, IN the window), top1_by_metric (its
 # TakeOrdered shape is pinned by a plan test and shared with
-# distribution_rank, green r7), tz_convert / unpivot_measures /
-# value_histogram (single-operator rowops with three greens each and
-# code untouched since r5). They are first in line for round 9. All
+# distribution_rank, green r7), text_stats (displaced by the
+# code-changed dedup_minhash_lsh; trivial scan-agg, three greens),
+# tz_convert / unpivot_measures / value_histogram (single-operator
+# rowops with three greens each and code untouched since r5). They
+# are first in line for round 9. All
 # registered queries are re-checked by tests/test_oracle_parity.py
 # every run, and tests/test_scan_audit.py pins every query's
 # physical scan counts.
