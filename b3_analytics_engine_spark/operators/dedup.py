@@ -320,6 +320,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     portable: bool = False,
     pair_pred=None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard.
@@ -349,6 +350,20 @@ def minhash_lsh_pairs(
     the corpus (at p = 10%, 81% of candidate+verify work is train×
     train pairs the caller then throws away). Result set is identical
     to post-filtering; only where the cut happens changes.
+
+    ``max_band_bucket``: optional hot-bucket cap, the banding analog
+    of ``ngram_jaccard_pairs``' ``max_shingle_df`` and the fuzzy
+    block cap (nb ≤ 64). A band bucket holding B docs emits B(B−1)/2
+    candidates — a boilerplate mega-cluster (every copy of one
+    template) turns a single (band, bh) key into a quadratic hot spot
+    that one task must materialize at 100 TB. With the cap, buckets
+    wider than the limit are dropped BEFORE the self-join (count +
+    broadcast anti-join, same cost shape as the DF cap). Recall
+    trade, explicit: pairs whose EVERY agreeing band is hot are lost
+    — by construction those are members of ≥cap-sized near-identical
+    clusters, which exact dedup (`dedup_exact`) or the cluster path
+    (`connected_components`) already handles at a lower cost tier.
+    Default None preserves exact parity with the DuckDB oracle.
     """
     rows_per_band = num_hashes // bands
     # One materialization of the inverted index feeds all four plan
@@ -372,6 +387,21 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.bh")
+    if max_band_bucket is not None:
+        # two consumers of the signature frame (bucket census + the
+        # anti-join side) — materialize so the 64-min aggregation runs
+        # once. Hot-bucket count is bounded by N/cap (each holds >cap
+        # of the N·bands band rows), so the broadcast stays small.
+        banded = banded.transform(materialize)
+        hot_buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("nb_"))
+            .filter(F.col("nb_") > max_band_bucket)
+            .select("band", "bh")
+        )
+        banded = banded.join(
+            F.broadcast(hot_buckets), ["band", "bh"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     band_cond = (
@@ -510,6 +540,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     nbits: int = 64,
     portable: bool = False,
+    max_chunk_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of four
     ``nbits/4``-bit chunks (any pair within Hamming ≤ 3 must agree on
@@ -519,6 +550,15 @@ def simhash_pairs(
     ``portable=True`` (with ``nbits=60``) makes the signature
     md5-derived so a DuckDB oracle can replay candidates + Hamming
     exactly; the 4-chunk pigeonhole guarantee is bit-width independent.
+
+    ``max_chunk_bucket``: hot-bucket cap, same contract and rationale
+    as ``minhash_lsh_pairs``' ``max_band_bucket`` — a (chunk, cv)
+    bucket of B docs emits B(B−1)/2 join rows, so one mega-cluster of
+    near-identical docs becomes a single-task quadratic hot spot at
+    scale. Capped buckets are dropped before the self-join; pairs
+    whose every agreeing chunk is hot are lost (cap-sized
+    near-identical clusters — exact dedup's tier). None = exact
+    oracle parity.
     """
     chunk_bits = nbits // 4
     chunk_mask = (1 << chunk_bits) - 1
@@ -542,6 +582,16 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "sig", "ck.chunk", "ck.cv")
+    if max_chunk_bucket is not None:
+        hot_buckets = (
+            chunked.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("nb_"))
+            .filter(F.col("nb_") > max_chunk_bucket)
+            .select("chunk", "cv")
+        )
+        chunked = chunked.join(
+            F.broadcast(hot_buckets), ["chunk", "cv"], "left_anti"
+        )
     a = chunked.alias("a")
     b = chunked.alias("b")
     # Hamming is computed INSIDE the join stage, before the dedup:

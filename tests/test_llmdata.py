@@ -65,6 +65,34 @@ def test_minhash_pair_pred_equals_post_filter(spark):
     assert j_post == j_push
 
 
+def test_hot_band_bucket_caps(spark):
+    # A mega-cluster of identical docs makes every one of its band /
+    # chunk buckets quadratic; the caps drop those buckets before the
+    # self-join while pairs living in small buckets survive.
+    cluster = [
+        Row(doc_id=i, text="the same boilerplate template text row")
+        for i in range(60)
+    ]
+    near = [
+        Row(doc_id=100, text="a genuinely distinct pair of documents here"),
+        Row(doc_id=101, text="a genuinely distinct pair of documents here"),
+    ]
+    docs = spark.createDataFrame(cluster + near)
+
+    kw = dict(num_hashes=64, bands=16, n=3, threshold=0.5)
+    uncapped = _pairs(D.minhash_lsh_pairs(docs, **kw))
+    capped = _pairs(D.minhash_lsh_pairs(docs, max_band_bucket=50, **kw))
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert (100, 101) in capped  # small bucket survives
+    assert all(a >= 100 for a, _ in capped)  # cluster pairs suppressed
+
+    un_sh = _pairs(D.simhash_pairs(docs, max_hamming=0))
+    cap_sh = _pairs(D.simhash_pairs(docs, max_hamming=0, max_chunk_bucket=50))
+    assert (100, 101) in un_sh and (0, 1) in un_sh
+    assert (100, 101) in cap_sh
+    assert all(a >= 100 for a, _ in cap_sh)
+
+
 def test_simhash_pairs_structure(spark):
     docs = load_table(spark, ORACLE_SF_DIR, "documents")
     out = D.simhash_pairs(docs, max_hamming=3)
