@@ -69,7 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # minhash_lsh_pairs path that gained pair_pred — the first two
     # were already in cohort (c); dedup_minhash_lsh promoted here)
     "ngram_novelty", "funnel_conversion", "png_decode_stats",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", "dedup_simhash",
     # (b) newest external row r4 (deferred from r7's window)
     "corr_matrix", "cosine_topk", "warehouse_metrics",
     # (c) newest external row r5, one green total (31)
@@ -86,21 +86,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (d) newest external row r5, two greens (6)
     "embedding_neardup", "embedding_neardup_exact", "market_share",
     "nation_trade_volume", "promotion_effect", "regional_revenue",
-    # (e) newest external row r5, three greens (6 of 12 fit)
+    # (e) newest external row r5, three greens (5 of 12 fit)
     "distinct_sorted_keys", "exact_percentiles", "group_share",
-    "ranking_suite", "rollup_revenue", "set_operations",
+    "rollup_revenue", "set_operations",
 )
 # Outside this window: everything whose newest external row is round
-# 6 or 7 (the freshest evidence possible), plus SIX r5-newest
+# 6 or 7 (the freshest evidence possible), plus SEVEN r5-newest
 # three-green queries that did not fit the 50-slot budget, chosen
 # for maximal redundant coverage — cube_revenue (same grouping-sets
 # family as rollup_revenue, IN the window), top1_by_metric (its
 # TakeOrdered shape is pinned by a plan test and shared with
-# distribution_rank, green r7), text_stats (displaced by the
-# code-changed dedup_minhash_lsh; trivial scan-agg, three greens),
-# tz_convert / unpivot_measures / value_histogram (single-operator
-# rowops with three greens each and code untouched since r5). They
-# are first in line for round 9. All
+# distribution_rank, green r7), text_stats / ranking_suite
+# (displaced by the code-changed dedup_minhash_lsh/dedup_simhash;
+# trivial shapes whose coverage twins are greener), tz_convert /
+# unpivot_measures / value_histogram (single-operator rowops with
+# three greens each and code untouched since r5). They are first in
+# line for round 9. All
 # registered queries are re-checked by tests/test_oracle_parity.py
 # every run, and tests/test_scan_audit.py pins every query's
 # physical scan counts.
