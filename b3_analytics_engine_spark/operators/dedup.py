@@ -265,6 +265,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Shared guard for banded self-joins: anti-join away every bucket
+    key held by more than ``cap`` rows.
+
+    A bucket of B rows emits B(B−1)/2 self-join candidates, so one
+    mega-cluster key (boilerplate template, all-zero LSH region)
+    becomes a quadratic single-task hot spot at corpus scale. The
+    census is a map-side-combined groupBy over the (already
+    materialized) bucket frame; the hot-key set is bounded by
+    rows/cap, so the anti-join side broadcasts. Used by
+    :func:`minhash_lsh_pairs` (``max_band_bucket``),
+    :func:`simhash_pairs` (``max_chunk_bucket``) and
+    ``similarity.embedding_neardup_pairs`` (``max_bucket``).
+    """
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("nb_"))
+        .filter(F.col("nb_") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -390,17 +413,9 @@ def minhash_lsh_pairs(
     if max_band_bucket is not None:
         # two consumers of the signature frame (bucket census + the
         # anti-join side) — materialize so the 64-min aggregation runs
-        # once. Hot-bucket count is bounded by N/cap (each holds >cap
-        # of the N·bands band rows), so the broadcast stays small.
-        banded = banded.transform(materialize)
-        hot_buckets = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("nb_"))
-            .filter(F.col("nb_") > max_band_bucket)
-            .select("band", "bh")
-        )
-        banded = banded.join(
-            F.broadcast(hot_buckets), ["band", "bh"], "left_anti"
+        # once.
+        banded = drop_hot_buckets(
+            banded.transform(materialize), ["band", "bh"], max_band_bucket
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -583,15 +598,9 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("id", "sig", "ck.chunk", "ck.cv")
     if max_chunk_bucket is not None:
-        hot_buckets = (
-            chunked.groupBy("chunk", "cv")
-            .agg(F.count(F.lit(1)).alias("nb_"))
-            .filter(F.col("nb_") > max_chunk_bucket)
-            .select("chunk", "cv")
-        )
-        chunked = chunked.join(
-            F.broadcast(hot_buckets), ["chunk", "cv"], "left_anti"
-        )
+        # chunked reads the already-materialized signature frame, so
+        # the census costs one cache pass, not a corpus re-scan
+        chunked = drop_hot_buckets(chunked, ["chunk", "cv"], max_chunk_bucket)
     a = chunked.alias("a")
     b = chunked.alias("b")
     # Hamming is computed INSIDE the join stage, before the dedup:

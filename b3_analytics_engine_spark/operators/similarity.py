@@ -531,12 +531,26 @@ def embedding_neardup_pairs(
     bits: int = 10,
     tables: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
-    same RHP-LSH bucketing, self-join form (id_a < id_b)."""
+    same RHP-LSH bucketing, self-join form (id_a < id_b).
+
+    ``max_bucket``: optional hot-bucket cap (``dedup.drop_hot_buckets``
+    contract — see ``minhash_lsh_pairs.max_band_bucket``): an RHP
+    bucket holding B vectors (a dense embedding region, e.g. the
+    near-zero vectors of empty docs) emits B(B−1)/2 candidates in one
+    task. Pairs whose every shared (table, bucket) is hot are lost —
+    members of ≥cap-size near-identical regions, exact dedup's tier.
+    None = exact parity with the registered oracle.
+    """
+    from .dedup import drop_hot_buckets
+
     v = df.select(F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("_v"))
     # materialized once: both self-join sides read one bucketize pass
     buckets = _bucketize(v, "id", "_v", dim, bits, tables, seed).transform(materialize)
+    if max_bucket is not None:
+        buckets = drop_hot_buckets(buckets, ["tbl", "bucket"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

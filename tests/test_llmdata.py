@@ -92,6 +92,24 @@ def test_hot_band_bucket_caps(spark):
     assert (100, 101) in cap_sh
     assert all(a >= 100 for a, _ in cap_sh)
 
+    # same guard on the RHP-LSH embedding path: a dense region (here
+    # 60 identical vectors) floods every table's bucket; the cap
+    # suppresses it while the small-bucket pair survives
+    dim = 8
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0] + [0.5] * (dim - 2)) for i in range(60)]
+        + [
+            Row(vec_id=100, embedding=[-3.0, 1.0] + [0.25] * (dim - 2)),
+            Row(vec_id=101, embedding=[-3.0, 1.0] + [0.25] * (dim - 2)),
+        ]
+    )
+    ekw = dict(threshold=0.999, dim=dim, bits=6, tables=4)
+    un_e = _pairs(S.embedding_neardup_pairs(vecs, **ekw))
+    cap_e = _pairs(S.embedding_neardup_pairs(vecs, max_bucket=50, **ekw))
+    assert (100, 101) in un_e and (0, 1) in un_e
+    assert (100, 101) in cap_e
+    assert all(a >= 100 for a, _ in cap_e)
+
 
 def test_simhash_pairs_structure(spark):
     docs = load_table(spark, ORACLE_SF_DIR, "documents")
