@@ -69,7 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # minhash_lsh_pairs path that gained pair_pred — the first two
     # were already in cohort (c); dedup_minhash_lsh promoted here)
     "ngram_novelty", "funnel_conversion", "png_decode_stats",
-    "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_simhash", "char_entropy",
     # (b) newest external row r4 (deferred from r7's window)
     "corr_matrix", "cosine_topk", "warehouse_metrics",
     # (c) newest external row r5, one green total (31)
@@ -86,8 +86,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (d) newest external row r5, two greens (6)
     "embedding_neardup", "embedding_neardup_exact", "market_share",
     "nation_trade_volume", "promotion_effect", "regional_revenue",
-    # (e) newest external row r5, three greens (5 of 12 fit)
-    "distinct_sorted_keys", "exact_percentiles", "group_share",
+    # (e) newest external row r5, three greens (4 of 12 fit)
+    "distinct_sorted_keys", "exact_percentiles",
     "rollup_revenue", "set_operations",
 )
 # Outside this window: everything whose newest external row is round
@@ -96,12 +96,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # for maximal redundant coverage — cube_revenue (same grouping-sets
 # family as rollup_revenue, IN the window), top1_by_metric (its
 # TakeOrdered shape is pinned by a plan test and shared with
-# distribution_rank, green r7), text_stats / ranking_suite
-# (displaced by the code-changed dedup_minhash_lsh/dedup_simhash;
-# trivial shapes whose coverage twins are greener), tz_convert /
-# unpivot_measures / value_histogram (single-operator rowops with
-# three greens each and code untouched since r5). They are first in
-# line for round 9. All
+# distribution_rank, green r7), text_stats / ranking_suite /
+# group_share (displaced by the code-changed dedup_minhash_lsh /
+# dedup_simhash / char_entropy; trivial shapes whose coverage twins
+# are greener), tz_convert / unpivot_measures / value_histogram
+# (single-operator rowops with three greens each and code untouched
+# since r5). They are first in line for round 9. All
 # registered queries are re-checked by tests/test_oracle_parity.py
 # every run, and tests/test_scan_audit.py pins every query's
 # physical scan counts.

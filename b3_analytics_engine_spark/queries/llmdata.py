@@ -2090,10 +2090,15 @@ def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = ch.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    # per-doc total as a window over the per-(doc,char) counts — the
+    # oracle states it as an agg + join-back, but that shape replays
+    # the explode+count subtree (and its corpus scan) once per
+    # consumer; the window is value-identical, needs ONE scan, and
+    # its doc_id partitioning is reused by the final groupBy
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
     p = F.col("cnt") / F.col("n")
     return (
-        ch.join(tot, "doc_id")
+        ch.withColumn("n", n)
         .groupBy("doc_id")
         .agg(
             F.max("n").cast("long").alias("n_chars"),

@@ -29,6 +29,8 @@ The 2-scan rows are self-joins or agg-then-join-back shapes (asof
 self window, semi+anti over the same table, per-key stats joined back
 to rows) where the second scan is column-pruned and cheap; each was
 checked to have no shared-frame-recomputed subplan.
+(``char_entropy`` left this list in round 8: its agg-then-join-back
+became a window-sum — value-identical, one scan.)
 """
 
 from __future__ import annotations
@@ -44,7 +46,6 @@ EXPECTED_MULTI_SCANS = {
     "asof_join": {"events": 2},
     "benford_audit": {"orders": 2},
     "beta_per_key": {"events": 2},
-    "char_entropy": {"documents": 2},
     "cohort_retention": {"events": 2},
     "cosine_ann_ivf": {"embeddings": 6},
     "cosine_ann_lsh": {"embeddings": 6},
