@@ -26,7 +26,7 @@ Scale design (the whole point — these must work at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -688,16 +688,28 @@ def duplicated_spans(
             )
             == 0
         )
-    dup = (
-        wins.groupBy("span_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.count_distinct("id").alias("n_docs"),
+    # Occurrence stats as stacked windows, NOT an aggregate joined
+    # back: the join-back shape replays the span subtree (corpus
+    # scan + explode + md5 of every ``window``-token slice — the
+    # expensive part) once per consumer, which `parquet_scan_counts`
+    # showed as 2 documents scans. Windows compute spans ONCE and
+    # shuffle only (id, pos, hash) rows: first_occ marks one row per
+    # (span, doc) so sum(first_occ) over the span partition is
+    # count_distinct(id) exactly (no distinct-window support needed),
+    # and n_occ is a plain count over the same partition — the second
+    # window reuses the first's span_hash hash-partitioning, so the
+    # doc-distinct count costs one extra sort, not an extra exchange.
+    w_span_doc = Window.partitionBy("span_hash", "id").orderBy("pos")
+    w_span = Window.partitionBy("span_hash")
+    return (
+        wins.withColumn(
+            "first_occ",
+            (F.row_number().over(w_span_doc) == 1).cast("long"),
         )
+        .withColumn("n_occ", F.count(F.lit(1)).over(w_span))
+        .withColumn("n_docs", F.sum("first_occ").over(w_span))
         .filter(F.col("n_occ") > 1)
-    )
-    return wins.join(dup, "span_hash").select(
-        "id", "pos", "span_hash", "n_occ", "n_docs"
+        .select("id", "pos", "span_hash", "n_occ", "n_docs")
     )
 
 

@@ -29,8 +29,11 @@ The 2-scan rows are self-joins or agg-then-join-back shapes (asof
 self window, semi+anti over the same table, per-key stats joined back
 to rows) where the second scan is column-pruned and cheap; each was
 checked to have no shared-frame-recomputed subplan.
-(``char_entropy`` left this list in round 8: its agg-then-join-back
-became a window-sum — value-identical, one scan.)
+(``char_entropy`` and ``duplicated_spans`` left this list in round
+8: their agg-then-join-back shapes became window aggregates —
+value-identical, one scan each; for duplicated_spans the replayed
+subtree included the md5 of every 20-token span, so the second scan
+was a full recompute, not a cheap pruned re-read.)
 """
 
 from __future__ import annotations
@@ -56,7 +59,6 @@ EXPECTED_MULTI_SCANS = {
     "decontaminate_bloom": {"documents": 2},
     "dominant_suppliers": {"lineitem": 2, "part": 2},
     "dormant_customers": {"customer": 2},
-    "duplicated_spans": {"documents": 2},
     "embedding_neardup": {"embeddings": 5},
     "embedding_neardup_exact": {"embeddings": 2},
     "fuzzy_levenshtein_pairs": {"documents": 2},
