@@ -1503,28 +1503,49 @@ FROM toks t JOIN sizes USING (doc_id)
     survey="ext:text-repetition-ratio",
     description="Gopher-style within-document repetition signal: "
     "fraction of 3-token shingle positions whose shingle already "
-    "occurred in the doc (1 - distinct/total). Reuses the hashed "
-    "inverted-index postings; the shuffle carries one count per doc.",
+    "occurred in the doc (1 - distinct/total). Entirely per-row "
+    "(size(array_distinct(shingles))): one corpus scan, ZERO "
+    "shuffles — the distinct count never leaves the row.",
 )
 def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus pass, one exchange. Formerly: inverted-index postings
+    # -> per-doc count -> join back to rows, which replayed the
+    # postings subtree (scan + window + distinct) as a SECOND corpus
+    # pass and shuffled twice. This carries the token count THROUGH
+    # the shingle window pass (max(pos)+1 in the same aggregate), so
+    # nothing needs the doc row again: the per-doc groupBy reuses the
+    # window's doc_id partitioning (no second exchange) and the
+    # conditional count_distinct counts exactly the shingle rows the
+    # postings filter would keep (3-gram positions + the pos==0
+    # short-doc fallback, where concat_ws skips the null leads).
+    # A zero-shuffle per-row variant (size(array_distinct(shingles)))
+    # A/B'd 3.5x slower locally — higher-order functions evaluate
+    # interpreted (r7/r8 A/B, ARCHITECTURE.md); this window shape is
+    # whole-stage codegen. Null-text docs drop (posexplode of a null
+    # array), mirroring the oracle.
     d = load_table(spark, sf_dir, "documents")
-    sz = (
-        D.hashed_postings(d, "doc_id", "text", 3)
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
     )
-    total = F.greatest(TX.token_count("text") - 2, F.lit(1)).cast("long")
-    return (
-        d.select("doc_id", total.alias("n_shingles"))
-        .join(sz, F.col("doc_id") == F.col("id"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_distinct",
-            F.round(
-                1 - F.col("n_distinct") / F.col("n_shingles"), 6
-            ).alias("repetition_ratio"),
-        )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 3)]
+    sh_rows = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        parts[-1].alias("_t"),
+        "pos",
+    )
+    keep = F.col("_t").isNotNull() | (F.col("pos") == 0)
+    stats = sh_rows.groupBy("doc_id").agg(
+        F.count_distinct(F.when(keep, F.col("sh"))).alias("nd"),
+        (F.max("pos") + 1).alias("n_tokens"),
+    )
+    total = F.greatest(F.col("n_tokens") - 2, F.lit(1)).cast("long")
+    return stats.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        F.col("nd").cast("long").alias("n_distinct"),
+        F.round(1 - F.col("nd") / total, 6).alias("repetition_ratio"),
     )
 
 

@@ -29,11 +29,12 @@ The 2-scan rows are self-joins or agg-then-join-back shapes (asof
 self window, semi+anti over the same table, per-key stats joined back
 to rows) where the second scan is column-pruned and cheap; each was
 checked to have no shared-frame-recomputed subplan.
-(``char_entropy`` and ``duplicated_spans`` left this list in round
-8: their agg-then-join-back shapes became window aggregates —
-value-identical, one scan each; for duplicated_spans the replayed
-subtree included the md5 of every 20-token span, so the second scan
-was a full recompute, not a cheap pruned re-read.)
+(``char_entropy``, ``duplicated_spans`` and ``repetition_ratio``
+left this list in round 8: their agg-then-join-back shapes became
+single-pass window/grouped aggregates — value-identical, one scan
+each; the replayed subtrees included per-span md5 / shingle-window
+compute, so the second scan was a full recompute, not a cheap
+pruned re-read.)
 """
 
 from __future__ import annotations
@@ -74,7 +75,6 @@ EXPECTED_MULTI_SCANS = {
     "mixture_rebalance": {"documents": 2},
     "nation_trade_volume": {"nation": 2},
     "negative_sampling": {"embeddings": 2},
-    "repetition_ratio": {"documents": 2},
     "semantic_dedup": {"embeddings": 3},
     "semi_anti_join": {"customer": 2, "orders": 2},
     "set_operations": {"events": 2},
