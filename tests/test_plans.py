@@ -448,3 +448,26 @@ def test_dataset_split_is_scan_stage(spark, qs):
 
     df = qs["dataset_split"].fn(spark, SMOKE_SF_DIR)
     assert "Exchange" not in physical_plan(df)
+
+
+def test_fuzzy_levenshtein_dp_stage_is_key_partitioned(spark, qs):
+    # Round-8 fix pin: the banded-DP workload must run on a frame
+    # hash-partitioned by the block key — a broadcast self-join over a
+    # raw single-file scan inherits ONE partition and serializes every
+    # levenshtein onto one core (measured 5.5 s -> 1.2 s at sf0.1).
+    from b3_analytics_engine_spark.plans import physical_plan
+
+    plan = physical_plan(qs["fuzzy_levenshtein_pairs"].fn(spark, SMOKE_SF_DIR))
+    assert "hashpartitioning(blk" in plan, plan[:2000]
+
+
+def test_single_pass_text_stats_have_one_exchange_chain(spark, qs):
+    # Round-8 rewrites: per-doc totals ride the detail rows' own
+    # partitioning (window / carried aggregate) instead of an
+    # agg-joined-back second corpus pass. Scan counts are pinned in
+    # test_scan_audit; this additionally pins "no join" so the shape
+    # can't silently regress to join-back while keeping one scan.
+    from b3_analytics_engine_spark.plans import join_kinds
+
+    for name in ("char_entropy", "repetition_ratio", "duplicated_spans"):
+        assert join_kinds(qs[name].fn(spark, SMOKE_SF_DIR)) == [], name
