@@ -16,10 +16,14 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+# the grading driver checks sf0.01; override to cross-check another
+# scale (values, not just shapes, must match at every SF)
+SF_DIR = os.environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
