@@ -131,3 +131,110 @@ def test_shard_assignment_is_dense_permutation(spark, ids, n_shards):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+# Small random corpora: words drawn from a 4-token alphabet so
+# repeats, shared spans, and degenerate docs (empty/whitespace/dupes)
+# occur constantly; every equivalence below is vs an independent
+# straight-line formulation of the same statistic.
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_duplicated_spans_window_equals_agg_join(spark, texts):
+    # round-8 single-pass window shape vs the original
+    # groupBy + join-back formulation, on arbitrary corpora
+    from b3_analytics_engine_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    win = 3
+    got = {
+        (r["id"], r["pos"], r["span_hash"], r["n_occ"], r["n_docs"])
+        for r in duplicated_spans(docs, window=win).collect()
+    }
+    from b3_analytics_engine_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("t")
+    ).filter(F.size("t") >= win)
+    wins = toks.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(win) + 1)
+        ).alias("pos"),
+        "t",
+    ).select(
+        "id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), F.lit(win)))
+        ).alias("span_hash"),
+    )
+    dup = (
+        wins.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+    want = {
+        tuple(r)
+        for r in wins.join(dup, "span_hash")
+        .select("id", "pos", "span_hash", "n_occ", "n_docs")
+        .collect()
+    }
+    assert got == want
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_repetition_ratio_one_pass_equals_postings_join(spark, texts):
+    # round-8 carried-token-count shape vs the original postings ->
+    # count -> join-back formulation
+    from b3_analytics_engine_spark.operators import dedup as D
+    from b3_analytics_engine_spark.operators import text as TX
+    from b3_analytics_engine_spark.queries.llmdata import repetition_ratio_q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            tuple(r) for r in repetition_ratio_q(spark, tmp).collect()
+        }
+    sz = (
+        D.hashed_postings(docs, "doc_id", "text", 3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    total = F.greatest(TX.token_count("text") - 2, F.lit(1)).cast("long")
+    want = {
+        tuple(r)
+        for r in docs.select("doc_id", total.alias("n_shingles"))
+        .join(sz, F.col("doc_id") == F.col("id"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_shingles"), 6
+            ).alias("repetition_ratio"),
+        )
+        .collect()
+    }
+    assert got == want
