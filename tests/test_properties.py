@@ -238,3 +238,34 @@ def test_repetition_ratio_one_pass_equals_postings_join(spark, texts):
         .collect()
     }
     assert got == want
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_char_entropy_window_equals_agg_join(spark, texts):
+    # round-8 window-sum shape vs the original agg + join-back
+    import math
+    import os
+    import tempfile
+
+    from b3_analytics_engine_spark.queries.llmdata import char_entropy_q
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {tuple(r) for r in char_entropy_q(spark, tmp).collect()}
+    want = set()
+    for i, t in enumerate(texts):
+        # both Spark split(t, '') and DuckDB string_split(t, '') map
+        # '' -> [''] (verified empirically), so an empty doc is one
+        # empty-string "char": n=1, distinct=1, entropy 0
+        chars = list(t) if t else [""]
+        counts = {}
+        for c in chars:
+            counts[c] = counts.get(c, 0) + 1
+        n = sum(counts.values())
+        ent = -sum((c / n) * math.log(c / n) for c in counts.values())
+        want.add((i, n, len(counts), round(ent, 6)))
+    assert got == want
