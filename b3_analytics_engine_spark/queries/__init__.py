@@ -70,7 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # were already in cohort (c); dedup_minhash_lsh promoted here)
     "ngram_novelty", "funnel_conversion", "png_decode_stats",
     "dedup_minhash_lsh", "dedup_simhash", "char_entropy",
-    "duplicated_spans", "repetition_ratio",
+    "duplicated_spans", "repetition_ratio", "tumbling_window_agg",
     # (b) newest external row r4 (deferred from r7's window)
     "corr_matrix", "cosine_topk", "warehouse_metrics",
     # (c) newest external row r5, one green total (31)
@@ -87,8 +87,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (d) newest external row r5, two greens (6)
     "embedding_neardup", "embedding_neardup_exact", "market_share",
     "nation_trade_volume", "promotion_effect", "regional_revenue",
-    # (e) newest external row r5, three greens (2 of 12 fit)
-    "rollup_revenue", "set_operations",
+    # (e) newest external row r5, three greens (1 of 12 fits)
+    "set_operations",
 )
 # Outside this window: everything whose newest external row is round
 # 6 or 7 (the freshest evidence possible), plus SEVEN r5-newest
@@ -97,12 +97,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # family as rollup_revenue, IN the window), top1_by_metric (its
 # TakeOrdered shape is pinned by a plan test and shared with
 # distribution_rank, green r7), text_stats / ranking_suite /
-# group_share / distinct_sorted_keys / exact_percentiles (displaced
-# by the code-changed dedup_minhash_lsh / dedup_simhash /
-# char_entropy / duplicated_spans / repetition_ratio; trivial shapes
-# whose coverage twins are greener), tz_convert / unpivot_measures /
-# value_histogram (single-operator rowops with three greens each and
-# code untouched since r5). They are first in line for round 9. All
+# group_share / distinct_sorted_keys / exact_percentiles /
+# rollup_revenue (displaced by the code-changed dedup_minhash_lsh /
+# dedup_simhash / char_entropy / duplicated_spans / repetition_ratio
+# / tumbling_window_agg; trivial shapes whose coverage twins are
+# greener), tz_convert / unpivot_measures / value_histogram
+# (single-operator rowops with three greens each and code untouched
+# since r5). They are first in line for round 9. All
 # registered queries are re-checked by tests/test_oracle_parity.py
 # every run, and tests/test_scan_audit.py pins every query's
 # physical scan counts.

@@ -23,24 +23,41 @@ from . import register
 SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+       floor(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value)
+             * 1000000 + 0.5) / 1000000 AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
     survey="T8 (event-time tumbling window)",
     description="6-hour tumbling event-time window per event_type — "
     "the Structured-Streaming groupBy(window(ts)) aggregation in batch "
-    "form. Epoch-aligned buckets match Spark's 1970-origin windows.",
+    "form. Epoch-aligned buckets match Spark's 1970-origin windows. "
+    "Money/metric sums accumulate in DECIMAL(38,6): the per-row "
+    "double->decimal cast is engine-identical (binary doubles never "
+    "land exactly on a half-ulp decimal boundary), the decimal SUM is "
+    "exact in any order, and round() of its double form is boundary-"
+    "safe (a <=6dp value scales to within ~1e-4 of an integer). The "
+    "AVG is a free quotient, where engine round() implementations "
+    "genuinely disagree near ties (Spark rounds the shortest decimal "
+    "repr; DuckDB rounds a scaled multiply — measured divergence at "
+    "56.4133125, PARITY.md), so it rounds via the portable half-up "
+    "floor(q*1e6 + 0.5)/1e6 — every step one IEEE op on identical "
+    "inputs, bit-identical in ANY engine at ANY scale. Pilot for the "
+    "r9 DECIMAL-exact revenue-family pass.",
 )
 def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    avg_q = dec_sum / F.count("value")
     return (
         ev.groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(dec_sum, 6).alias("total_value"),
+            (F.floor(avg_q * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "avg_value"
+            ),
         )
         .select(
             F.col("window.start").alias("window_start"),
