@@ -337,7 +337,8 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -351,7 +352,11 @@ GROUP BY 1, 2
     description="Multi-join star revenue rollup (TPC-H Q5 shape): "
     "fact⋈fact shuffle join on orderkey + broadcast dim chain — the "
     "headline multi-join benchmark; exercises Catalyst join reordering "
-    "and AQE.",
+    "and AQE. Revenue accumulates in DECIMAL(38,6) — the per-row "
+    "product is computed in double (identical IEEE both engines) then "
+    "cast to decimal, so the SUM is order-independent and the hash "
+    "matches the oracle at every scale (r8 scale-stable recipe, "
+    "PARITY.md).",
 )
 def regional_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -369,7 +374,12 @@ def regional_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                6,
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
