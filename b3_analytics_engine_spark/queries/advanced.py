@@ -135,7 +135,8 @@ def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -143,7 +144,10 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     survey="A7 extension (rollup/grouping sets)",
     description="Hierarchical rollup totals (flag → flag+status → "
     "grand total) in one pass — GROUPING SETS surface the reference "
-    "lacks entirely.",
+    "lacks entirely. Revenue accumulates in DECIMAL(38,6) (r8 "
+    "scale-stable recipe, PARITY.md) — the grand-total grouping set "
+    "sums the WHOLE corpus, the case most exposed to double-SUM "
+    "order drift.",
 )
 def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -151,7 +155,12 @@ def rollup_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,6)")
+                ).cast("double"),
+                6,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -199,19 +208,26 @@ def ranking_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 6) AS total_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS total_price,
        count(*) AS n_items
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
     survey="A7 extension (cube/grouping sets)",
     description="Full cube over (returnflag, linestatus): all four "
-    "grouping combinations in one pass.",
+    "grouping combinations in one pass. Totals accumulate in "
+    "DECIMAL(38,6) (r8 scale-stable recipe, PARITY.md).",
 )
 def cube_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("total_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -314,21 +330,23 @@ def set_operations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_range_window",
     oracle="""
 SELECT user_id, event_id, ts, value,
-       round(avg(value) OVER (
-         PARTITION BY user_id ORDER BY ts
-         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-       ), 6) AS avg_7d,
-       count(*) OVER (
-         PARTITION BY user_id ORDER BY ts
-         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-       ) AS n_7d
+       floor(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(value) OVER w * 1000000 + 0.5) / 1000000 AS avg_7d,
+       count(*) OVER w AS n_7d
 FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
 """,
     survey="W extension (time-based RANGE frame)",
     description="Trailing 7-DAY time-window average per key — a RANGE "
     "frame over event time (vs the reference's row-count frames "
     "W1/W2): Spark rangeBetween over epoch seconds ≡ SQL RANGE "
-    "BETWEEN INTERVAL.",
+    "BETWEEN INTERVAL. The trailing average uses the r8 scale-stable "
+    "recipe (PARITY.md): DECIMAL(38,6) window sum + portable "
+    "floor(q*1e6+0.5)/1e6 quotient rounding, so every engine agrees "
+    "at every scale.",
 )
 def time_range_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -340,12 +358,15 @@ def time_range_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(usec)
         .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
     )
+    q = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast(
+        "double"
+    ) / F.count("value").over(w)
     return ev.select(
         "user_id",
         "event_id",
         "ts",
         "value",
-        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("avg_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
 
@@ -561,7 +582,8 @@ WITH w AS (
 )
 SELECT w.window_id,
        count(p.event_id) AS n_events,
-       round(avg(p.value), 6) AS avg_value
+       floor(CAST(sum(CAST(p.value AS DECIMAL(38,6))) AS DOUBLE)
+             / count(p.value) * 1000000 + 0.5) / 1000000 AS avg_value
 FROM w LEFT JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
 GROUP BY w.window_id
 """,
@@ -591,9 +613,14 @@ def incident_window_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p, w, point_ts="ts", start_col="w_start", end_col="w_end",
         bucket_seconds=900, how="left",
     )
+    # r8 scale-stable recipe (PARITY.md): decimal sum + portable
+    # quotient rounding; NULL on zero-event windows either way
+    q = F.sum(F.col("value").cast("decimal(38,6)")).cast(
+        "double"
+    ) / F.count("value")
     return matched.groupBy("window_id").agg(
         F.count("p_event_id").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("avg_value"),
     )
 
 

@@ -737,7 +737,7 @@ WITH unit AS (
 )
 SELECT p.p_partkey, p.p_name,
        r.l_suppkey AS best_suppkey, s.s_name,
-       round(r.min_unit, 6) AS min_unit_price
+       floor(r.min_unit * 1000000 + 0.5) / 1000000 AS min_unit_price
 FROM ranked r
 JOIN part p     ON p.p_partkey = r.l_partkey
 JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -749,7 +749,10 @@ WHERE r.rn = 1
     "row_number window over per-(part,supplier) min unit price, "
     "suppkey tie-break. Spark side uses try_divide (ANSI) ≡ DuckDB "
     "null-on-zero division; unit prices are bit-identical in both "
-    "engines so the rank order matches exactly.",
+    "engines so the rank order matches exactly. The displayed price "
+    "rounds via the portable floor(x*1e6+0.5)/1e6 (r8 recipe, "
+    "PARITY.md) — the engines' own round() disagrees on free "
+    "quotients near decimal ties.",
 )
 def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -769,7 +772,8 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey", "p_name",
             F.col("l_suppkey").alias("best_suppkey"), "s_name",
-            F.round("min_unit", 6).alias("min_unit_price"),
+            (F.floor(F.col("min_unit") * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("min_unit_price"),
         )
     )
 
