@@ -64,13 +64,20 @@ def register(
 # many r5-newest three-green queries as fit.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed this round — freshest code, needs external re-proof
-    # (round-8 session adds: fuzzy_levenshtein_pairs got the block-key
-    # repartition, decontaminate_fuzzy + dedup_minhash_lsh share the
-    # minhash_lsh_pairs path that gained pair_pred — the first two
-    # were already in cohort (c); dedup_minhash_lsh promoted here)
+    # (round-8 session: fuzzy_levenshtein_pairs block-key repartition;
+    # decontaminate_fuzzy + dedup_minhash_lsh share the
+    # minhash_lsh_pairs path that gained pair_pred (first two already
+    # in cohort (c)); char_entropy / duplicated_spans /
+    # repetition_ratio single-pass rewrites; the scale-stable
+    # DECIMAL/portable-rounding conversions (tumbling_window_agg,
+    # rollup_revenue, cube_revenue, time_range_window,
+    # incident_window_join, min_cost_supplier; regional_revenue sits
+    # in cohort (d)))
     "ngram_novelty", "funnel_conversion", "png_decode_stats",
     "dedup_minhash_lsh", "dedup_simhash", "char_entropy",
     "duplicated_spans", "repetition_ratio", "tumbling_window_agg",
+    "rollup_revenue", "cube_revenue", "time_range_window",
+    "incident_window_join", "min_cost_supplier",
     # (b) newest external row r4 (deferred from r7's window)
     "corr_matrix", "cosine_topk", "warehouse_metrics",
     # (c) newest external row r5, one green total (31)
@@ -84,26 +91,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "negative_sampling", "ohlc_bars", "oov_rate", "pmi_collocations",
     "psi_drift", "scd2_history", "semantic_dedup", "source_overlap",
     "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
-    # (d) newest external row r5, two greens (6)
-    "embedding_neardup", "embedding_neardup_exact", "market_share",
-    "nation_trade_volume", "promotion_effect", "regional_revenue",
-    # (e) newest external row r5, three greens (1 of 12 fits)
-    "set_operations",
+    # (d) newest external row r5, two greens (2 of 6 fit; regional_
+    # revenue is here AND code-changed — the scale-stable sum)
+    "embedding_neardup", "regional_revenue",
 )
 # Outside this window: everything whose newest external row is round
-# 6 or 7 (the freshest evidence possible), plus SEVEN r5-newest
-# three-green queries that did not fit the 50-slot budget, chosen
-# for maximal redundant coverage — cube_revenue (same grouping-sets
-# family as rollup_revenue, IN the window), top1_by_metric (its
-# TakeOrdered shape is pinned by a plan test and shared with
-# distribution_rank, green r7), text_stats / ranking_suite /
-# group_share / distinct_sorted_keys / exact_percentiles /
-# rollup_revenue (displaced by the code-changed dedup_minhash_lsh /
-# dedup_simhash / char_entropy / duplicated_spans / repetition_ratio
-# / tumbling_window_agg; trivial shapes whose coverage twins are
-# greener), tz_convert / unpivot_measures / value_histogram
-# (single-operator rowops with three greens each and code untouched
-# since r5). They are first in line for round 9. All
+# 6 or 7 (the freshest evidence possible), plus the r5-newest
+# queries the 50-slot budget could not fit after this round's
+# UNUSUALLY LARGE code-changed cohort (17 queries: the perf
+# rewrites + the scale-stable decimal conversions) claimed its
+# slots — displaced, all code-unchanged with ≥2 valid greens:
+# set_operations, embedding_neardup_exact, market_share,
+# nation_trade_volume, promotion_effect (two-green r5), plus the
+# three-green cohort (text_stats, ranking_suite, group_share,
+# distinct_sorted_keys, exact_percentiles, cube... — see git
+# history; top1_by_metric and distribution_rank carry plan-test
+# pins). They are first in line for round 9. All
 # registered queries are re-checked by tests/test_oracle_parity.py
 # every run, and tests/test_scan_audit.py pins every query's
 # physical scan counts.
