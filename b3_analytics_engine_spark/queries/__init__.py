@@ -48,68 +48,56 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-8 front window (round 7 went 50/50 green):
-# (a) the three queries whose CODE changed this round after their
-# newest external row — ngram_novelty (postings rewrite, the r7 perf
-# regression fix), funnel_conversion (NULL-user/NULL-ts guards from
-# r7 advice), png_decode_stats (r7 null-guard + this round's
-# truncated-deflate eof check); (b) the three r4-newest queries
-# deferred from r7 — the weakest evidence anywhere; (c) the full
-# r5-newest one-green cohort, which includes every query the r7
-# verdict named as changed-but-unproven (psi/ks drift, anomaly_mad,
-# semantic_dedup, containment/source overlap, decontaminate_fuzzy,
-# mixture/temperature sampling) — all additionally touched by this
-# round's localCheckpoint→materialize swap; (d) the r5-newest
-# two-green cohort (embedding_neardup also verdict-named); (e) as
-# many r5-newest three-green queries as fit.
+# external evidence. Round-9 front window (round 8 went 50/50 green;
+# this round's CODE changes touch no registered query — the hot-bucket
+# cap plumbing only executes when caps are set, and registered oracle
+# queries pass None — so, for the first time, the window is pure
+# staleness rotation, exactly as the r8 verdict prescribed):
+# (a) the 14 queries whose newest external green is round 5 — four
+# rounds stale, the weakest evidence anywhere; the r8 verdict named
+# set_operations / exact_percentiles / embedding_neardup_exact first
+# because their FILES were touched by the r7/r8 checkpoint→materialize
+# swaps (their own code was not, but the displacement rationale was
+# imprecise — external re-proof closes the question);
+# (b) the 8 round-6-newest queries with only ONE green ever
+# (registered in r6, checked once, displaced since);
+# (c) 28 of the 37 round-6-newest two-green queries, alphabetical —
+# the 9 displaced (semi_anti_join, shipping_priority,
+# small_order_quantity, tfidf_topterms, time_range_filter,
+# time_rollup_hierarchy, top_supplier_revenue, unigram_logprob,
+# waiting_suppliers) are first in line for round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed this round — freshest code, needs external re-proof
-    # (round-8 session: fuzzy_levenshtein_pairs block-key repartition;
-    # decontaminate_fuzzy + dedup_minhash_lsh share the
-    # minhash_lsh_pairs path that gained pair_pred (first two already
-    # in cohort (c)); char_entropy / duplicated_spans /
-    # repetition_ratio single-pass rewrites; the scale-stable
-    # DECIMAL/portable-rounding conversions (tumbling_window_agg,
-    # rollup_revenue, cube_revenue, time_range_window,
-    # incident_window_join, min_cost_supplier; regional_revenue sits
-    # in cohort (d)))
-    "ngram_novelty", "funnel_conversion", "png_decode_stats",
-    "dedup_minhash_lsh", "dedup_simhash", "char_entropy",
-    "duplicated_spans", "repetition_ratio", "tumbling_window_agg",
-    "rollup_revenue", "cube_revenue", "time_range_window",
-    "incident_window_join", "min_cost_supplier",
-    # (b) newest external row r4 (deferred from r7's window)
-    "corr_matrix", "cosine_topk", "warehouse_metrics",
-    # (c) newest external row r5, one green total (31)
-    "acf_per_key", "anomaly_mad", "audio_decode_stats",
-    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
-    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
-    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
-    "event_transitions", "fuzzy_levenshtein_pairs",
-    "image_decode_stats", "image_resize_stats", "k_anonymity",
-    "key_skew_audit", "ks_drift", "mixture_rebalance",
-    "negative_sampling", "ohlc_bars", "oov_rate", "pmi_collocations",
-    "psi_drift", "scd2_history", "semantic_dedup", "source_overlap",
-    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
-    # (d) newest external row r5, two greens (2 of 6 fit; regional_
-    # revenue is here AND code-changed — the scale-stable sum)
-    "embedding_neardup", "regional_revenue",
+    # (a) newest external green r5 — 4 rounds stale (14)
+    "set_operations", "exact_percentiles", "embedding_neardup_exact",
+    "text_stats", "ranking_suite", "group_share",
+    "distinct_sorted_keys", "market_share", "nation_trade_volume",
+    "promotion_effect", "top1_by_metric", "tz_convert",
+    "unpivot_measures", "value_histogram",
+    # (b) newest external green r6, one green total (8)
+    "benford_audit", "dataset_split", "feature_hashing",
+    "gini_per_key", "percentile_normalize", "reservoir_per_group",
+    "table_profile", "video_frame_stats",
+    # (c) newest external green r6, two greens (28 of 37)
+    "approx_aggregates", "cast_coerce_nulls", "cosine_ann_ivf",
+    "cosine_ann_lsh", "customer_order_histogram",
+    "disjunctive_join_filter", "dominant_suppliers",
+    "dormant_customers", "ewma_per_key", "forecast_revenue",
+    "heavy_hitters", "importance_resample", "important_parts",
+    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
+    "json_payload_parse", "label_centroids", "large_volume_customer",
+    "multi_key_sort_limit", "null_handling", "order_priority_check",
+    "parts_supplier_stats", "pii_flag", "pricing_summary",
+    "product_profit", "returned_item_customers", "scalar_functions",
 )
-# Outside this window: everything whose newest external row is round
-# 6 or 7 (the freshest evidence possible), plus the r5-newest
-# queries the 50-slot budget could not fit after this round's
-# UNUSUALLY LARGE code-changed cohort (17 queries: the perf
-# rewrites + the scale-stable decimal conversions) claimed its
-# slots — displaced, all code-unchanged with ≥2 valid greens:
-# set_operations, embedding_neardup_exact, market_share,
-# nation_trade_volume, promotion_effect (two-green r5), plus the
-# three-green cohort (text_stats, ranking_suite, group_share,
-# distinct_sorted_keys, exact_percentiles, cube... — see git
-# history; top1_by_metric and distribution_rank carry plan-test
-# pins). They are first in line for round 9. All
-# registered queries are re-checked by tests/test_oracle_parity.py
-# every run, and tests/test_scan_audit.py pins every query's
-# physical scan counts.
+# Outside this window: the 50-query round-8 cohort (green on HEAD
+# minutes after the final r8 commit — the freshest evidence possible),
+# the round-7 cohort (42, two rounds fresh), and the 9 two-green r6
+# queries named above that the 50-slot budget couldn't fit (round-10
+# front of line). After this round every query's newest external
+# green is ≤3 rounds old — the staleness ceiling the 3-round
+# rotation cycle is designed to hold. All registered queries are
+# re-checked by tests/test_oracle_parity.py every run, and
+# tests/test_scan_audit.py pins every query's physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:
