@@ -273,9 +273,17 @@ def drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     mega-cluster key (boilerplate template, all-zero LSH region)
     becomes a quadratic single-task hot spot at corpus scale. The
     census is a map-side-combined groupBy over the (already
-    materialized) bucket frame; the hot-key set is bounded by
-    rows/cap, so the anti-join side broadcasts. Used by
-    :func:`minhash_lsh_pairs` (``max_band_bucket``),
+    materialized) bucket frame. The hot-key set is bounded by
+    rows/cap, but no broadcast hint is pinned: at the 100 TB design
+    point rows/cap can still exceed the broadcast limit, and a pinned
+    hint bypasses AQE's size guard (driver OOM). AQE broadcasts the
+    anti side from runtime stats whenever it actually is small — the
+    same policy as ``minhash_lsh_pairs``' verify join.
+
+    The FILTERED frame is materialized here, because every caller is
+    a self-join that reads it twice (sides a and b): without it the
+    anti-join — and the census aggregation feeding it — execute once
+    per side. Used by :func:`minhash_lsh_pairs` (``max_band_bucket``),
     :func:`simhash_pairs` (``max_chunk_bucket``) and
     ``similarity.embedding_neardup_pairs`` (``max_bucket``).
     """
@@ -285,7 +293,7 @@ def drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
         .filter(F.col("nb_") > cap)
         .select(*key_cols)
     )
-    return df.join(F.broadcast(hot), key_cols, "left_anti")
+    return df.join(hot, key_cols, "left_anti").transform(materialize)
 
 
 def minhash_signatures(
@@ -413,7 +421,9 @@ def minhash_lsh_pairs(
     if max_band_bucket is not None:
         # two consumers of the signature frame (bucket census + the
         # anti-join side) — materialize so the 64-min aggregation runs
-        # once.
+        # once. drop_hot_buckets materializes its OUTPUT too, so the
+        # self-join's two sides read the filtered cache, not two
+        # anti-join executions.
         banded = drop_hot_buckets(
             banded.transform(materialize), ["band", "bh"], max_band_bucket
         )

@@ -4,6 +4,13 @@ Airflow DAGs.
 
 E2 (the incremental micro-batch pipeline) lives in
 ``streaming/pipeline.py``.
+
+The LLM-corpus near-dup pipeline entry points (``neardup_pairs``,
+``corpus_dedup``) live here too, with the hot-bucket caps ACTIVE BY
+DEFAULT — the scale-safety posture a production run wants. The
+registered oracle queries keep calling the operators directly with
+caps=None so their DuckDB parity stays bit-exact; this layer is what
+a 100 TB corpus run calls.
 """
 
 from __future__ import annotations
@@ -88,3 +95,99 @@ def dashboard_frames(warehouse: DataFrame) -> dict[str, DataFrame]:
         "max_amplitude": top_k_global(with_amp, F.col("amplitude")),
         "cap_share": cap_share,
     }
+
+
+# --------------------------------------------------------------------
+# LLM-corpus near-dup pipeline (hot-bucket caps active by default)
+# --------------------------------------------------------------------
+#
+# Cap defaults, and why these numbers: a bucket of B rows emits
+# B(B-1)/2 self-join candidates inside ONE task. At 1024 that is
+# ~524k candidate rows per hot bucket — a bounded, seconds-scale task
+# on any executor — while buckets wider than that are, by
+# construction, >=1024-member near-identical clusters that the exact
+# tier (fingerprint groupBy / connected_components) already collapses
+# for O(B) instead of O(B^2). RHP embedding buckets get a higher cap
+# (4096) because hash tables there are narrower (2^bits buckets per
+# table) and dense regions are more often genuinely diverse than
+# textual boilerplate mega-clusters. Pass None explicitly to disable
+# a cap (bit-exact oracle parity, quadratic risk accepted).
+DEFAULT_MAX_BAND_BUCKET = 1024  # minhash LSH (band, band-hash) buckets
+DEFAULT_MAX_CHUNK_BUCKET = 1024  # simhash (chunk, chunk-value) buckets
+DEFAULT_MAX_RHP_BUCKET = 4096  # embedding RHP (table, bucket) buckets
+
+
+def neardup_pairs(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    max_bucket: int | None = -1,
+) -> DataFrame:
+    """Near-duplicate candidate pairs for a corpus — the pipeline
+    entry point over the three banding families, with the hot-bucket
+    cap ON by default (``max_bucket=-1`` = the family's documented
+    default; ``None`` disables; any positive int overrides).
+
+    Returns (id_a, id_b, score) where score is jaccard / hamming /
+    cos_sim depending on ``method`` ∈ {minhash, simhash, embedding}.
+    """
+    from .operators import dedup as D
+    from .operators import similarity as S
+
+    if method == "minhash":
+        cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
+        return D.minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold, max_band_bucket=cap
+        )
+    if method == "simhash":
+        cap = DEFAULT_MAX_CHUNK_BUCKET if max_bucket == -1 else max_bucket
+        return D.simhash_pairs(
+            df, id_col, text_col, max_hamming=max_hamming, max_chunk_bucket=cap
+        )
+    if method == "embedding":
+        cap = DEFAULT_MAX_RHP_BUCKET if max_bucket == -1 else max_bucket
+        return S.embedding_neardup_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            max_bucket=cap,
+        )
+    raise ValueError(f"unknown near-dup method {method!r}")
+
+
+def corpus_dedup(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int | None = -1,
+) -> DataFrame:
+    """End-to-end corpus dedup: exact tier first, then near-dup pairs
+    → connected components → keep each cluster's minimum id.
+
+    Stage order is the cost argument: the exact tier (fingerprint
+    groupBy, O(N), embarrassingly parallel) removes byte-identical
+    copies BEFORE the near-dup tier ever runs, so mega-clusters of
+    identical boilerplate never reach the banded self-join — the
+    hot-bucket caps (on by default here) then only fire on
+    near-identical-but-not-equal residue. Returns the surviving rows
+    of ``df`` (all original columns).
+    """
+    from .operators import dedup as D
+
+    fp = D.exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = df.join(fp, id_col, "left_semi")
+    pairs = neardup_pairs(
+        kept, method, id_col, text_col,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+    comp = D.connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return kept.join(drop, id_col, "left_anti")

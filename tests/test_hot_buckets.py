@@ -1,0 +1,111 @@
+"""Hot-bucket cap behavior under a synthetic mega-cluster (r8 verdict
+task #4): a corpus where one near-identical cluster dominates must not
+produce quadratic candidate pairs once the caps are on — and the
+pipeline entry points (`pipelines.neardup_pairs` / `corpus_dedup`)
+must have them on BY DEFAULT, while the operator layer keeps None
+(bit-exact oracle parity for the registered queries).
+
+The quadratic blowup being guarded: a bucket of B rows emits
+B(B-1)/2 self-join candidates in ONE task. The tests build clusters
+big enough that the uncapped pair count is O(B^2) and assert the
+capped path stays below a linear bound.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark import pipelines as P
+from b3_analytics_engine_spark.operators import dedup as D
+from b3_analytics_engine_spark.operators import similarity as S
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles carry ancient maps across the quiet river delta "
+    "under a pale winter moon"
+)
+
+
+def _mega_corpus(spark, n_cluster: int, n_unique: int = 5):
+    """n_cluster byte-identical docs + n_unique genuinely distinct ones."""
+    rows = [(i, BASE) for i in range(n_cluster)]
+    rows += [
+        (n_cluster + j, f"unique document number {j} about topic {j * 17} "
+                        f"with entirely different words like zephyr{j} "
+                        f"quartz{j} oblong{j} marmalade{j}")
+        for j in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cap_bounds_candidates(spark):
+    docs = _mega_corpus(spark, 120)
+    uncapped = D.minhash_lsh_pairs(docs, threshold=0.5).count()
+    capped = D.minhash_lsh_pairs(
+        docs, threshold=0.5, max_band_bucket=16
+    ).count()
+    # identical docs -> identical signatures -> one (band, bh) bucket
+    # per band holding all 120 -> quadratic uncapped, dropped capped
+    assert uncapped == 120 * 119 // 2
+    assert capped <= 120 * 16  # sub-quadratic bound (here: 0)
+
+
+def test_simhash_cap_bounds_candidates(spark):
+    docs = _mega_corpus(spark, 120)
+    uncapped = D.simhash_pairs(docs).count()
+    capped = D.simhash_pairs(docs, max_chunk_bucket=16).count()
+    assert uncapped == 120 * 119 // 2
+    assert capped <= 120 * 16
+
+
+def test_embedding_cap_bounds_candidates(spark):
+    n = 120
+    vec = [1.0] + [0.0] * 63
+    rows = [(i, vec) for i in range(n)]
+    rows += [(n + j, [float(k == j + 1) for k in range(64)]) for j in range(5)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = S.embedding_neardup_pairs(embs, threshold=0.99).count()
+    capped = S.embedding_neardup_pairs(
+        embs, threshold=0.99, max_bucket=16
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    assert capped <= n * 16
+
+
+def test_pipeline_default_caps_are_on(spark):
+    # 1500 > DEFAULT_MAX_BAND_BUCKET=1024: with the default cap the
+    # mega-cluster's band buckets are all dropped before the
+    # self-join, so the pair count stays linear-bounded instead of
+    # the ~1.1M the uncapped quadratic path would emit (which this
+    # test deliberately never runs).
+    n = 1500
+    assert n > P.DEFAULT_MAX_BAND_BUCKET
+    docs = _mega_corpus(spark, n)
+    pairs = P.neardup_pairs(docs, "minhash", threshold=0.5)
+    assert pairs.count() < n
+    # explicit opt-out restores the operator-layer exact semantics
+    few = _mega_corpus(spark, 30)
+    assert P.neardup_pairs(few, "minhash", threshold=0.5,
+                           max_bucket=None).count() == 30 * 29 // 2
+
+
+def test_corpus_dedup_end_to_end(spark):
+    # 10 byte-identical copies (exact tier), 3 near-identical
+    # variants that share ~86% of their shingles with BASE (near-dup
+    # tier connects them to the exact tier's survivor), 5 unique ->
+    # one representative of the whole {BASE, variants} cluster plus
+    # the 5 unique docs survive.
+    rows = [(i, BASE) for i in range(10)]
+    rows += [(10 + v, BASE + f" trailing variant token {v}") for v in range(3)]
+    rows += [
+        (13 + j, f"standalone text {j} full of unrelated vocabulary "
+                 f"such as nimbus{j} parallax{j} crucible{j}")
+        for j in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = P.corpus_dedup(docs, "minhash", threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [0, 13, 14, 15, 16, 17]
+    # all original columns survive
+    assert kept.columns == ["doc_id", "text"]
