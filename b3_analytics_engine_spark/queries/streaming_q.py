@@ -43,8 +43,13 @@ GROUP BY 1, 2
     "repr; DuckDB rounds a scaled multiply — measured divergence at "
     "56.4133125, PARITY.md), so it rounds via the portable half-up "
     "floor(q*1e6 + 0.5)/1e6 — every step one IEEE op on identical "
-    "inputs, bit-identical in ANY engine at ANY scale. Pilot for the "
-    "r9 DECIMAL-exact revenue-family pass.",
+    "inputs, bit-identical in ANY engine at ANY scale. Semantics "
+    "documented in PARITY.md: half-up toward +INFINITY (differs from "
+    "round() on negative ties) and exact only for |q| < ~9e9 (beyond "
+    "that q*1e6 exceeds 2^53) — both edges unreachable here (positive "
+    "event-value averages) and parity-safe regardless, since both "
+    "engines run the identical expression. Pilot for the "
+    "r8 DECIMAL-exact revenue-family pass.",
 )
 def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -269,3 +269,133 @@ def test_char_entropy_window_equals_agg_join(spark, texts):
         ent = -sum((c / n) * math.log(c / n) for c in counts.values())
         want.add((i, n, len(counts), round(ent, 6)))
     assert got == want
+
+
+def _tie_ladder_cases() -> list[float]:
+    """Doubles within a few ulp of k + 0.5e-6 decimal-tie boundaries,
+    magnitudes spanning the fixture domain (prices ~1e0..1e5, revenue
+    sums ~1e7..1e9), both signs."""
+    import math
+
+    cases: list[float] = []
+    for k in (0.0, 1.0, 2.0, 56.413312, 1234.567891, 99999.999999,
+              12345678.9, 987654321.123456):
+        tie = k + 0.5e-6
+        x = tie
+        for _ in range(4):
+            x = math.nextafter(x, -math.inf)
+            cases.append(x)
+        cases.append(tie)  # the nearest double to the tie itself
+        x = tie
+        for _ in range(4):
+            x = math.nextafter(x, math.inf)
+            cases.append(x)
+    return cases + [-c for c in cases]
+
+
+def _spark_cast_dec6(spark, cases: list[float]) -> dict[int, str]:
+    sdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, x double"
+    ).select("i", F.col("x").cast("decimal(38,6)").alias("d"))
+    return {r["i"]: str(r["d"]) for r in sdf.collect()}
+
+
+def _duck_cast_dec6(cases: list[float]) -> dict[int, str]:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        # parameter binding ships the exact IEEE double, no text round-trip
+        return {
+            i: str(con.execute(
+                "SELECT CAST(? AS DECIMAL(38,6))", [c]).fetchone()[0])
+            for i, c in enumerate(cases)
+        }
+    finally:
+        con.close()
+
+
+def test_spark_double_to_decimal38_6_is_shortest_repr_half_up(spark):
+    """The DECIMAL(38,6) accumulation recipe (PARITY.md) rests on the
+    per-row double -> DECIMAL(38,6) CAST being deterministic and
+    value-faithful. Pin Spark's semantics independently of corpus
+    content: the cast equals ROUND_HALF_UP quantization of the
+    double's SHORTEST decimal representation (Java
+    BigDecimal.valueOf = Double.toString; Python repr implements the
+    same shortest-round-trip algorithm) — NOT of the exact binary
+    expansion: the nearest double to 5e-7 is binary-below the tie,
+    yet Spark casts it to 0.000001 because its shortest repr IS
+    '5.0E-7'. A pure function of the double's bit pattern either
+    way, so a retried / repartitioned 100 TB run can never flip a
+    cast result."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cases = _tie_ladder_cases()
+    got = _spark_cast_dec6(spark, cases)
+    q = Decimal("0.000001")
+    mism = [
+        (cases[i], got[i], str(Decimal(repr(cases[i])).quantize(q, ROUND_HALF_UP)))
+        for i in got
+        if Decimal(got[i]) != Decimal(repr(cases[i])).quantize(q, ROUND_HALF_UP)
+    ]
+    assert not mism, f"{len(mism)} divergences; first 5: {mism[:5]}"
+
+
+def test_duckdb_cast_divergence_is_confined_to_tie_ulp_zone(spark):
+    """The r8 advice suspected the 'per-row double->decimal cast is
+    engine-identical' assumption; this test MEASURED it and the
+    suspicion was right: DuckDB's CAST rounds a scaled product and
+    rounds UP for doubles within ~1e-9 (relative) BELOW an exact
+    k+0.5e-6 tie, where Spark's shortest-repr half-up rounds down
+    (e.g. 4.999999999999999e-07 -> DuckDB 0.000001, Spark 0.000000).
+
+    Two facts keep the oracle methodology sound, and both are pinned
+    here: (a) the divergence is CONFINED to the immediate ulp-zone of
+    exact ties — for every ladder case at distance >= 1 ulp ABOVE a
+    tie, and every case whose exact expansion is not within 2e-9
+    (relative) of a tie, the engines agree; (b) the fixture domain
+    can never enter the zone: parquet money/metric values carry <= 6
+    significant decimals, so scaled by 1e6 they sit near INTEGERS —
+    distance ~0.5 from any tie, the maximal possible. Asserted over
+    the 6-dp grid spanning the full magnitude range."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cases = _tie_ladder_cases()
+    spark_out = _spark_cast_dec6(spark, cases)
+    duck_out = _duck_cast_dec6(cases)
+
+    q = Decimal("0.000001")
+    half = Decimal("0.0000005")
+    for i, x in enumerate(cases):
+        if Decimal(spark_out[i]) == Decimal(duck_out[i]):
+            continue
+        # any divergence must lie inside the tie ulp-zone: exact
+        # expansion within 2e-9 relative of a k+0.5e-6 boundary
+        ex = Decimal(x)
+        frac = (ex - (ex // q) * q).copy_abs()
+        dist_to_tie = (frac - half).copy_abs()
+        tol = Decimal(2e-9) * max(ex.copy_abs(), Decimal(1))
+        assert dist_to_tie <= tol, (
+            f"divergence OUTSIDE tie zone: {x!r} spark={spark_out[i]} "
+            f"duck={duck_out[i]} dist={dist_to_tie}"
+        )
+
+    # (b) 6-dp grid values (the fixture/money domain): exact agreement
+    grid = [
+        round(k + d * 1e-6, 6)
+        for k in (0.0, 1.0, 941.17, 56.413312, 99999.999999,
+                  12345678.9, 987654321.123456)
+        for d in (-3, -1, 0, 1, 3)
+    ]
+    grid += [-g for g in grid]
+    s = _spark_cast_dec6(spark, grid)
+    d = _duck_cast_dec6(grid)
+    mism = [(grid[i], s[i], d[i]) for i in s if Decimal(s[i]) != Decimal(d[i])]
+    assert not mism, f"grid divergences: {mism[:5]}"
+    # and on the grid both equal the exact half-up quantization
+    bad = [
+        (grid[i], s[i])
+        for i in s
+        if Decimal(s[i]) != Decimal(grid[i]).quantize(q, ROUND_HALF_UP)
+    ]
+    assert not bad, f"grid off exact: {bad[:5]}"
