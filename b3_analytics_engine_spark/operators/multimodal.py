@@ -5,10 +5,12 @@ columns plus a typed metadata struct. The Spark-side contract —
 schema, partition-friendly batch iteration, Arrow transfer shape — is
 real and tested. Codec status: **PPM (P6), 24-bit BMP, PNG
 (8-bit gray/RGB/RGBA incl. zlib inflate + all five scanline
-filters + CRC checks), RIFF/WAVE PCM, and PVF video decode are all
-REAL** — pure-Python/stdlib parsers feeding the ``*_decode_stats``
-oracle-checked registered queries. Only entropy-coded formats with
-no stdlib codec (JPEG/MP3/H.264) remain stubbed in
+filters + CRC checks), baseline JPEG (T.81 SOF0/SOF1: Huffman
+entropy decode, restarts, 4:4:4/4:2:2/4:2:0 sampling, IDCT,
+YCbCr→RGB), RIFF/WAVE PCM, and PVF video decode are all REAL** —
+pure-Python/stdlib parsers feeding the ``*_decode_stats``
+oracle-checked registered queries. Only progressive JPEG and
+formats with no feasible stdlib codec (MP3/H.264) remain stubbed in
 ``_decode_image`` — swapping the stub for Pillow/libav is a
 one-function change; nothing about the plan shape moves.
 
@@ -63,15 +65,16 @@ IMAGE_STATS_SCHEMA = (
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB decode → feature vector (entropy-coded formats only:
-    JPEG/MP3/H.264, which have no stdlib codec).
+    """STUB decode → feature vector (progressive JPEG / MP3 / H.264
+    only — formats with no feasible stdlib codec).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
     → resize → normalized pixel tensor. Not available in this
     container, so we derive a deterministic 8-dim fake feature from the
     byte content (keeps the full pipeline testable and reproducible).
-    PPM, BMP, **PNG** (zlib), WAV and PVF have REAL pure-Python
-    decoders — see :func:`_parse_image` / :func:`_parse_png`.
+    PPM, BMP, **PNG** (zlib), **baseline JPEG** (:func:`_parse_jpeg`),
+    WAV and PVF have REAL pure-Python decoders — see
+    :func:`_parse_image` / :func:`_parse_png`.
     """
     if not STUB_REAL_DECODERS:
         raise NotImplementedError("real image decoding requires Pillow")
@@ -373,12 +376,567 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
+# ---------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): REAL stdlib-only decoder + writer.
+# Everything below derives from the public spec — marker grammar,
+# canonical Huffman construction (Annex C), zigzag order, the
+# separable 8x8 DCT-III. No Annex-K Huffman tables are transcribed:
+# the DECODER reads its tables from the file's DHT segments, and the
+# WRITER emits its own canonical tables (any spec-valid table is
+# legal because DHT travels with the file).
+# ---------------------------------------------------------------
+
+# zigzag position -> natural (row-major) index
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_DCT_A: list[list[float]] | None = None  # a(u,x) basis, built lazily
+
+
+def _jpeg_dct_basis() -> list[list[float]]:
+    global _JPEG_DCT_A
+    if _JPEG_DCT_A is None:
+        import math
+
+        _JPEG_DCT_A = [
+            [
+                0.5
+                * (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    return _JPEG_DCT_A
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: bytes | list[int]):
+    """Annex-C canonical Huffman: ``bits[i]`` codes of length i+1,
+    symbols assigned in ``vals`` order. Returns
+    ``{(length, code): symbol}`` (invert for encoding)."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("DHT counts exceed symbol list")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+        if code > (1 << length + 1):
+            raise ValueError("DHT counts overflow the code space")
+    if k != len(vals):
+        raise ValueError("DHT symbol list longer than counts")
+    return table
+
+
+def _jpeg_idct_block(coef: list[float]) -> list[int]:
+    """Separable 2-D inverse DCT of one natural-order 8x8 block,
+    +128 level shift, clamped to [0, 255]."""
+    A = _jpeg_dct_basis()
+    # rows: tmp[v][x] = sum_u a(u,x) * coef[v][u]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                if row[u]:
+                    s += A[u][x] * row[u]
+            tmp[v][x] = s
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                s += A[v][y] * tmp[v][x]
+            px = int(round(s + 128.0))
+            out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for baseline JPEG (SOF0/SOF1, 8-bit, Huffman):
+    stdlib-only — marker walk, DHT canonical codes, DC-predictor +
+    run-length AC entropy decode with byte-unstuffing and restart
+    markers, dequantize/dezigzag, float IDCT, chroma upsampling for
+    any sampling grid up to 2x2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), and
+    JFIF YCbCr->RGB. Grayscale replicates to RGB. Returns
+    ``(width, height, 3, rgb_bytes)`` — the `_parse_ppm`/`_parse_png`
+    contract, so downstream stats stay codec-agnostic. Raises
+    ``ValueError`` on anything malformed or non-baseline
+    (progressive SOF2, arithmetic coding, 12-bit, 16-bit quant
+    tables), routing bad blobs to quarantine instead of garbage.
+    """
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> codes
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # fill bytes are legal between segments
+        if pos >= len(payload):
+            raise ValueError("truncated after fill bytes")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("segment length past EOF")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if bp + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = list(body[bp + 1 : bp + 65])
+                bp += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if w == 0 or h == 0:
+                raise ValueError("zero image dimension")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"sampling {hi}x{vi} unsupported")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            sof = (w, h, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x}")
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                if tc > 1:
+                    raise ValueError("bad Huffman table class")
+                bits = list(body[bp + 1 : bp + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT counts")
+                n = sum(bits)
+                vals = body[bp + 17 : bp + 17 + n]
+                if len(vals) != n:
+                    raise ValueError("truncated DHT symbols")
+                huff[(tc, th)] = _jpeg_canonical_codes(bits, vals)
+                bp += 17 + n
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            w, h, comps = sof
+            if ns != len(comps):
+                raise ValueError("multi-scan baseline unsupported")
+            sel = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tdta >> 4, tdta & 15)
+            if body[1 + 2 * ns] != 0:  # Ss
+                raise ValueError("non-baseline spectral selection")
+            for comp in comps:
+                if comp["id"] not in sel:
+                    raise ValueError(f"component {comp['id']} not in scan")
+                comp["td"], comp["ta"] = sel[comp["id"]]
+                if (0, comp["td"]) not in huff or (1, comp["ta"]) not in huff:
+                    raise ValueError("scan references missing Huffman table")
+                if comp["tq"] not in qtabs:
+                    raise ValueError("scan references missing quant table")
+            scan = pos  # entropy-coded data starts here
+            break
+        # APPn / COM / others: skipped
+    if sof is None or scan is None:
+        raise ValueError("missing SOF or SOS")
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        c["pw"] = mcus_x * c["h"] * 8
+        c["ph"] = mcus_y * c["v"] * 8
+        planes.append(bytearray(c["pw"] * c["ph"]))
+
+    data = payload
+    bpos, cur, bitcnt = scan, 0, 0
+
+    def read_bit() -> int:
+        nonlocal bpos, cur, bitcnt
+        if bitcnt == 0:
+            if bpos >= len(data):
+                raise ValueError("entropy data truncated")
+            b = data[bpos]
+            bpos += 1
+            if b == 0xFF:
+                if bpos >= len(data):
+                    raise ValueError("entropy data truncated at 0xFF")
+                nxt = data[bpos]
+                bpos += 1
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"marker {nxt:#x} inside entropy-coded segment"
+                    )
+            cur, bitcnt = b, 8
+        bitcnt -= 1
+        return (cur >> bitcnt) & 1
+
+    def decode_sym(table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code (no match in 16 bits)")
+
+    def receive_extend(s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if dri and mcu and mcu % dri == 0:
+            # restart: byte-align, consume RSTn, reset DC predictors.
+            # All-ones padding can itself form an 0xFF data byte whose
+            # mandatory 0x00 stuffing precedes the marker — skip it.
+            bitcnt = 0
+            while (
+                bpos + 1 < len(data)
+                and data[bpos] == 0xFF
+                and data[bpos + 1] == 0x00
+            ):
+                bpos += 2
+            if bpos + 2 > len(data) or data[bpos] != 0xFF:
+                raise ValueError("expected restart marker")
+            rst = data[bpos + 1]
+            if not (0xD0 <= rst <= 0xD7):
+                raise ValueError(f"expected RSTn, got {rst:#x}")
+            if rst - 0xD0 != (mcu // dri - 1) & 7:
+                raise ValueError("restart marker out of sequence")
+            bpos += 2
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_tbl = huff[(0, c["td"])]
+            ac_tbl = huff[(1, c["ta"])]
+            qt = qtabs[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = [0.0] * 64
+                    s = decode_sym(dc_tbl)
+                    if s > 11:
+                        raise ValueError(f"DC category {s} out of range")
+                    preds[ci] += receive_extend(s)
+                    coef[0] = preds[ci] * qt[0]
+                    k = 1
+                    while k < 64:
+                        rs = decode_sym(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[_JPEG_ZZ[k]] = receive_extend(s) * qt[k]
+                        k += 1
+                    px = _jpeg_idct_block(coef)
+                    plane, pw = planes[ci], c["pw"]
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * pw + ox
+                        plane[row : row + 8] = bytes(
+                            px[yy * 8 : yy * 8 + 8]
+                        )
+    # color conversion + chroma upsample (sample replication)
+    out = bytearray(w * h * 3)
+    if len(comps) == 1:
+        plane, pw = planes[0], comps[0]["pw"]
+        for y in range(h):
+            for x in range(w):
+                g = plane[y * pw + x]
+                o = (y * w + x) * 3
+                out[o] = out[o + 1] = out[o + 2] = g
+    else:
+        cy, cb, cr = comps
+        py, pb, pr = planes
+        for y in range(h):
+            yy = py[y * cy["pw"] :]
+            by = pb[(y * cb["v"] // vmax) * cb["pw"] :]
+            ry = pr[(y * cr["v"] // vmax) * cr["pw"] :]
+            for x in range(w):
+                Y = yy[x * cy["h"] // hmax]
+                Cb = by[x * cb["h"] // hmax] - 128
+                Cr = ry[x * cr["h"] // hmax] - 128
+                r = int(round(Y + 1.402 * Cr))
+                g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+                b = int(round(Y + 1.772 * Cb))
+                o = (y * w + x) * 3
+                out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, bytes(out)
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    rgb: bytes,
+    q: int = 16,
+    subsample: str = "444",
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline-JPEG writer: stdlib-only, spec-valid output any
+    external viewer opens. Flat quantization table (all entries
+    ``q``) and writer-built canonical Huffman tables (single-length
+    code sets whose all-ones word stays reserved, per Annex C) — both
+    travel in the file, so no Annex-K transcription is needed.
+    ``subsample='420'`` downsamples chroma 2x2 (mean) and emits the
+    4-blocks-Y-per-MCU layout, exercising a decoder's multi-block MCU
+    + upsampling path; ``'444'`` keeps full chroma; ``gray=True``
+    writes a single-component scan (input still RGB, converted to
+    luma); ``restart_interval=n`` emits DRI + RSTn markers every n
+    MCUs. Used as the golden-file builder for the `_parse_jpeg`
+    tests — decode∘encode error is bounded by the quantization step,
+    which the tests assert."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if not (1 <= q <= 255):
+        raise ValueError("q must fit an 8-bit quant table")
+    A = _jpeg_dct_basis()
+
+    # RGB -> YCbCr planes (JFIF)
+    npx = width * height
+    yp = bytearray(npx)
+    cbp = bytearray(npx)
+    crp = bytearray(npx)
+    for i in range(npx):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yp[i] = max(0, min(255, int(round(Y))))
+        cbp[i] = max(0, min(255, int(round(Cb))))
+        crp[i] = max(0, min(255, int(round(Cr))))
+
+    if gray:
+        planes = [(yp, width, height, 1, 1)]
+    elif subsample == "420":
+        cw, ch = -(-width // 2), -(-height // 2)
+        cb2 = bytearray(cw * ch)
+        cr2 = bytearray(cw * ch)
+        for y in range(ch):
+            for x in range(cw):
+                acc_b = acc_r = n = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        sy, sx = 2 * y + dy, 2 * x + dx
+                        if sy < height and sx < width:
+                            acc_b += cbp[sy * width + sx]
+                            acc_r += crp[sy * width + sx]
+                            n += 1
+                cb2[y * cw + x] = acc_b // n
+                cr2[y * cw + x] = acc_r // n
+        planes = [(yp, width, height, 2, 2), (cb2, cw, ch, 1, 1),
+                  (cr2, cw, ch, 1, 1)]
+    else:
+        planes = [(yp, width, height, 1, 1), (cbp, width, height, 1, 1),
+                  (crp, width, height, 1, 1)]
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # writer Huffman tables (canonical; all-ones word unused):
+    # DC: 12 categories at 4 bits; AC: all 162 symbols at 8 bits
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = sorted(
+        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # 162 codes of length 8
+    dc_codes = {v: k for k, v in _jpeg_canonical_codes(dc_bits, dc_vals).items()}
+    ac_codes = {v: k for k, v in _jpeg_canonical_codes(ac_bits, ac_vals).items()}
+
+    out = bytearray()
+    bitbuf, bitlen = 0, 0
+
+    def put_bits(code: int, length: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        bitlen += length
+        while bitlen >= 8:
+            byte = (bitbuf >> (bitlen - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # stuffing
+            bitlen -= 8
+        bitbuf &= (1 << bitlen) - 1
+
+    def encode_block(samples: list[int], pred: int) -> int:
+        # FDCT: F[v][u] = sum_y sum_x a(v,y) a(u,x) (s[y][x]-128)
+        tmp = [[0.0] * 8 for _ in range(8)]
+        for v in range(8):
+            for x in range(8):
+                s = 0.0
+                for y in range(8):
+                    s += A[v][y] * (samples[y * 8 + x] - 128)
+                tmp[v][x] = s
+        zz = [0] * 64
+        for v in range(8):
+            row = list(tmp[v])
+            for u in range(8):
+                s = 0.0
+                for x in range(8):
+                    s += A[u][x] * row[x]
+                tmp[v][u] = s
+        nat = [int(round(tmp[v][u] / q)) for v in range(8) for u in range(8)]
+        for k in range(64):
+            zz[k] = nat[_JPEG_ZZ[k]]
+        diff = zz[0] - pred
+        s = abs(diff).bit_length()
+        if s > 11:
+            raise ValueError("DC difference out of baseline range")
+        length, code = dc_codes[s]
+        put_bits(code, length)
+        if s:
+            put_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                put_bits(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            if s > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            length, code = ac_codes[(run << 4) | s]
+            put_bits(code, length)
+            put_bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            length, code = ac_codes[0x00]  # EOB
+            put_bits(code, length)
+        return zz[0]
+
+    def block_at(plane: bytes, pw: int, ph: int, ox: int, oy: int) -> list[int]:
+        # edge-replicated 8x8 read (pads non-multiple-of-8 planes)
+        blk = [0] * 64
+        for yy in range(8):
+            sy = min(oy + yy, ph - 1)
+            for xx in range(8):
+                sx = min(ox + xx, pw - 1)
+                blk[yy * 8 + xx] = plane[sy * pw + sx]
+        return blk
+
+    # ---- headers ----
+    ncomp = len(planes)
+    hdr = bytearray(b"\xff\xd8")  # SOI
+    hdr += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, no thumbnail
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+    hdr += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for cid, (_, _, _, hi, vi) in zip(range(1, ncomp + 1), planes):
+        hdr += bytes([cid, (hi << 4) | vi, 0])
+    dht = bytearray()
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        dht += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    hdr += dht
+    if restart_interval:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    hdr += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        hdr += bytes([cid, 0x00])  # Td=0, Ta=0 for all components
+    hdr += b"\x00\x3f\x00"  # Ss=0, Se=63, AhAl=0
+
+    preds = [0] * ncomp
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if bitlen:  # byte-align with 1-bits, then RSTn
+                put_bits((1 << (8 - bitlen)) - 1, 8 - bitlen)
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) & 7)])
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (plane, pw, ph, hi, vi) in enumerate(planes):
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = block_at(
+                        plane, pw, ph,
+                        (mx * hi + bx) * 8, (my * vi + by) * 8,
+                    )
+                    preds[ci] = encode_block(blk, preds[ci])
+    if bitlen:
+        put_bits((1 << (8 - bitlen)) - 1, 8 - bitlen)  # pad with 1s
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
 def _parse_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes: ``\\x89PNG`` → PNG, ``BM`` → BMP,
-    else P6 PPM; anything unrecognized is a ValueError (→ quarantine
-    row)."""
+    """Dispatch on magic bytes: ``\\x89PNG`` → PNG, ``\\xff\\xd8`` →
+    baseline JPEG, ``BM`` → BMP, else P6 PPM; anything unrecognized
+    is a ValueError (→ quarantine row)."""
     if payload is not None and len(payload) >= 8 and payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
+    if payload is not None and len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload)
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return _parse_bmp(payload)
     w, h, _maxval, pix = _parse_ppm(payload)

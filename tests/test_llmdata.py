@@ -1407,3 +1407,126 @@ def test_ks_binned_single_group_is_null_by_design(spark):
     assert len(out) == 1
     assert out[0]["ks_stat"] is None
     assert out[0]["n_rows"] == 100
+
+
+def test_jpeg_codec_roundtrip_all_modes(spark):
+    """Baseline-JPEG decoder (T.81, stdlib-only) against the writer:
+    decode∘encode error must stay within quantization bounds for
+    4:4:4, 4:2:0 (multi-block MCUs + chroma upsampling), grayscale
+    (single-component scan) and restart-marker streams, on
+    non-multiple-of-8 dimensions (edge-replication padding). The
+    writer emits its own canonical Huffman tables in DHT, so the
+    decoder's table construction is exercised from the file, not
+    shared state; an external viewer opens these files."""
+    import random
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        decode_image_stats,
+        encode_jpeg_baseline,
+    )
+
+    w, h = 37, 21
+    # solid color: DC-only blocks, tightest bound
+    solid = bytes([200, 80, 40] * (w * h))
+    for kw in ({"q": 16}, {"q": 16, "subsample": "420"},
+               {"q": 16, "restart_interval": 2}):
+        w2, h2, ch, out = _parse_jpeg(encode_jpeg_baseline(w, h, solid, **kw))
+        assert (w2, h2, ch) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(solid, out)) <= 3, kw
+
+    # blocky low-frequency image: bound scales with the quant step
+    random.seed(7)
+    base = [[random.randint(0, 255) for _ in range(w // 4 + 2)]
+            for _ in range(h // 4 + 2)]
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = base[y // 4][x // 4]
+            rgb += bytes((v, (v * 3) % 256, 255 - v))
+    rgb = bytes(rgb)
+    for kw, max_err in (
+        ({"q": 8}, 16),
+        ({"q": 16}, 32),
+        ({"q": 16, "subsample": "420"}, 40),
+        ({"q": 16, "restart_interval": 1}, 32),
+        ({"q": 16, "subsample": "420", "restart_interval": 3}, 40),
+    ):
+        _, _, _, out = _parse_jpeg(encode_jpeg_baseline(w, h, rgb, **kw))
+        errs = [abs(a - b) for a, b in zip(rgb, out)]
+        assert max(errs) <= max_err and sum(errs) / len(errs) <= 8, kw
+
+    # grayscale single-component scan replicates luma to RGB
+    _, _, _, out = _parse_jpeg(
+        encode_jpeg_baseline(w, h, rgb, q=16, gray=True)
+    )
+    exp = bytearray()
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y_ = min(255, round(0.299 * r + 0.587 * g + 0.114 * b))
+        exp += bytes((y_,) * 3)
+    assert out[0::3] == out[1::3] == out[2::3]
+    assert max(abs(a - b) for a, b in zip(exp, out)) <= 24
+
+    # decode_image_stats dispatches on the FFD8 magic (mapInPandas path)
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(encode_jpeg_baseline(w, h, solid)))]
+    )
+    row = decode_image_stats(df).collect()[0]
+    assert row["ok"] and (row["width"], row["height"]) == (w, h)
+    assert abs(row["mean_r"] - 200) <= 3
+
+
+def test_jpeg_parser_rejects_malformed_valueerror_only():
+    """Every reachable malformed path raises the documented ValueError
+    (the quarantine contract): missing SOI, truncation at EVERY byte
+    boundary of a valid file, progressive SOF2, 16-bit quant tables,
+    marker inside entropy data, out-of-sequence restarts, DHT count
+    overflow, segment length past EOF."""
+    import pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    good = encode_jpeg_baseline(16, 16, bytes(16 * 16 * 3), q=16,
+                                restart_interval=1)
+    w, h, ch, out = _parse_jpeg(good)
+    assert (w, h, ch) == (16, 16, 3)
+
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        _parse_jpeg(None)
+
+    # truncation fuzz: any prefix must raise ValueError, never escape
+    for cut in range(2, len(good), 7):
+        with pytest.raises(ValueError):
+            _parse_jpeg(good[:cut])
+
+    # progressive SOF2 rejected explicitly
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        _parse_jpeg(prog)
+
+    # 16-bit quant table (Pq=1)
+    i = good.index(b"\xff\xdb")
+    bad_dqt = good[: i + 4] + b"\x10" + good[i + 5 :]
+    with pytest.raises(ValueError, match="16-bit"):
+        _parse_jpeg(bad_dqt)
+
+    # out-of-sequence restart marker (RST0 -> RST5)
+    j = good.index(b"\xff\xd0")
+    bad_rst = good[:j] + b"\xff\xd5" + good[j + 2 :]
+    with pytest.raises(ValueError, match="restart"):
+        _parse_jpeg(bad_rst)
+
+    # DHT declaring more codes than symbols present
+    k = good.index(b"\xff\xc4")
+    seglen = int.from_bytes(good[k + 2 : k + 4], "big")
+    counts = bytearray(good[k + 5 : k + 21])
+    counts[15] = 250  # inflate last count beyond the symbol list
+    bad_dht = good[: k + 5] + bytes(counts) + good[k + 21 :]
+    with pytest.raises(ValueError):
+        _parse_jpeg(bad_dht)
