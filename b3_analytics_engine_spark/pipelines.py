@@ -177,11 +177,20 @@ def corpus_dedup(
     of ``df`` (all original columns).
     """
     from .operators import dedup as D
+    from .operators.text import fingerprint
 
-    fp = D.exact_duplicates(df, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
+    # exact tier inlined rather than via exact_duplicates(): that
+    # operator also aggregates sort_array(collect_list(id)) — the full
+    # member roster per fingerprint — which this pipeline never reads.
+    # At corpus scale the roster dominates the shuffle for mega-
+    # clusters; min(id) is all the keep decision needs.
+    keep = (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
-    kept = df.join(fp, id_col, "left_semi")
+    kept = df.join(keep, id_col, "left_semi")
     pairs = neardup_pairs(
         kept, method, id_col, text_col,
         threshold=threshold, max_bucket=max_bucket,
