@@ -232,13 +232,11 @@ def ngram_jaccard_pairs(
     """
     sh = hashed_postings(df, id_col, text_col, n).transform(materialize)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # same census + anti-join + materialize shape as the banding
+        # caps — and the same no-pinned-broadcast policy: at corpus
+        # scale the hot-shingle set (every stopword-ish n-gram) can
+        # exceed broadcast limits, so AQE decides from runtime stats
+        sh = drop_hot_buckets(sh, ["sh"], max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -284,7 +282,8 @@ def drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     a self-join that reads it twice (sides a and b): without it the
     anti-join — and the census aggregation feeding it — execute once
     per side. Used by :func:`minhash_lsh_pairs` (``max_band_bucket``),
-    :func:`simhash_pairs` (``max_chunk_bucket``) and
+    :func:`simhash_pairs` (``max_chunk_bucket``),
+    :func:`ngram_jaccard_pairs` (``max_shingle_df``) and
     ``similarity.embedding_neardup_pairs`` (``max_bucket``).
     """
     hot = (

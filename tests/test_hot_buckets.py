@@ -51,6 +51,20 @@ def test_minhash_cap_bounds_candidates(spark):
     assert capped <= 120 * 16  # sub-quadratic bound (here: 0)
 
 
+def test_ngram_jaccard_shingle_df_cap(spark):
+    # posting-list analog of the banding caps, now unified onto
+    # drop_hot_buckets: shingles held by more docs than the cap are
+    # dropped before the self-join; identical docs share ALL shingles
+    # so the capped run yields no pairs, the uncapped run is quadratic
+    docs = _mega_corpus(spark, 60)
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.5).count()
+    capped = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=16
+    ).count()
+    assert uncapped == 60 * 59 // 2
+    assert capped <= 60 * 16  # sub-quadratic bound (here: 0)
+
+
 def test_simhash_cap_bounds_candidates(spark):
     docs = _mega_corpus(spark, 120)
     uncapped = D.simhash_pairs(docs).count()
