@@ -48,56 +48,48 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-9 front window (round 8 went 50/50 green;
-# this round's CODE changes touch no registered query — the hot-bucket
-# cap plumbing only executes when caps are set, and registered oracle
-# queries pass None — so, for the first time, the window is pure
-# staleness rotation, exactly as the r8 verdict prescribed):
-# (a) the 14 queries whose newest external green is round 5 — four
-# rounds stale, the weakest evidence anywhere; the r8 verdict named
-# set_operations / exact_percentiles / embedding_neardup_exact first
-# because their FILES were touched by the r7/r8 checkpoint→materialize
-# swaps (their own code was not, but the displacement rationale was
-# imprecise — external re-proof closes the question);
-# (b) the 8 round-6-newest queries with only ONE green ever
-# (registered in r6, checked once, displaced since);
-# (c) 28 of the 37 round-6-newest two-green queries, alphabetical —
-# the 9 displaced (semi_anti_join, shipping_priority,
-# small_order_quantity, tfidf_topterms, time_range_filter,
-# time_rollup_hierarchy, top_supplier_revenue, unigram_logprob,
-# waiting_suppliers) are first in line for round 10.
+# external evidence. Round-10 front window (round 9 went 50/50 green;
+# exactly the rotation the r9 verdict prescribed):
+# (a) the 9 queries whose newest external green is round 6 — three
+# rounds stale, the oldest evidence anywhere, displaced from the r9
+# window because 50 slots couldn't hold 59 candidates; the r9 verdict
+# named them front-of-line for this round;
+# (b) 41 of the 42 round-7-newest queries (two rounds stale, which
+# hits the 3-round ceiling after this round), weakest-evidence-first
+# (fewest external greens, then registration order) as computed by
+# tools/rotation_report.py; the single displaced query
+# (union_dedup_keeplast, four greens — the strongest evidence in the
+# cohort) is first in line for round 11.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r5 — 4 rounds stale (14)
-    "set_operations", "exact_percentiles", "embedding_neardup_exact",
-    "text_stats", "ranking_suite", "group_share",
-    "distinct_sorted_keys", "market_share", "nation_trade_volume",
-    "promotion_effect", "top1_by_metric", "tz_convert",
-    "unpivot_measures", "value_histogram",
-    # (b) newest external green r6, one green total (8)
-    "benford_audit", "dataset_split", "feature_hashing",
-    "gini_per_key", "percentile_normalize", "reservoir_per_group",
-    "table_profile", "video_frame_stats",
-    # (c) newest external green r6, two greens (28 of 37)
-    "approx_aggregates", "cast_coerce_nulls", "cosine_ann_ivf",
-    "cosine_ann_lsh", "customer_order_histogram",
-    "disjunctive_join_filter", "dominant_suppliers",
-    "dormant_customers", "ewma_per_key", "forecast_revenue",
-    "heavy_hitters", "importance_resample", "important_parts",
-    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
-    "json_payload_parse", "label_centroids", "large_volume_customer",
-    "multi_key_sort_limit", "null_handling", "order_priority_check",
-    "parts_supplier_stats", "pii_flag", "pricing_summary",
-    "product_profit", "returned_item_customers", "scalar_functions",
+    # (a) newest external green r6 — 3 rounds stale (9)
+    "semi_anti_join", "shipping_priority", "small_order_quantity",
+    "tfidf_topterms", "time_range_filter", "time_rollup_hierarchy",
+    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
+    # (b) newest external green r7, weakest-evidence-first (41 of 42)
+    "lang_mismatch_audit", "filter_project", "pii_redact",
+    "quarantine_rows", "shard_assignment", "shipmode_priority",
+    "sliding_window_agg", "sql_interface_revenue", "chunk_documents",
+    "corpus_curation", "data_quality_report", "decontaminate",
+    "dedup_exact", "distribution_rank", "dup_cluster_keep",
+    "incremental_agg_merge", "sequence_packing", "skew_salted_join",
+    "snapshot_diff_feed", "stratified_sample", "trade_pagerank",
+    "vocab_topk", "window_dedup", "winsorized_stats", "asof_join",
+    "cohort_retention", "gap_fill_forward", "grouped_zscore",
+    "lang_id", "latest_per_key", "max_drawdown",
+    "multimodal_features", "multimodal_frame_plan",
+    "ngram_jaccard_pairs", "pivot_daily_mean", "rolling_volatility",
+    "session_windows", "snapshot_join", "text_fingerprint",
+    "text_quality", "topk_per_group",
 )
-# Outside this window: the 50-query round-8 cohort (green on HEAD
-# minutes after the final r8 commit — the freshest evidence possible),
-# the round-7 cohort (42, two rounds fresh), and the 9 two-green r6
-# queries named above that the 50-slot budget couldn't fit (round-10
-# front of line). After this round every query's newest external
-# green is ≤3 rounds old — the staleness ceiling the 3-round
-# rotation cycle is designed to hold. All registered queries are
-# re-checked by tests/test_oracle_parity.py every run, and
-# tests/test_scan_audit.py pins every query's physical scan counts.
+# Outside this window: the round-8 cohort (checked r8, one round
+# fresh), the round-9 cohort (checked r9 — the freshest evidence
+# possible), and union_dedup_keeplast (r7-newest, four greens,
+# round-11 front of line). After this round every query's newest
+# external green is ≤2 rounds old except union_dedup_keeplast (3) —
+# the staleness ceiling the 3-round rotation cycle is designed to
+# hold. All registered queries are re-checked by
+# tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
+# pins every query's physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:
