@@ -582,6 +582,15 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if sof is None or scan is None:
         raise ValueError("missing SOF or SOS")
     w, h, comps = sof
+    if len(comps) == 1:
+        # T.81 §A.2: a scan with exactly one component is always
+        # NON-interleaved — one 8x8 block per MCU, ceil(w/8)*ceil(h/8)
+        # MCUs row-major — regardless of the SOF sampling factors
+        # (some encoders emit grayscale with Hi=Vi=2; honoring those
+        # factors here would consume the same bit count for many
+        # dimensions and return spatially scrambled pixels with no
+        # error). Override to the non-interleaved block layout.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -693,6 +702,20 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         plane[row : row + 8] = bytes(
                             px[yy * 8 : yy * 8 + 8]
                         )
+    # T.81 §B.2.1: the compressed data is followed by the EOI marker.
+    # Enforce it so truncation at ANY byte boundary — including a cut
+    # that removes only the trailing EOI — raises the documented
+    # ValueError (the quarantine contract the truncation fuzz pins).
+    # As at restart markers, all-ones padding can form an 0xFF data
+    # byte whose mandatory 0x00 stuffing precedes the marker.
+    while (
+        bpos + 1 < len(data)
+        and data[bpos] == 0xFF
+        and data[bpos + 1] == 0x00
+    ):
+        bpos += 2
+    if bpos + 2 > len(data) or data[bpos] != 0xFF or data[bpos + 1] != 0xD9:
+        raise ValueError("missing EOI marker after entropy-coded data")
     # color conversion + chroma upsample (sample replication)
     out = bytearray(w * h * 3)
     if len(comps) == 1:

@@ -184,12 +184,18 @@ def corpus_dedup(
     # member roster per fingerprint — which this pipeline never reads.
     # At corpus scale the roster dominates the shuffle for mega-
     # clusters; min(id) is all the keep decision needs.
+    # NULL text ⇒ NULL fingerprint, and groupBy treats NULL as a
+    # regular key — without the isNotNull split every NULL-text row
+    # except min(id) would be silently dropped as an "exact duplicate"
+    # of documents it shares nothing with. NULL-text rows are not
+    # byte-identical copies of each other; pass them all through.
+    fp_id = df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
     keep = (
-        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        fp_id.filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
-    )
+    ).unionByName(fp_id.filter(F.col("fp").isNull()).select(id_col))
     kept = df.join(keep, id_col, "left_semi")
     pairs = neardup_pairs(
         kept, method, id_col, text_col,

@@ -268,6 +268,18 @@ def main() -> None:
     # mode, where positions ~44+ ran 3-6x steady state)
     steady = control_series[1:] if len(control_series) > 2 else control_series
     control_drift = round(max(steady) / min(steady), 3)
+    # control_steady: median of the post-warm-up samples — the number
+    # to normalize cross-round totals by. control_sec (the first
+    # sample) is deliberately the box's start-of-run state and runs
+    # 1.4-2x hot (JVM/page-cache warm-up); dividing by it normalizes
+    # by a warm-up artifact (r9 verdict "What's wrong" #2).
+    ss = sorted(steady)
+    control_steady = round(
+        ss[len(ss) // 2]
+        if len(ss) % 2
+        else (ss[len(ss) // 2 - 1] + ss[len(ss) // 2]) / 2,
+        3,
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -281,6 +293,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "control": CONTROL,
                 "control_sec": control_sec,
+                "control_steady": control_steady,
                 "control_series": control_series,
                 "control_drift": control_drift,
                 "drift_flagged": drift_flagged,
@@ -302,6 +315,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "control": CONTROL,
                 "control_sec": control_sec,
+                "control_steady": control_steady,
                 "control_series": control_series,
                 "control_drift": control_drift,
                 "drift_flagged": drift_flagged,

@@ -123,3 +123,17 @@ def test_corpus_dedup_end_to_end(spark):
     assert ids == [0, 13, 14, 15, 16, 17]
     # all original columns survive
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_corpus_dedup_null_text_passes_through(spark):
+    # md5(NULL) is NULL and groupBy treats NULL as a regular key — an
+    # unguarded exact tier would collapse ALL NULL-text rows into one
+    # "duplicate group" and drop every one but min(id). They are not
+    # copies of each other: every NULL-text row must survive.
+    rows = [(0, BASE), (1, BASE)]  # one real duplicate pair
+    rows += [(10, None), (11, None), (12, None)]  # distinct docs, text lost
+    rows += [(20, "a totally unrelated document about quasar physics")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = P.corpus_dedup(docs, "minhash", threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [0, 10, 11, 12, 20]

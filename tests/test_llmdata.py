@@ -1500,10 +1500,27 @@ def test_jpeg_parser_rejects_malformed_valueerror_only():
     with pytest.raises(ValueError):
         _parse_jpeg(None)
 
-    # truncation fuzz: any prefix must raise ValueError, never escape
-    for cut in range(2, len(good), 7):
+    # truncation fuzz: EVERY strict prefix must raise ValueError,
+    # never escape — including len(good)-1 and len(good)-2, which cut
+    # only the trailing EOI (the decoder requires it per T.81 §B.2.1).
+    for cut in range(2, len(good)):
         with pytest.raises(ValueError):
             _parse_jpeg(good[:cut])
+
+    # single-component scan with SOF sampling factors Hi=Vi=2 (legal
+    # per T.81; some encoders emit grayscale this way). §A.2: a
+    # one-component scan is always NON-interleaved, so the sampling
+    # factors must not change the block layout — decode must equal
+    # the Hi=Vi=1 encoding of the same pixels, not silently scramble.
+    grad = bytes(
+        (x * 13 + y * 7) % 256
+        for y in range(16) for x in range(16) for _ in range(3)
+    )
+    g11 = encode_jpeg_baseline(16, 16, grad, q=16, gray=True)
+    sof_i = g11.index(b"\xff\xc0")
+    assert g11[sof_i + 11] == 0x11  # comp-0 HV byte in the 1-comp SOF
+    g22 = g11[: sof_i + 11] + b"\x22" + g11[sof_i + 12 :]
+    assert _parse_jpeg(g22) == _parse_jpeg(g11)
 
     # progressive SOF2 rejected explicitly
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)

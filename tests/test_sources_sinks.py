@@ -126,6 +126,39 @@ def test_replace_directory_swaps_and_cleans_stale_old(spark, tmp_path):
     assert not (tmp_path / "t__staging").exists()
 
 
+def test_overwrite_warehouse_replaces_only_written_partitions(spark, tmp_path):
+    """K3 dynamic-partition contract: overwriting ONE date partition
+    must leave the others intact. The bounded-re-statement behavior
+    depends entirely on session.py setting
+    ``partitionOverwriteMode=dynamic`` — under Spark's ``static``
+    default this overwrite would silently WIPE the whole warehouse,
+    so this test guards that config line against accidental loss."""
+    from b3_analytics_engine_spark.sinks.files import overwrite_warehouse
+
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "dynamic"
+    )
+    path = str(tmp_path / "warehouse")
+    two_days = spark.createDataFrame(
+        [("2024-01-01", "PETR4", 1.0), ("2024-01-02", "PETR4", 2.0)],
+        "date string, symbol string, close double",
+    )
+    overwrite_warehouse(two_days, path, partition_cols=["date"])
+    restated = spark.createDataFrame(
+        [("2024-01-02", "PETR4", 9.0)], "date string, symbol string, close double"
+    )
+    overwrite_warehouse(restated, path, partition_cols=["date"])
+    got = sorted(
+        # partition-column type inference reads the dir name back as a
+        # DATE — normalize to ISO text for the comparison
+        (str(r["date"]), r["close"])
+        for r in spark.read.parquet(path).collect()
+    )
+    # day 1 survives untouched; day 2 carries the restated value
+    assert got == [("2024-01-01", 1.0), ("2024-01-02", 9.0)]
+
+
 def test_json_zone_roundtrip(spark, tmpdir):
     df = spark.createDataFrame(
         [Row(symbol="PETR4", v=1.5), Row(symbol="VALE3", v=2.5)]
