@@ -209,6 +209,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via inverted index.
 
@@ -229,8 +230,16 @@ def ngram_jaccard_pairs(
     tokenize→window→distinct per branch. On a cluster the equivalent is
     persisting/bucketing the inverted index — any production near-dup
     pass materializes it once.
+
+    ``posts``: optional precomputed ``(id, sh)`` postings (the
+    persisted-artifact path; must match ``hashed_postings(df, id_col,
+    text_col, n)`` — non-portable xxhash64 is this operator's default
+    hash, so a store artifact must be keyed portable=False, or pass
+    the portable one consistently on every call).
     """
-    sh = hashed_postings(df, id_col, text_col, n).transform(materialize)
+    sh = (
+        hashed_postings(df, id_col, text_col, n) if posts is None else posts
+    ).transform(materialize)
     if max_shingle_df is not None:
         # same census + anti-join + materialize shape as the banding
         # caps — and the same no-pinned-broadcast policy: at corpus
@@ -351,6 +360,8 @@ def minhash_lsh_pairs(
     portable: bool = False,
     pair_pred=None,
     max_band_bucket: int | None = None,
+    posts: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard.
@@ -394,13 +405,28 @@ def minhash_lsh_pairs(
     clusters, which exact dedup (`dedup_exact`) or the cluster path
     (`connected_components`) already handles at a lower cost tier.
     Default None preserves exact parity with the DuckDB oracle.
+
+    ``posts`` / ``sig``: optional precomputed inputs — the persisted-
+    artifact path (:class:`..signature_store.SignatureStore`). ``posts``
+    must be row-identical to ``hashed_postings(df, id_col, text_col,
+    n, portable)`` and ``sig`` to ``minhash_signatures(...)`` with the
+    SAME (n, portable, num_hashes, seed); the caller owns that
+    contract (the store keys its artifacts by exactly those params).
+    When supplied, this function never re-tokenizes the corpus — the
+    dominant cost at 100 TB when several passes (dedup,
+    decontamination, clustering) share one signature computation.
     """
     rows_per_band = num_hashes // bands
     # One materialization of the inverted index feeds all four plan
     # branches (signature agg, per-doc sizes, both verify-join sides) —
     # without it Catalyst re-runs tokenize→window→distinct per branch.
-    posts = hashed_postings(df, id_col, text_col, n, portable).transform(materialize)
-    sig = _signatures_from_hashed(posts, num_hashes, seed)
+    # (A store-provided `posts` is a bare Parquet scan; materializing
+    # it still collapses the three remaining consumers onto one read.)
+    if posts is None:
+        posts = hashed_postings(df, id_col, text_col, n, portable)
+    posts = posts.transform(materialize)
+    if sig is None:
+        sig = _signatures_from_hashed(posts, num_hashes, seed)
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),

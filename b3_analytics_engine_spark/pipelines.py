@@ -126,6 +126,8 @@ def neardup_pairs(
     threshold: float = 0.8,
     max_hamming: int = 3,
     max_bucket: int | None = -1,
+    posts: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs for a corpus — the pipeline
     entry point over the three banding families, with the hot-bucket
@@ -134,14 +136,21 @@ def neardup_pairs(
 
     Returns (id_a, id_b, score) where score is jaccard / hamming /
     cos_sim depending on ``method`` ∈ {minhash, simhash, embedding}.
+
+    ``posts`` / ``sig``: precomputed postings / signature frames
+    (``SignatureStore`` artifacts) — minhash only; the other families
+    derive nothing from the shingle index.
     """
     from .operators import dedup as D
     from .operators import similarity as S
 
+    if posts is not None and method != "minhash":
+        raise ValueError("posts/sig reuse applies to method='minhash' only")
     if method == "minhash":
         cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
         return D.minhash_lsh_pairs(
-            df, id_col, text_col, threshold=threshold, max_band_bucket=cap
+            df, id_col, text_col, threshold=threshold, max_band_bucket=cap,
+            posts=posts, sig=sig,
         )
     if method == "simhash":
         cap = DEFAULT_MAX_CHUNK_BUCKET if max_bucket == -1 else max_bucket
@@ -164,6 +173,8 @@ def corpus_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     max_bucket: int | None = -1,
+    store=None,
+    corpus: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: exact tier first, then near-dup pairs
     → connected components → keep each cluster's minimum id.
@@ -175,6 +186,15 @@ def corpus_dedup(
     hot-bucket caps (on by default here) then only fire on
     near-identical-but-not-equal residue. Returns the surviving rows
     of ``df`` (all original columns).
+
+    ``store`` + ``corpus`` (minhash only): a
+    :class:`~.signature_store.SignatureStore` — the postings/signature
+    artifacts for the FULL corpus are read through the store (computed
+    and persisted on first use, Parquet-scanned after), then filtered
+    to the exact tier's survivors with a left-semi join. Artifacts stay
+    keyed by the full corpus so OTHER consumers (decontamination,
+    clustering) reuse the same ones — at 100 TB the signature
+    computation runs once per corpus snapshot, not once per pass.
     """
     from .operators import dedup as D
     from .operators.text import fingerprint
@@ -197,12 +217,89 @@ def corpus_dedup(
         .select(id_col)
     ).unionByName(fp_id.filter(F.col("fp").isNull()).select(id_col))
     kept = df.join(keep, id_col, "left_semi")
+    posts = sig = None
+    if store is not None:
+        if method != "minhash":
+            raise ValueError("signature-store reuse applies to minhash only")
+        if corpus is None:
+            raise ValueError("corpus name is required with a store")
+        # full-corpus artifacts (reusable by other consumers), cut to
+        # the exact tier's survivors; the semi-join pushes the keep set
+        # into the artifact scan instead of re-tokenizing anything
+        keep_ids = kept.select(F.col(id_col).alias("id"))
+        posts = store.postings(df, corpus, id_col, text_col).join(
+            keep_ids, "id", "left_semi"
+        )
+        sig = store.signatures(df, corpus, id_col, text_col).join(
+            keep_ids, "id", "left_semi"
+        )
     pairs = neardup_pairs(
         kept, method, id_col, text_col,
         threshold=threshold, max_bucket=max_bucket,
+        posts=posts, sig=sig,
     )
     comp = D.connected_components(pairs)
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
     return kept.join(drop, id_col, "left_anti")
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    is_eval,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.12,
+    max_bucket: int | None = -1,
+    store=None,
+    corpus: str | None = None,
+) -> DataFrame:
+    """FUZZY train/eval decontamination — the production twin of the
+    registered `decontaminate_fuzzy` query: training docs that
+    NEAR-duplicate a held-out doc, via MinHash+LSH candidates with
+    the cross-split cut pushed INSIDE the band join and the hot-bucket
+    cap on by default.
+
+    ``is_eval(id_column) -> Column``: boolean predicate marking
+    held-out documents (e.g. ``lambda c: c % 10 == 0``, or a lookup
+    against a broadcast eval-id set).
+
+    ``store`` + ``corpus``: reuse the SAME full-corpus postings/
+    signature artifacts `corpus_dedup` reads — the second consumer of
+    a corpus snapshot pays a Parquet scan, not a re-tokenize (the
+    whole point of :class:`~.signature_store.SignatureStore`).
+
+    Returns (``id_col``, n_fuzzy_matches, max_jaccard) per
+    contaminated TRAINING document.
+    """
+    from .operators import dedup as D
+
+    cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
+    posts = sig = None
+    if store is not None:
+        if corpus is None:
+            raise ValueError("corpus name is required with a store")
+        posts = store.postings(df, corpus, id_col, text_col)
+        sig = store.signatures(df, corpus, id_col, text_col)
+    cross = D.minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        pair_pred=lambda ia, ib: is_eval(ia) != is_eval(ib),
+        max_band_bucket=cap,
+        posts=posts,
+        sig=sig,
+    )
+    contaminated = (
+        F.when(~is_eval(F.col("id_a")), F.col("id_a")).otherwise(F.col("id_b"))
+    )
+    return (
+        cross.select(contaminated.alias(id_col), "jaccard")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

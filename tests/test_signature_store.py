@@ -1,0 +1,121 @@
+"""SignatureStore: persisted MinHash artifacts must be row-identical
+to the from-text computation, be written exactly once (read-through),
+and plug into the pipeline entry points without changing results
+(r9 verdict task #3)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark import pipelines as P
+from b3_analytics_engine_spark.operators import dedup as D
+from b3_analytics_engine_spark.signature_store import SignatureStore
+from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SMOKE_SF_DIR, "documents")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_postings_artifact_row_identical(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    from_store = store.postings(docs, "docs")
+    from_text = D.hashed_postings(docs, "doc_id", "text")
+    assert _sorted_rows(from_store) == _sorted_rows(from_text)
+
+
+def test_signatures_artifact_row_identical(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    from_store = store.signatures(docs, "docs")
+    from_text = D.minhash_signatures(docs, "doc_id", "text")
+    assert _sorted_rows(from_store) == _sorted_rows(from_text)
+
+
+def test_read_through_writes_once_and_scans_parquet(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    path = store.postings_path("docs")
+    store.postings(docs, "docs")
+    files_first = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    mtimes_first = [os.path.getmtime(f) for f in files_first]
+
+    again = store.postings(docs, "docs")
+    # the second call's scan reads the ARTIFACT, not the corpus
+    inputs = again.inputFiles()
+    assert inputs and all("hashed_postings" in f for f in inputs)
+    assert not any("documents" in f for f in inputs)
+    # ... and nothing was rewritten
+    files_second = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert files_second == files_first
+    assert [os.path.getmtime(f) for f in files_second] == mtimes_first
+
+    # refresh=True DOES rewrite (corpus-snapshot invalidation path)
+    store.postings(docs, "docs", refresh=True)
+    assert [
+        os.path.getmtime(f)
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+    ] != mtimes_first
+
+
+def test_minhash_pairs_from_store_match_from_text(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    posts = store.postings(docs, "docs")
+    sig = store.signatures(docs, "docs")
+    via_store = D.minhash_lsh_pairs(docs, threshold=0.12, posts=posts, sig=sig)
+    via_text = D.minhash_lsh_pairs(docs, threshold=0.12)
+    assert _sorted_rows(via_store) == _sorted_rows(via_text)
+
+
+def test_corpus_dedup_with_store_matches_without(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry ancient maps across the quiet river delta"
+    )
+    rows = [(i, base) for i in range(8)]
+    rows += [(8 + v, base + f" trailing variant token {v}") for v in range(3)]
+    rows += [
+        (11 + j, f"standalone text {j} full of unrelated vocabulary "
+                 f"such as nimbus{j} parallax{j} crucible{j}")
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    with_store = P.corpus_dedup(
+        df, "minhash", threshold=0.5, store=store, corpus="toy"
+    )
+    without = P.corpus_dedup(df, "minhash", threshold=0.5)
+    assert _sorted_rows(with_store) == _sorted_rows(without)
+
+
+def test_decontaminate_fuzzy_pipeline_matches_registered_shape(
+    spark, docs, tmp_path
+):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    is_eval = lambda c: c % 10 == 0  # noqa: E731 — the fixture's split
+    via_store = P.decontaminate_fuzzy(
+        docs, is_eval, threshold=0.12, max_bucket=None,
+        store=store, corpus="docs",
+    )
+    # from-text, same params, no store
+    via_text = P.decontaminate_fuzzy(
+        docs, is_eval, threshold=0.12, max_bucket=None
+    )
+    assert _sorted_rows(via_store) == _sorted_rows(via_text)
+
+
+def test_store_guardrails(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="minhash"):
+        P.corpus_dedup(docs, "simhash", store=store, corpus="docs")
+    with pytest.raises(ValueError, match="corpus"):
+        P.corpus_dedup(docs, "minhash", store=store)
+    with pytest.raises(ValueError, match="corpus"):
+        P.decontaminate_fuzzy(docs, lambda c: c % 10 == 0, store=store)
