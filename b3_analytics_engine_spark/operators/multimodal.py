@@ -65,16 +65,17 @@ IMAGE_STATS_SCHEMA = (
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB decode → feature vector (progressive JPEG / MP3 / H.264
-    only — formats with no feasible stdlib codec).
+    """STUB decode → feature vector (MP3 / H.264 only — formats with
+    no feasible stdlib codec).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
     → resize → normalized pixel tensor. Not available in this
     container, so we derive a deterministic 8-dim fake feature from the
     byte content (keeps the full pipeline testable and reproducible).
-    PPM, BMP, **PNG** (zlib), **baseline JPEG** (:func:`_parse_jpeg`),
-    WAV and PVF have REAL pure-Python decoders — see
-    :func:`_parse_image` / :func:`_parse_png`.
+    PPM, BMP, **PNG** (zlib), **baseline AND progressive JPEG**
+    (:func:`_parse_jpeg` / :func:`_parse_jpeg_progressive`), WAV and
+    PVF have REAL pure-Python decoders — see :func:`_parse_image` /
+    :func:`_parse_png`.
     """
     if not STUB_REAL_DECODERS:
         raise NotImplementedError("real image decoding requires Pillow")
@@ -472,10 +473,11 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     any sampling grid up to 2x2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), and
     JFIF YCbCr->RGB. Grayscale replicates to RGB. Returns
     ``(width, height, 3, rgb_bytes)`` — the `_parse_ppm`/`_parse_png`
-    contract, so downstream stats stay codec-agnostic. Raises
-    ``ValueError`` on anything malformed or non-baseline
-    (progressive SOF2, arithmetic coding, 12-bit, 16-bit quant
-    tables), routing bad blobs to quarantine instead of garbage.
+    contract, so downstream stats stay codec-agnostic. Progressive
+    streams (SOF2) are dispatched to :func:`_parse_jpeg_progressive`.
+    Raises ``ValueError`` on anything else malformed or unsupported
+    (arithmetic coding, 12-bit, hierarchical, 16-bit quant tables),
+    routing bad blobs to quarantine instead of garbage.
     """
     import struct
 
@@ -534,7 +536,9 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             sof = (w, h, comps)
         elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) unsupported")
+            # progressive needs coefficient buffers + multi-scan state;
+            # handled by a dedicated parser that re-walks from SOI
+            return _parse_jpeg_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker {marker:#x}")
@@ -716,7 +720,12 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         bpos += 2
     if bpos + 2 > len(data) or data[bpos] != 0xFF or data[bpos + 1] != 0xD9:
         raise ValueError("missing EOI marker after entropy-coded data")
-    # color conversion + chroma upsample (sample replication)
+    return w, h, 3, _jpeg_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _jpeg_to_rgb(w, h, comps, planes, hmax: int, vmax: int) -> bytes:
+    """Shared decode tail (baseline + progressive): chroma upsample by
+    sample replication and JFIF YCbCr→RGB; grayscale replicates."""
     out = bytearray(w * h * 3)
     if len(comps) == 1:
         plane, pw = planes[0], comps[0]["pw"]
@@ -743,7 +752,474 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 out[o] = 0 if r < 0 else (255 if r > 255 else r)
                 out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
                 out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return w, h, 3, bytes(out)
+    return bytes(out)
+
+
+def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for progressive JPEG (SOF2, 8-bit, Huffman):
+    stdlib-only. Multi-scan coefficient accumulation per T.81 Annex G —
+    spectral selection (per-band scans, EOB runs), successive
+    approximation (DC/AC first passes at reduced precision + bitwise
+    refinement scans), interleaved DC scans and non-interleaved
+    single-component AC scans over the component's own block grid,
+    restart markers in any scan type — then one dequantize + IDCT pass
+    over the assembled coefficients and the shared upsample/YCbCr tail.
+    Same quarantine contract as the baseline parser: any malformed or
+    truncated input (including a missing trailing EOI) raises
+    ``ValueError``. Reached via `_parse_jpeg`'s SOF2 dispatch.
+    """
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    comps: list[dict] = []
+    hmax = vmax = mcus_x = mcus_y = 0
+    coef: list[list[list[int]]] = []  # [comp][block][64] zigzag-order
+    saw_eoi = False
+    any_scan = False
+
+    def alloc(w: int, h: int) -> None:
+        nonlocal hmax, vmax, mcus_x, mcus_y
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        for c in comps:
+            c["bwp"] = mcus_x * c["h"]  # padded block grid (MCU walk)
+            c["bhp"] = mcus_y * c["v"]
+            cw = -(-w * c["h"] // hmax)  # component sample dims
+            ch = -(-h * c["v"] // vmax)
+            c["bws"] = -(-cw // 8)  # non-interleaved scans cover ONLY
+            c["bhs"] = -(-ch // 8)  # this sub-grid (T.81 A.2.2)
+            coef.append([[0] * 64 for _ in range(c["bwp"] * c["bhp"])])
+
+    def decode_scan(start: int, scomps: list[dict], ss: int, se: int,
+                    ah: int, al: int) -> int:
+        """Decode one scan's entropy data; returns the byte position
+        after it (byte-aligned, trailing stuffed pad skipped)."""
+        data = payload
+        bpos, cur, bitcnt = start, 0, 0
+        eobrun = 0
+
+        def read_bit() -> int:
+            nonlocal bpos, cur, bitcnt
+            if bitcnt == 0:
+                if bpos >= len(data):
+                    raise ValueError("entropy data truncated")
+                b = data[bpos]
+                bpos += 1
+                if b == 0xFF:
+                    if bpos >= len(data):
+                        raise ValueError("entropy data truncated at 0xFF")
+                    nxt = data[bpos]
+                    bpos += 1
+                    if nxt != 0x00:
+                        raise ValueError(
+                            f"marker {nxt:#x} inside entropy-coded segment"
+                        )
+                cur, bitcnt = b, 8
+            bitcnt -= 1
+            return (cur >> bitcnt) & 1
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_sym(table) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code (no match in 16 bits)")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = read_bits(s)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        def expect_restart(n_restart: int) -> None:
+            nonlocal bpos, bitcnt, eobrun
+            bitcnt = 0  # byte-align (discard pad bits)
+            while (
+                bpos + 1 < len(data)
+                and data[bpos] == 0xFF
+                and data[bpos + 1] == 0x00
+            ):
+                bpos += 2  # stuffed all-ones pad byte
+            if bpos + 2 > len(data) or data[bpos] != 0xFF:
+                raise ValueError("expected restart marker")
+            rst = data[bpos + 1]
+            if not (0xD0 <= rst <= 0xD7):
+                raise ValueError(f"expected RSTn, got {rst:#x}")
+            if rst - 0xD0 != (n_restart - 1) & 7:
+                raise ValueError("restart marker out of sequence")
+            bpos += 2
+            eobrun = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+
+        # ---- the four progressive block decoders (T.81 G.2) ----
+        def dc_first(blk: list[int], ci_in_scan: int, dc_tbl) -> None:
+            s = decode_sym(dc_tbl)
+            if s > 11:
+                raise ValueError(f"DC category {s} out of range")
+            preds[ci_in_scan] += receive_extend(s)
+            blk[0] = preds[ci_in_scan] << al
+
+        def dc_refine(blk: list[int]) -> None:
+            if read_bit():
+                blk[0] |= 1 << al
+
+        def ac_first(blk: list[int], ac_tbl) -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = decode_sym(ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = receive_extend(s) * (1 << al)
+                k += 1
+
+        def ac_refine(blk: list[int], ac_tbl) -> None:
+            # mirrors the reference refinement algorithm (T.81 G.2,
+            # the same control flow every production decoder uses):
+            # correction bits for already-nonzero history coefficients
+            # are interleaved with the run/EOB structure of the newly
+            # nonzero ones
+            nonlocal eobrun
+            p1 = 1 << al
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = decode_sym(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += read_bits(r)
+                            break  # remaining coeffs handled below
+                        # r == 15: ZRL — skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan: new coefficient "
+                                "magnitude must be 1"
+                            )
+                        newval = p1 if read_bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0 and read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        # ---- MCU / block walk ----
+        preds = [0] * len(scomps)
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if not is_dc and len(scomps) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        n_restart = 0
+        if len(scomps) > 1:
+            # interleaved (DC only): MCU walk over the padded grid
+            n_mcus = mcus_x * mcus_y
+            for mcu in range(n_mcus):
+                if dri and mcu and mcu % dri == 0:
+                    n_restart += 1
+                    expect_restart(n_restart)
+                my, mx = divmod(mcu, mcus_x)
+                for si, c in enumerate(scomps):
+                    dc_tbl = huff.get((0, c["td"]))
+                    if ah == 0 and dc_tbl is None:
+                        raise ValueError("scan references missing DC table")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coef[c["ci"]][
+                                (my * c["v"] + by) * c["bwp"] + mx * c["h"] + bx
+                            ]
+                            if ah == 0:
+                                dc_first(blk, si, dc_tbl)
+                            else:
+                                dc_refine(blk)
+        else:
+            # non-interleaved: the component's OWN block sub-grid
+            c = scomps[0]
+            tbl = None
+            if is_dc:
+                if ah == 0:
+                    tbl = huff.get((0, c["td"]))
+                    if tbl is None:
+                        raise ValueError("scan references missing DC table")
+            else:
+                tbl = huff.get((1, c["ta"]))
+                if tbl is None:
+                    raise ValueError("scan references missing AC table")
+            n_blocks = c["bws"] * c["bhs"]
+            for b in range(n_blocks):
+                if dri and b and b % dri == 0:
+                    n_restart += 1
+                    expect_restart(n_restart)
+                by, bx = divmod(b, c["bws"])
+                blk = coef[c["ci"]][by * c["bwp"] + bx]
+                if is_dc:
+                    if ah == 0:
+                        dc_first(blk, 0, tbl)
+                    else:
+                        dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, tbl)
+                else:
+                    ac_refine(blk, tbl)
+
+        # byte-align and skip any stuffed all-ones pad byte so the
+        # caller's marker walk lands on a real marker
+        while (
+            bpos + 1 < len(data)
+            and data[bpos] == 0xFF
+            and data[bpos + 1] == 0x00
+        ):
+            bpos += 2
+        return bpos
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated after fill bytes")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("segment length past EOF")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (same grammar as baseline)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if bp + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = list(body[bp + 1 : bp + 65])
+                bp += 65
+        elif marker == 0xC2:  # SOF2
+            if sof is not None:
+                raise ValueError("multiple SOF segments")
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if w == 0 or h == 0:
+                raise ValueError("zero image dimension")
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"sampling {hi}x{vi} unsupported")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq, "ci": ci})
+            sof = (w, h)
+            alloc(w, h)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("conflicting SOF marker in progressive stream")
+        elif marker == 0xC4:  # DHT (tables may be redefined per scan)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                if tc > 1:
+                    raise ValueError("bad Huffman table class")
+                bits = list(body[bp + 1 : bp + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT counts")
+                n = sum(bits)
+                vals = body[bp + 17 : bp + 17 + n]
+                if len(vals) != n:
+                    raise ValueError("truncated DHT symbols")
+                huff[(tc, th)] = _jpeg_canonical_codes(bits, vals)
+                bp += 17 + n
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — decode this scan immediately
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if not (1 <= ns <= len(comps)):
+                raise ValueError("bad scan component count")
+            scomps = []
+            by_id = {c["id"]: c for c in comps}
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                c = by_id.get(cs)
+                if c is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                c["td"], c["ta"] = tdta >> 4, tdta & 15
+                if c["tq"] not in qtabs:
+                    raise ValueError("scan references missing quant table")
+                scomps.append(c)
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not (0 <= ss_ <= se_ <= 63):
+                raise ValueError("bad spectral selection range")
+            if al > 13 or ah > 13 or (ah and ah != al + 1):
+                raise ValueError("bad successive-approximation bits")
+            pos = decode_scan(pos, scomps, ss_, se_, ah, al)
+            any_scan = True
+        # APPn / COM / others: skipped
+
+    if sof is None or not any_scan:
+        raise ValueError("missing SOF or SOS")
+    if not saw_eoi:
+        raise ValueError("missing EOI marker after entropy-coded data")
+
+    # dequantize + dezigzag + IDCT the accumulated coefficients
+    w, h = sof
+    planes = []
+    for c in comps:
+        c["pw"] = c["bwp"] * 8
+        c["ph"] = c["bhp"] * 8
+        qt = qtabs[c["tq"]]
+        plane = bytearray(c["pw"] * c["ph"])
+        blocks = coef[c["ci"]]
+        for bi, zz in enumerate(blocks):
+            nat = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    nat[_JPEG_ZZ[k]] = zz[k] * qt[k]
+            px = _jpeg_idct_block(nat)
+            by, bx = divmod(bi, c["bwp"])
+            ox, oy = bx * 8, by * 8
+            for yy in range(8):
+                row = (oy + yy) * c["pw"] + ox
+                plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    return w, h, 3, _jpeg_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _jpeg_build_planes(width, height, rgb, subsample, gray):
+    """Shared writer front: RGB → JFIF YCbCr planes, optional 2×2
+    chroma mean-downsample ('420') or luma-only (gray). Returns
+    ``[(plane, pw, ph, hi, vi), ...]``."""
+    npx = width * height
+    yp = bytearray(npx)
+    cbp = bytearray(npx)
+    crp = bytearray(npx)
+    for i in range(npx):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yp[i] = max(0, min(255, int(round(Y))))
+        cbp[i] = max(0, min(255, int(round(Cb))))
+        crp[i] = max(0, min(255, int(round(Cr))))
+
+    if gray:
+        return [(yp, width, height, 1, 1)]
+    if subsample == "420":
+        cw, ch = -(-width // 2), -(-height // 2)
+        cb2 = bytearray(cw * ch)
+        cr2 = bytearray(cw * ch)
+        for y in range(ch):
+            for x in range(cw):
+                acc_b = acc_r = n = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        sy, sx = 2 * y + dy, 2 * x + dx
+                        if sy < height and sx < width:
+                            acc_b += cbp[sy * width + sx]
+                            acc_r += crp[sy * width + sx]
+                            n += 1
+                cb2[y * cw + x] = acc_b // n
+                cr2[y * cw + x] = acc_r // n
+        return [(yp, width, height, 2, 2), (cb2, cw, ch, 1, 1),
+                (cr2, cw, ch, 1, 1)]
+    return [(yp, width, height, 1, 1), (cbp, width, height, 1, 1),
+            (crp, width, height, 1, 1)]
+
+
+def _jpeg_block_at(plane, pw: int, ph: int, ox: int, oy: int) -> list[int]:
+    """Edge-replicated 8x8 read (pads non-multiple-of-8 planes)."""
+    blk = [0] * 64
+    for yy in range(8):
+        sy = min(oy + yy, ph - 1)
+        for xx in range(8):
+            sx = min(ox + xx, pw - 1)
+            blk[yy * 8 + xx] = plane[sy * pw + sx]
+    return blk
+
+
+def _jpeg_fdct_quant(samples: list[int], q: int) -> list[int]:
+    """FDCT one 8x8 block and quantize by the flat table ``q``;
+    returns the 64 quantized coefficients in ZIGZAG order."""
+    A = _jpeg_dct_basis()
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for x in range(8):
+            s = 0.0
+            for y in range(8):
+                s += A[v][y] * (samples[y * 8 + x] - 128)
+            tmp[v][x] = s
+    for v in range(8):
+        row = list(tmp[v])
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += A[u][x] * row[x]
+            tmp[v][u] = s
+    nat = [int(round(tmp[v][u] / q)) for v in range(8) for u in range(8)]
+    return [nat[_JPEG_ZZ[k]] for k in range(64)]
 
 
 def encode_jpeg_baseline(
@@ -776,45 +1252,7 @@ def encode_jpeg_baseline(
         raise ValueError("subsample must be '444' or '420'")
     if not (1 <= q <= 255):
         raise ValueError("q must fit an 8-bit quant table")
-    A = _jpeg_dct_basis()
-
-    # RGB -> YCbCr planes (JFIF)
-    npx = width * height
-    yp = bytearray(npx)
-    cbp = bytearray(npx)
-    crp = bytearray(npx)
-    for i in range(npx):
-        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-        Y = 0.299 * r + 0.587 * g + 0.114 * b
-        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        yp[i] = max(0, min(255, int(round(Y))))
-        cbp[i] = max(0, min(255, int(round(Cb))))
-        crp[i] = max(0, min(255, int(round(Cr))))
-
-    if gray:
-        planes = [(yp, width, height, 1, 1)]
-    elif subsample == "420":
-        cw, ch = -(-width // 2), -(-height // 2)
-        cb2 = bytearray(cw * ch)
-        cr2 = bytearray(cw * ch)
-        for y in range(ch):
-            for x in range(cw):
-                acc_b = acc_r = n = 0
-                for dy in range(2):
-                    for dx in range(2):
-                        sy, sx = 2 * y + dy, 2 * x + dx
-                        if sy < height and sx < width:
-                            acc_b += cbp[sy * width + sx]
-                            acc_r += crp[sy * width + sx]
-                            n += 1
-                cb2[y * cw + x] = acc_b // n
-                cr2[y * cw + x] = acc_r // n
-        planes = [(yp, width, height, 2, 2), (cb2, cw, ch, 1, 1),
-                  (cr2, cw, ch, 1, 1)]
-    else:
-        planes = [(yp, width, height, 1, 1), (cbp, width, height, 1, 1),
-                  (crp, width, height, 1, 1)]
+    planes = _jpeg_build_planes(width, height, rgb, subsample, gray)
     hmax = max(p[3] for p in planes)
     vmax = max(p[4] for p in planes)
     mcus_x = -(-width // (8 * hmax))
@@ -848,25 +1286,7 @@ def encode_jpeg_baseline(
         bitbuf &= (1 << bitlen) - 1
 
     def encode_block(samples: list[int], pred: int) -> int:
-        # FDCT: F[v][u] = sum_y sum_x a(v,y) a(u,x) (s[y][x]-128)
-        tmp = [[0.0] * 8 for _ in range(8)]
-        for v in range(8):
-            for x in range(8):
-                s = 0.0
-                for y in range(8):
-                    s += A[v][y] * (samples[y * 8 + x] - 128)
-                tmp[v][x] = s
-        zz = [0] * 64
-        for v in range(8):
-            row = list(tmp[v])
-            for u in range(8):
-                s = 0.0
-                for x in range(8):
-                    s += A[u][x] * row[x]
-                tmp[v][u] = s
-        nat = [int(round(tmp[v][u] / q)) for v in range(8) for u in range(8)]
-        for k in range(64):
-            zz[k] = nat[_JPEG_ZZ[k]]
+        zz = _jpeg_fdct_quant(samples, q)
         diff = zz[0] - pred
         s = abs(diff).bit_length()
         if s > 11:
@@ -897,15 +1317,7 @@ def encode_jpeg_baseline(
             put_bits(code, length)
         return zz[0]
 
-    def block_at(plane: bytes, pw: int, ph: int, ox: int, oy: int) -> list[int]:
-        # edge-replicated 8x8 read (pads non-multiple-of-8 planes)
-        blk = [0] * 64
-        for yy in range(8):
-            sy = min(oy + yy, ph - 1)
-            for xx in range(8):
-                sx = min(ox + xx, pw - 1)
-                blk[yy * 8 + xx] = plane[sy * pw + sx]
-        return blk
+    block_at = _jpeg_block_at
 
     # ---- headers ----
     ncomp = len(planes)
@@ -950,6 +1362,282 @@ def encode_jpeg_baseline(
     if bitlen:
         put_bits((1 << (8 - bitlen)) - 1, 8 - bitlen)  # pad with 1s
     return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    q: int = 16,
+    subsample: str = "444",
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL progressive-JPEG (SOF2) writer: stdlib-only, spec-valid,
+    using the standard simple progression script (DC first at Al=1 →
+    per-component AC bands 1-5 / 6-63 at Al=2 → DC refine → two
+    AC refinement sweeps 2→1→0). Exercises every scan type the
+    progressive decoder implements: interleaved DC, spectral-band AC
+    with EOB runs (capped at 15 so each run is one EOBn symbol),
+    successive-approximation refinement with buffered correction
+    bits, and optional restart markers in every scan. Same flat-q
+    quantization and canonical writer tables as the baseline writer
+    (AC table additionally carries EOB1..EOB3), so a progressive
+    encode decodes to BYTE-IDENTICAL pixels as the baseline encode of
+    the same input — the golden-file property the tests pin.
+    """
+    import struct
+
+    if rgb is None or len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if not (1 <= q <= 255):
+        raise ValueError("q must fit an 8-bit quant table")
+    planes = _jpeg_build_planes(width, height, rgb, subsample, gray)
+    ncomp = len(planes)
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # quantized coefficient blocks over each comp's PADDED grid
+    # (zigzag order, shared FDCT with the baseline writer)
+    grids = []  # (blocks, bwp, bws, bhs, hi, vi)
+    for plane, pw, ph, hi, vi in planes:
+        bwp, bhp = mcus_x * hi, mcus_y * vi
+        blocks = [
+            _jpeg_fdct_quant(
+                _jpeg_block_at(plane, pw, ph, bx * 8, by * 8), q
+            )
+            for by in range(bhp)
+            for bx in range(bwp)
+        ]
+        grids.append(
+            (blocks, bwp, -(-pw // 8), -(-ph // 8), hi, vi)
+        )
+
+    # writer Huffman tables: DC as baseline; AC additionally carries
+    # EOB1..EOB3 (0x10/0x20/0x30) for the capped EOB runs
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = sorted(
+        [0x00, 0x10, 0x20, 0x30, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    dc_codes = {v: k for k, v in _jpeg_canonical_codes(dc_bits, dc_vals).items()}
+    ac_codes = {v: k for k, v in _jpeg_canonical_codes(ac_bits, ac_vals).items()}
+
+    out = bytearray()
+    bitbuf, bitlen = 0, 0
+
+    def put_bits(code: int, length: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        bitlen += length
+        while bitlen >= 8:
+            byte = (bitbuf >> (bitlen - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            bitlen -= 8
+        bitbuf &= (1 << bitlen) - 1
+
+    def put_sym(codes, sym: int) -> None:
+        length, code = codes[sym]
+        put_bits(code, length)
+
+    def align_restart(n_restart: int) -> None:
+        nonlocal bitlen
+        if bitlen:
+            put_bits((1 << (8 - bitlen)) - 1, 8 - bitlen)
+        out.extend(bytes([0xFF, 0xD0 + ((n_restart - 1) & 7)]))
+
+    def flush_pad() -> None:
+        nonlocal bitlen
+        if bitlen:
+            put_bits((1 << (8 - bitlen)) - 1, 8 - bitlen)
+
+    # ---- scan emitters ----
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids)))
+        for cid in comp_ids:
+            out.extend(bytes([cid, 0x00]))  # Td=0, Ta=0
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(ah: int, al: int) -> None:
+        sos_header(list(range(1, ncomp + 1)), 0, 0, ah, al)
+        preds = [0] * ncomp
+        n_mcus = mcus_x * mcus_y
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                align_restart(mcu // restart_interval)
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (blocks, bwp, _, _, hi, vi) in enumerate(grids):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz0 = blocks[
+                            (my * vi + by) * bwp + mx * hi + bx
+                        ][0]
+                        if ah == 0:
+                            v = zz0 >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = abs(diff).bit_length()
+                            if s > 11:
+                                raise ValueError("DC difference out of range")
+                            put_sym(dc_codes, s)
+                            if s:
+                                put_bits(
+                                    diff if diff >= 0 else diff + (1 << s) - 1,
+                                    s,
+                                )
+                        else:
+                            put_bits((zz0 >> al) & 1, 1)
+        flush_pad()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> None:
+        blocks, bwp, bws, bhs, _, _ = grids[ci]
+        sos_header([ci + 1], ss, se, 0, al)
+        eobrun = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                chunk = min(eobrun, 15)
+                r = chunk.bit_length() - 1
+                put_sym(ac_codes, r << 4)
+                if r:
+                    put_bits(chunk - (1 << r), r)
+                eobrun -= chunk
+
+        n_blocks = bws * bhs
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                emit_eobrun()
+                align_restart(b // restart_interval)
+            by, bx = divmod(b, bws)
+            zz = blocks[by * bwp + bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = abs(zz[k]) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    put_sym(ac_codes, 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                if s > 10:
+                    raise ValueError("AC coefficient out of range")
+                put_sym(ac_codes, (r << 4) | s)
+                v = t if zz[k] > 0 else -t
+                put_bits(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 15:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_pad()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        blocks, bwp, bws, bhs, _, _ = grids[ci]
+        sos_header([ci + 1], ss, se, ah, al)
+        eobrun = 0
+        be_bits: list[int] = []  # correction bits of blocks inside eobrun
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1  # eobrun <= 15: one symbol
+                put_sym(ac_codes, r << 4)
+                if r:
+                    put_bits(eobrun - (1 << r), r)
+                eobrun = 0
+                for bit in be_bits:
+                    put_bits(bit, 1)
+                be_bits.clear()
+
+        n_blocks = bws * bhs
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                emit_eobrun()
+                align_restart(b // restart_interval)
+            by, bx = divmod(b, bws)
+            zz = blocks[by * bwp + bx]
+            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+            eob_idx = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_idx = i
+            r = 0
+            br: list[int] = []  # current block's buffered corrections
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_idx:
+                    emit_eobrun()
+                    put_sym(ac_codes, 0xF0)
+                    r -= 16
+                    for bit in br:
+                        put_bits(bit, 1)
+                    br.clear()
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                put_sym(ac_codes, (r << 4) | 1)
+                put_bits(0 if zz[ss + i] < 0 else 1, 1)
+                for bit in br:
+                    put_bits(bit, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 15:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_pad()
+
+    # ---- headers ----
+    hdr = bytearray(b"\xff\xd8")
+    hdr += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+    hdr += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for cid, (_, _, _, hi, vi) in zip(range(1, ncomp + 1), planes):
+        hdr += bytes([cid, (hi << 4) | vi, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        hdr += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = bytearray()  # reset entropy buffer; scans append SOS + data
+    body = out
+
+    # ---- simple progression script (the libjpeg-standard shape) ----
+    dc_scan(0, 1)  # DC first, Al=1
+    for ci in range(ncomp):
+        ac_first_scan(ci, 1, 5, 2)
+    for ci in range(ncomp):
+        ac_first_scan(ci, 6, 63, 2)
+    dc_scan(1, 0)  # DC refine
+    for ci in range(ncomp):
+        ac_refine_scan(ci, 1, 63, 2, 1)
+    for ci in range(ncomp):
+        ac_refine_scan(ci, 1, 63, 1, 0)
+
+    return bytes(hdr) + bytes(body) + b"\xff\xd9"
 
 
 def _parse_image(payload: bytes) -> tuple[int, int, int, bytes]:

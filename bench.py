@@ -142,6 +142,10 @@ HEADLINE = [
     # round 6: real compressed-image decode (PNG: zlib inflate + CRC
     # + scanline unfilter, stdlib-only)
     "png_decode_stats",
+    # round 10: the caps-ON production dedup pipeline end-to-end
+    # (bench-only callable — the default-caps code path gets a
+    # recurring perf signal, not just unit coverage)
+    "corpus_dedup_pipeline",
 ]
 
 
@@ -171,6 +175,7 @@ def main() -> None:
     from b3_analytics_engine_spark.queries import spark_queries
 
     from b3_analytics_engine_spark.queries.llmdata import (
+        corpus_dedup_pipeline,
         cosine_ann_ivf_raw,
         cosine_ann_lsh_raw,
     )
@@ -183,6 +188,7 @@ def main() -> None:
     qs = spark_queries()
     qs["cosine_ann_lsh_raw"] = cosine_ann_lsh_raw
     qs["cosine_ann_ivf_raw"] = cosine_ann_ivf_raw
+    qs["corpus_dedup_pipeline"] = corpus_dedup_pipeline
 
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()

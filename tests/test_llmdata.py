@@ -1522,9 +1522,12 @@ def test_jpeg_parser_rejects_malformed_valueerror_only():
     g22 = g11[: sof_i + 11] + b"\x22" + g11[sof_i + 12 :]
     assert _parse_jpeg(g22) == _parse_jpeg(g11)
 
-    # progressive SOF2 rejected explicitly
+    # SOF2 dispatches to the progressive parser (r10) — a baseline
+    # stream wearing an SOF2 marker is still malformed there, because
+    # its single full-band interleaved scan violates T.81 G (a
+    # progressive DC scan must have Se=0)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         _parse_jpeg(prog)
 
     # 16-bit quant table (Pq=1)
@@ -1547,3 +1550,77 @@ def test_jpeg_parser_rejects_malformed_valueerror_only():
     bad_dht = good[: k + 5] + bytes(counts) + good[k + 21 :]
     with pytest.raises(ValueError):
         _parse_jpeg(bad_dht)
+
+
+def _grad_rgb(w: int, h: int) -> bytes:
+    return bytes(
+        (x * 13 + y * 7 + c * 29) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """SOF2 golden property: the progressive writer quantizes with the
+    same flat-q FDCT as the baseline writer, so after the full scan
+    script (DC first/refine, banded AC first passes with EOB runs,
+    two successive-approximation AC refinements) the decoder must
+    reconstruct EXACTLY the same coefficients — byte-identical RGB.
+    Covers gray, 4:4:4, 4:2:0, non-multiple-of-8 dims, and restart
+    markers inside every progressive scan type."""
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    cases = [
+        (16, 16, {"gray": True}),
+        (24, 17, {}),
+        (32, 24, {"subsample": "420"}),
+        (20, 13, {"subsample": "420"}),
+        (16, 16, {"restart_interval": 2}),
+        (24, 17, {"gray": True, "restart_interval": 3}),
+    ]
+    for w, h, kw in cases:
+        px = _grad_rgb(w, h)
+        base = _parse_jpeg(encode_jpeg_baseline(w, h, px, q=16, **kw))
+        prog = _parse_jpeg(encode_jpeg_progressive(w, h, px, q=16, **kw))
+        assert prog == base, (w, h, kw)
+
+
+def test_progressive_jpeg_rejects_malformed_valueerror_only():
+    """Progressive parser honors the same quarantine contract:
+    truncation at EVERY byte boundary raises ValueError (multi-scan
+    streams included — a cut between scans loses the EOI), and scan
+    headers violating T.81 G constraints are rejected."""
+    import pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    good = encode_jpeg_progressive(16, 16, _grad_rgb(16, 16), q=16)
+    w, h, ch, _ = _parse_jpeg(good)
+    assert (w, h, ch) == (16, 16, 3)
+
+    for cut in range(2, len(good)):
+        with pytest.raises(ValueError):
+            _parse_jpeg(good[:cut])
+
+    # first SOS: corrupt successive-approximation byte (Ah must be
+    # Al+1 in refinement scans; 0x31 breaks that on a first scan too)
+    i = good.index(b"\xff\xda")
+    ns = good[i + 4]
+    ahal_at = i + 4 + 1 + 2 * ns + 2
+    bad_ahal = good[:ahal_at] + b"\x31" + good[ahal_at + 1 :]
+    with pytest.raises(ValueError, match="successive-approximation"):
+        _parse_jpeg(bad_ahal)
+
+    # a second SOF inside a progressive stream is malformed
+    sof = good.index(b"\xff\xc2")
+    seglen = int.from_bytes(good[sof + 2 : sof + 4], "big")
+    dup = good[: sof + 2 + seglen] + good[sof : sof + 2 + seglen] \
+        + good[sof + 2 + seglen :]
+    with pytest.raises(ValueError, match="multiple SOF"):
+        _parse_jpeg(dup)
