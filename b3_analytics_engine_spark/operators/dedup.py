@@ -591,6 +591,7 @@ def simhash_pairs(
     nbits: int = 64,
     portable: bool = False,
     max_chunk_bucket: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of four
     ``nbits/4``-bit chunks (any pair within Hamming ≤ 3 must agree on
@@ -609,12 +610,19 @@ def simhash_pairs(
     whose every agreeing chunk is hot are lost (cap-sized
     near-identical clusters — exact dedup's tier). None = exact
     oracle parity.
+
+    ``sig``: optional precomputed ``(id, sig)`` signature frame (the
+    persisted-artifact path — must match ``simhash_signatures(df,
+    id_col, text_col, nbits, portable)``; the store keys by exactly
+    those params).
     """
     chunk_bits = nbits // 4
     chunk_mask = (1 << chunk_bits) - 1
     # one row per doc; materialized once so the self-join's two sides
     # don't each re-run the tokenize + per-bit-sum aggregation
-    sig = simhash_signatures(df, id_col, text_col, nbits, portable).transform(materialize)
+    if sig is None:
+        sig = simhash_signatures(df, id_col, text_col, nbits, portable)
+    sig = sig.transform(materialize)
     chunked = sig.select(
         "id",
         "sig",

@@ -39,7 +39,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.dedup import _signatures_from_hashed, hashed_postings
+from .operators.dedup import (
+    _signatures_from_hashed,
+    hashed_postings,
+    simhash_signatures,
+)
 from .sinks.files import _hadoop_fs, replace_directory
 
 
@@ -141,5 +145,39 @@ class SignatureStore:
             )
             self._write_atomic(
                 _signatures_from_hashed(posts, num_hashes, seed), path
+            )
+        return self.spark.read.parquet(path)
+
+    def simhash_path(
+        self, corpus: str, nbits: int = 64, portable: bool = False
+    ) -> str:
+        return os.path.join(
+            self.root,
+            "simhash_signatures",
+            corpus,
+            f"nbits={nbits}",
+            f"portable={int(portable)}",
+        )
+
+    def simhash(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        nbits: int = 64,
+        portable: bool = False,
+        refresh: bool = False,
+    ) -> DataFrame:
+        """The ``(id, sig)`` SimHash table — token-level (not derived
+        from the shingle postings), so it is its own first-class
+        artifact. Row-identical to
+        :func:`..operators.dedup.simhash_signatures`; feeds
+        ``simhash_pairs(sig=...)``."""
+        path = self.simhash_path(corpus, nbits, portable)
+        if refresh or not self._is_complete(path):
+            self._write_atomic(
+                simhash_signatures(df, id_col, text_col, nbits, portable),
+                path,
             )
         return self.spark.read.parquet(path)

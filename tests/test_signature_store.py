@@ -74,6 +74,25 @@ def test_minhash_pairs_from_store_match_from_text(spark, docs, tmp_path):
     assert _sorted_rows(via_store) == _sorted_rows(via_text)
 
 
+def test_simhash_artifact_and_pairs_row_identical(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    sig = store.simhash(docs, "docs")
+    assert _sorted_rows(sig) == _sorted_rows(
+        D.simhash_signatures(docs, "doc_id", "text")
+    )
+    via_store = D.simhash_pairs(docs, sig=sig)
+    assert _sorted_rows(via_store) == _sorted_rows(D.simhash_pairs(docs))
+
+
+def test_ngram_jaccard_from_store_posts_row_identical(spark, docs, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    posts = store.postings(docs, "docs")  # portable=False = the
+    # operator's own xxhash64 keying, so the artifact is share-safe
+    via_store = D.ngram_jaccard_pairs(docs, threshold=0.12, posts=posts)
+    via_text = D.ngram_jaccard_pairs(docs, threshold=0.12)
+    assert _sorted_rows(via_store) == _sorted_rows(via_text)
+
+
 def test_corpus_dedup_with_store_matches_without(spark, tmp_path):
     base = (
         "the quick brown fox jumps over the lazy dog while seventeen "
