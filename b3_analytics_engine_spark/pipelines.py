@@ -209,13 +209,23 @@ def corpus_dedup(
     # except min(id) would be silently dropped as an "exact duplicate"
     # of documents it shares nothing with. NULL-text rows are not
     # byte-identical copies of each other; pass them all through.
+    from .operators.common import materialize
+
     fp_id = df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
     keep = (
-        fp_id.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    ).unionByName(fp_id.filter(F.col("fp").isNull()).select(id_col))
+        (
+            fp_id.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        .unionByName(fp_id.filter(F.col("fp").isNull()).select(id_col))
+        # `kept` (df ⋈ keep) is consumed by the near-dup tier AND the
+        # final survivor anti-join — without this, each consumer
+        # re-runs the full-corpus md5 fingerprint scan + groupBy that
+        # produces the keep set. The frame itself is one id column.
+        .transform(materialize)
+    )
     kept = df.join(keep, id_col, "left_semi")
     posts = sig = None
     if store is not None:
