@@ -211,15 +211,22 @@ def corpus_dedup(
     # byte-identical copies of each other; pass them all through.
     from .operators.common import materialize
 
-    fp_id = df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+    # NULL text ⇒ NULL fingerprint, and groupBy treats NULL as a
+    # regular key — so NULL-text rows get a PER-ROW synthetic
+    # fingerprint ("null:<id>") instead: each is its own group and
+    # passes through, rather than all collapsing into one bogus
+    # "duplicate group" that drops every NULL doc but min(id). The
+    # coalesce keeps the keep-set build at ONE corpus scan + one
+    # shuffle (a filter/union split would read the corpus twice).
+    fp = F.coalesce(
+        fingerprint(text_col),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
     keep = (
-        (
-            fp_id.filter(F.col("fp").isNotNull())
-            .groupBy("fp")
-            .agg(F.min(id_col).alias(id_col))
-            .select(id_col)
-        )
-        .unionByName(fp_id.filter(F.col("fp").isNull()).select(id_col))
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
         # `kept` (df ⋈ keep) is consumed by the near-dup tier AND the
         # final survivor anti-join — without this, each consumer
         # re-runs the full-corpus md5 fingerprint scan + groupBy that

@@ -125,6 +125,23 @@ def test_corpus_dedup_end_to_end(spark):
     assert kept.columns == ["doc_id", "text"]
 
 
+def test_corpus_dedup_final_frame_scans_corpus_once(spark):
+    # the survivor frame must read the raw corpus ONCE: the exact
+    # tier's keep set is materialized (id column only), so the final
+    # semi+anti join reads the cache, not a second fingerprint pass —
+    # at 100 TB a recomputed keep set is a full corpus md5 re-scan
+    from b3_analytics_engine_spark.plans import parquet_scan_counts
+    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    out = P.corpus_dedup(docs, "minhash", threshold=0.5)
+    # <= 2: one live scan (the semi+anti join's corpus side) plus the
+    # one scan embedded in the cached keep set's stored lineage —
+    # parquet_scan_counts reads the textual plan, which prints an
+    # InMemoryRelation's (compute-once) subplan too
+    assert parquet_scan_counts(out).get("documents", 0) <= 2
+
+
 def test_corpus_dedup_null_text_passes_through(spark):
     # md5(NULL) is NULL and groupBy treats NULL as a regular key — an
     # unguarded exact tier would collapse ALL NULL-text rows into one
