@@ -100,6 +100,59 @@ def test_returns_correlation_matrix(spark):
     assert cells[("PETR4", "VALE3")] == cells[("VALE3", "PETR4")]
 
 
+def test_dashboard_render_html(spark):
+    """K6 rendering: the SVG dashboard assembles from the
+    query-checked frames — tiles for the three top-1 metrics, one
+    polyline per symbol, one pie slice + one volume bar per symbol —
+    and stays deterministic for a fixed warehouse."""
+    from b3_analytics_engine_spark.sinks.dashboard import (
+        bounded_history,
+        render_dashboard,
+    )
+
+    # break EVERY cross-row metric tie in the fixture (volume,
+    # |change_day|, high−low): the top-1 frames order by the metric
+    # alone, so tied metrics make WHICH row wins partition-order-
+    # dependent — operator semantics, not rendering
+    jitter = (
+        F.xxhash64("symbol", "date").cast("double") / F.lit(1e20)
+    )
+    wh = (
+        _warehouse(spark)
+        .withColumn("volume", F.col("volume") + jitter)
+        .withColumn("change_day", F.col("change_day") + jitter)
+        .withColumn("high", F.col("high") + jitter)
+    )
+    html = render_dashboard(wh)
+    assert html.startswith("<!DOCTYPE html>")
+    # three metric tiles + one price tile per symbol
+    assert html.count('class="tile"') == 3 + 2
+    # one polyline per symbol in the line chart
+    assert html.count("<polyline") == 2
+    assert "PETR4" in html and "VALE3" in html
+    # pie: 2 symbols at equal cap → two 50% arcs
+    assert html.count("50.0%") == 2
+    # two bar charts (volume + amplitude), 2 bars each
+    assert html.count("<rect") >= 4
+    # deterministic output
+    assert render_dashboard(wh) == html
+
+
+def test_dashboard_history_collect_is_bounded(spark):
+    """The line chart's driver-side collect must be cut inside Spark:
+    max_points per symbol, newest rows kept."""
+    from b3_analytics_engine_spark.sinks.dashboard import bounded_history
+
+    wh = _warehouse(spark)  # 3 rows per symbol
+    cut = bounded_history(wh, max_points=2)
+    assert cut.count() == 4  # 2 per symbol, not 6
+    newest = cut.groupBy("symbol").agg(F.max("date").alias("mx")).collect()
+    full = wh.groupBy("symbol").agg(F.max("date").alias("mx")).collect()
+    assert {(r["symbol"], r["mx"]) for r in newest} == {
+        (r["symbol"], r["mx"]) for r in full
+    }
+
+
 def test_dashboard_frames(spark):
     wh = _warehouse(spark).withColumn("marketCap", F.col("marketCap"))
     frames = dashboard_frames(wh)
