@@ -204,11 +204,6 @@ def corpus_dedup(
     # member roster per fingerprint — which this pipeline never reads.
     # At corpus scale the roster dominates the shuffle for mega-
     # clusters; min(id) is all the keep decision needs.
-    # NULL text ⇒ NULL fingerprint, and groupBy treats NULL as a
-    # regular key — without the isNotNull split every NULL-text row
-    # except min(id) would be silently dropped as an "exact duplicate"
-    # of documents it shares nothing with. NULL-text rows are not
-    # byte-identical copies of each other; pass them all through.
     from .operators.common import materialize
 
     # NULL text ⇒ NULL fingerprint, and groupBy treats NULL as a
