@@ -348,6 +348,31 @@ def _signatures_from_hashed(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a ``(id, m0..m{k-1})`` signature frame into LSH band
+    keys ``(id, band, bh)`` — ``bh`` is the comma-joined signature
+    slice of the band (collision-free and engine-neutral; see
+    :func:`minhash_lsh_pairs`). One narrow projection + explode, no
+    shuffle."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{bnd * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bh"),
+        )
+        for bnd in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -416,7 +441,6 @@ def minhash_lsh_pairs(
     dominant cost at 100 TB when several passes (dedup,
     decontamination, clustering) share one signature computation.
     """
-    rows_per_band = num_hashes // bands
     # One materialization of the inverted index feeds all four plan
     # branches (signature agg, per-doc sizes, both verify-join sides) —
     # without it Catalyst re-runs tokenize→window→distinct per branch.
@@ -427,22 +451,7 @@ def minhash_lsh_pairs(
     posts = posts.transform(materialize)
     if sig is None:
         sig = _signatures_from_hashed(posts, num_hashes, seed)
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{bnd * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("bh"),
-        )
-        for bnd in range(bands)
-    ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band", "bk.bh")
+    banded = _banded_keys(sig, num_hashes, bands)
     if max_band_bucket is not None:
         # two consumers of the signature frame (bucket census + the
         # anti-join side) — materialize so the 64-min aggregation runs
@@ -485,6 +494,97 @@ def minhash_lsh_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_cross(
+    posts_a: DataFrame,
+    sig_a: DataFrame,
+    posts_b: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs ACROSS two corpora — the asymmetric
+    twin of :func:`minhash_lsh_pairs`, built for the incremental-batch
+    workflow (new documents vs an existing corpus snapshot's persisted
+    artifacts; see :func:`..pipelines.incremental_dedup`).
+
+    Inputs are artifact frames, not raw text: ``posts_*`` row-identical
+    to :func:`hashed_postings` and ``sig_*`` to
+    :func:`minhash_signatures`, BOTH SIDES with the same
+    (n, portable, num_hashes, seed) — band keys and shingle hashes are
+    only comparable under identical parameters (the
+    :class:`..signature_store.SignatureStore` keys artifacts by exactly
+    those). Ids must be disjoint across sides (no ``id_a < id_b``
+    ordering is applied — every A×B bucket pair is a candidate).
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a`` from the A side,
+    ``id_b`` from the B side, jaccard ≥ threshold — exact Jaccard,
+    verified through the postings join, same contract as the
+    symmetric operator.
+
+    Scale shape: side B (the big corpus) is band-exploded from its
+    signature ARTIFACT — a narrow Parquet scan, never a re-tokenize —
+    and the equi-join on (band, bh) means only buckets the batch
+    actually touches produce work. ``max_band_bucket`` caps B-side hot
+    buckets (boilerplate mega-clusters; same census + anti-join shape
+    as the symmetric cap). The A side (a daily batch, orders of
+    magnitude smaller) is left uncapped — a hot A-bucket multiplies
+    work by at most |batch|.
+    """
+    banded_a = _banded_keys(sig_a, num_hashes, bands)
+    banded_b = _banded_keys(sig_b, num_hashes, bands)
+    if max_band_bucket is not None:
+        banded_b = drop_hot_buckets(
+            banded_b.transform(materialize), ["band", "bh"], max_band_bucket
+        )
+    a = banded_a.alias("a")
+    b = banded_b.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verify through the two postings sides — identical
+    # cost shape to the symmetric verify; |candidates| ≪ |A|×|B| and
+    # AQE broadcasts the small frames from runtime stats (no pinned
+    # hints — both sides grow with their corpus).
+    posts_a = posts_a.transform(materialize)
+    pa = posts_a.join(
+        candidates, posts_a["id"] == candidates["id_a"]
+    ).select("id_a", "id_b", "sh")
+    pb = posts_b.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        pa.join(pb, (pa["id_b"] == pb["_idb"]) & (pa["sh"] == pb["sh_b"]))
+        .groupBy("id_a", pa["id_b"])
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = posts_a.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a")).select(
+        F.col("id").alias("id_a"), "sz_a"
+    )
+    sz_b = posts_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b")).select(
+        F.col("id").alias("id_b"), "sz_b"
+    )
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")

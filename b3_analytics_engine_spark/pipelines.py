@@ -315,3 +315,133 @@ def decontaminate_fuzzy(
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store,
+    corpus: str,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = -1,
+    commit_batch: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an existing corpus
+    snapshot — the daily-increment workflow a 100 TB pipeline actually
+    runs. The corpus side is consumed ENTIRELY from persisted
+    :class:`~.signature_store.SignatureStore` artifacts (fingerprints,
+    postings, MinHash signatures): the historical text is never
+    re-scanned, so per-batch cost is O(batch) compute plus
+    artifact-scan I/O, independent of how many batches came before.
+
+    Tiers, cheapest first:
+
+    1. exact-vs-corpus: anti-join the batch's content fingerprints
+       against the corpus fingerprint artifact (NULL-text rows have
+       NULL fingerprints and therefore never match);
+    2. exact-within-batch: keep min(id) per fingerprint, NULL-text
+       rows pass through via per-row synthetic fingerprints (same
+       contract as :func:`corpus_dedup`);
+    3. near-dup: ONE connected-components pass over
+       within-batch pairs (:func:`~.operators.dedup.minhash_lsh_pairs`
+       on the batch's fresh artifacts) ∪ cross pairs
+       (:func:`~.operators.dedup.minhash_lsh_pairs_cross` against the
+       stored corpus artifacts). A batch doc is dropped if its
+       component contains ANY corpus doc (the corpus always wins —
+       history is already published), else if it is not the minimum
+       batch id of its component. The single CC makes transitive
+       chains THROUGH dropped batch members behave exactly like
+       running :func:`corpus_dedup` over corpus ∪ batch (pinned by
+       ``tests/test_incremental_dedup.py``).
+
+    ``corpus_df``: only needed to build missing base artifacts on
+    first use (a pre-built store never reads it). ``commit_batch``:
+    when set, the survivors' artifact rows are appended to the store
+    as an O(batch) delta (``SignatureStore.append_batch``), so the
+    next batch deduplicates against corpus+this one. Ids must be
+    unique across corpus ∪ batch (the store's keying contract).
+
+    Hot-bucket caps default ON (``DEFAULT_MAX_BAND_BUCKET``), matching
+    the rest of the pipeline layer.
+    """
+    from .operators import dedup as D
+    from .operators.common import materialize
+    from .operators.text import fingerprint
+
+    cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
+    for path in (
+        store.fingerprints_path(corpus),
+        store.postings_path(corpus),
+        store.signatures_path(corpus),
+    ):
+        if corpus_df is None and not store._is_complete(path):
+            raise ValueError(
+                f"corpus {corpus!r} artifact missing at {path} and no "
+                "corpus_df given to build it"
+            )
+    corpus_fps = store.fingerprints(corpus_df, corpus, id_col, text_col)
+    corpus_posts = store.postings(corpus_df, corpus, id_col, text_col)
+    corpus_sig = store.signatures(corpus_df, corpus, id_col, text_col)
+
+    # tier 1: exact duplicates of corpus content (anti-join on the
+    # fingerprint artifact — 16-byte keys, no text in the shuffle)
+    bat = batch.withColumn("_fp", fingerprint(text_col))
+    bat = bat.join(
+        corpus_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+    )
+
+    # tier 2: exact duplicates within the batch (synthetic per-row
+    # fingerprints keep NULL-text rows out of each other's groups)
+    fp_syn = F.coalesce(
+        F.col("_fp"), F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+    )
+    keep = (
+        bat.select(fp_syn.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # consumed by the postings build, the CC drop anti-join, and the
+    # returned frame — one batch scan, not three
+    kept = bat.join(keep, id_col, "left_semi").drop("_fp").transform(materialize)
+
+    # tier 3: near-dup — batch artifacts are computed fresh (O(batch));
+    # the corpus side is artifact scans only
+    batch_posts = D.hashed_postings(kept, id_col, text_col).transform(materialize)
+    batch_sig = D._signatures_from_hashed(batch_posts, 64, 42)
+    within = D.minhash_lsh_pairs(
+        kept, id_col, text_col,
+        threshold=threshold, max_band_bucket=cap,
+        posts=batch_posts, sig=batch_sig,
+    )
+    cross = D.minhash_lsh_pairs_cross(
+        batch_posts, batch_sig, corpus_posts, corpus_sig,
+        threshold=threshold, max_band_bucket=cap,
+    )
+    edges = within.select("id_a", "id_b").union(cross.select("id_a", "id_b"))
+    comp = D.connected_components(edges)
+    lab = comp.join(
+        corpus_sig.select(
+            F.col("id").alias("node"), F.lit(True).alias("is_corpus")
+        ),
+        "node",
+        "left",
+    )
+    verdicts = lab.groupBy("component").agg(
+        F.max(F.coalesce(F.col("is_corpus"), F.lit(False))).alias("has_corpus"),
+        F.min(F.when(F.col("is_corpus").isNull(), F.col("node"))).alias(
+            "min_batch"
+        ),
+    )
+    drop = (
+        lab.filter(F.col("is_corpus").isNull())
+        .join(verdicts, "component")
+        .filter(F.col("has_corpus") | (F.col("node") != F.col("min_batch")))
+        .select(F.col("node").alias(id_col))
+    )
+    survivors = kept.join(drop, id_col, "left_anti")
+    if commit_batch is not None:
+        store.append_batch(survivors, corpus, commit_batch, id_col, text_col)
+    return survivors

@@ -23,9 +23,14 @@ Scale notes:
   (:func:`..sinks.files.replace_directory`), so a crashed writer
   never leaves a half-artifact that a reader mistakes for complete;
   completeness is additionally gated on the ``_SUCCESS`` marker.
-- Artifacts are immutable snapshots of the corpus AT WRITE TIME.
-  ``refresh=True`` recomputes; callers appending to a corpus must
-  refresh (or key a new corpus name per snapshot, the lakehouse way).
+- Artifacts are immutable snapshots of the corpus AT WRITE TIME,
+  plus zero or more committed delta batches (``append_batch`` — the
+  incremental workflow's O(batch) commit; see
+  :func:`..pipelines.incremental_dedup`). ``refresh=True`` recomputes
+  the base from ``df`` and clears the deltas. Deltas are written ONLY
+  through ``append_batch`` (all three artifacts together); mixing
+  hand-written deltas with the derive-from-postings read-through
+  voids the row-identity contract.
 
 The registered oracle queries never touch this module — they stay
 pure functions of the test Parquet (bit-exact DuckDB parity). This is
@@ -38,12 +43,14 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.dedup import (
     _signatures_from_hashed,
     hashed_postings,
     simhash_signatures,
 )
+from .operators.text import fingerprint
 from .sinks.files import _hadoop_fs, replace_directory
 
 
@@ -85,6 +92,9 @@ class SignatureStore:
             f"seed={seed}",
         )
 
+    def fingerprints_path(self, corpus: str) -> str:
+        return os.path.join(self.root, "fingerprints", corpus)
+
     # -------------------------------------------------------- helpers
     def _is_complete(self, path: str) -> bool:
         jvm, fs, _ = _hadoop_fs(self.spark, path)
@@ -94,10 +104,56 @@ class SignatureStore:
 
     def _write_atomic(self, df: DataFrame, path: str) -> None:
         """Write to a staging dir, then atomic-rename into place — a
-        crashed write leaves no ``_SUCCESS``-bearing half-artifact."""
+        crashed write leaves no ``_SUCCESS``-bearing half-artifact.
+        A base (re)write also clears the artifact's delta tree: the
+        new base IS the full snapshot."""
         tmp = path.rstrip("/") + "__staging"
         df.write.mode("overwrite").parquet(tmp)
         replace_directory(self.spark, tmp, path)
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        dp = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
+        if fs.exists(dp):
+            fs.delete(dp, True)
+
+    # --------------------------------------------------- delta batches
+    # An artifact = its base directory plus zero or more committed
+    # delta-batch directories under ``<leaf>__delta/<batch>/``. Each
+    # delta is staged and atomically renamed in, so a visible delta is
+    # always complete (``_SUCCESS``-gated on read as well). Deltas are
+    # how the incremental workflow (``pipelines.incremental_dedup``)
+    # appends a day's surviving documents WITHOUT rewriting O(corpus)
+    # artifacts; ``refresh=True`` on the base recomputes the full
+    # snapshot and clears them.
+    @staticmethod
+    def _delta_root(path: str) -> str:
+        return path.rstrip("/") + "__delta"
+
+    def _delta_paths(self, path: str) -> list[str]:
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        droot = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
+        if not fs.exists(droot):
+            return []
+        out = []
+        for st in fs.listStatus(droot):
+            if not st.isDirectory():
+                continue
+            d = st.getPath().toString()
+            if self._is_complete(d):
+                out.append(d)
+        return sorted(out)
+
+    def _append_delta(self, df: DataFrame, path: str, batch: str) -> None:
+        if "/" in batch or batch.startswith((".", "_")):
+            raise ValueError(f"invalid batch name: {batch!r}")
+        dst = os.path.join(self._delta_root(path), batch)
+        tmp = dst.rstrip("/") + "__staging"
+        df.write.mode("overwrite").parquet(tmp)
+        replace_directory(self.spark, tmp, dst)
+
+    def _read(self, path: str) -> DataFrame:
+        """Base + committed deltas as one frame (multi-path scan; all
+        parts share one schema by construction)."""
+        return self.spark.read.parquet(path, *self._delta_paths(path))
 
     # ------------------------------------------------------ artifacts
     def postings(
@@ -120,7 +176,7 @@ class SignatureStore:
             self._write_atomic(
                 hashed_postings(df, id_col, text_col, n, portable), path
             )
-        return self.spark.read.parquet(path)
+        return self._read(path)
 
     def signatures(
         self,
@@ -146,7 +202,7 @@ class SignatureStore:
             self._write_atomic(
                 _signatures_from_hashed(posts, num_hashes, seed), path
             )
-        return self.spark.read.parquet(path)
+        return self._read(path)
 
     def simhash_path(
         self, corpus: str, nbits: int = 64, portable: bool = False
@@ -180,4 +236,80 @@ class SignatureStore:
                 simhash_signatures(df, id_col, text_col, nbits, portable),
                 path,
             )
-        return self.spark.read.parquet(path)
+        return self._read(path)
+
+    def fingerprints(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        refresh: bool = False,
+    ) -> DataFrame:
+        """The ``(id, fp)`` exact-content fingerprint table (md5 of
+        normalized text; NULL for NULL text — SQL join semantics then
+        guarantee a NULL-text document never "matches" anything). The
+        exact tier of the incremental workflow anti-joins a new
+        batch's fingerprints against this instead of re-scanning the
+        corpus text."""
+        path = self.fingerprints_path(corpus)
+        if refresh or not self._is_complete(path):
+            self._write_atomic(
+                df.select(
+                    F.col(id_col).alias("id"),
+                    fingerprint(text_col).alias("fp"),
+                ),
+                path,
+            )
+        return self._read(path)
+
+    # ------------------------------------------------ batch commit
+    def append_batch(
+        self,
+        survivors: DataFrame,
+        corpus: str,
+        batch: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+    ) -> None:
+        """Commit a deduplicated batch's documents into the corpus
+        snapshot: append their fingerprint, postings, and signature
+        rows as delta-batch directories, so the NEXT incremental batch
+        sees corpus+batch without any O(corpus) rewrite.
+
+        All three artifact bases must already exist (they do after one
+        ``corpus_dedup``/``incremental_dedup`` pass with this store) —
+        appending a delta to a non-existent base would silently become
+        the whole artifact. Each delta directory lands atomically;
+        across the three artifacts the commit is sequential, so a
+        crash mid-commit can leave the LATER artifacts without this
+        batch — re-running ``append_batch`` with the same batch name
+        is idempotent (each delta is replaced wholesale), which is the
+        recovery path.
+        """
+        for path in (
+            self.fingerprints_path(corpus),
+            self.postings_path(corpus, n, portable),
+            self.signatures_path(corpus, n, portable, num_hashes, seed),
+        ):
+            if not self._is_complete(path):
+                raise ValueError(
+                    f"corpus {corpus!r} has no base artifact at {path}; "
+                    "build the snapshot first (corpus_dedup with store=...)"
+                )
+        fps = survivors.select(
+            F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+        )
+        self._append_delta(fps, self.fingerprints_path(corpus), batch)
+        posts = hashed_postings(survivors, id_col, text_col, n, portable)
+        self._append_delta(posts, self.postings_path(corpus, n, portable), batch)
+        sig = _signatures_from_hashed(posts, num_hashes, seed)
+        self._append_delta(
+            sig,
+            self.signatures_path(corpus, n, portable, num_hashes, seed),
+            batch,
+        )

@@ -1,0 +1,220 @@
+"""Incremental batch dedup against a persisted corpus snapshot
+(`pipelines.incremental_dedup` + `SignatureStore.append_batch` +
+`operators.dedup.minhash_lsh_pairs_cross`).
+
+Contract under test: deduplicating a new batch against the store's
+artifacts must behave exactly like running `corpus_dedup` over
+corpus ∪ batch and keeping the batch's survivors — WITHOUT ever
+re-scanning the corpus text — and committing a batch must be an
+O(batch) delta append that the next batch's dedup sees.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark import pipelines as P
+from b3_analytics_engine_spark.operators import dedup as D
+from b3_analytics_engine_spark.signature_store import SignatureStore
+
+TPL = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles carry ancient maps across the quiet river delta"
+)
+DOC_D = (
+    "completely different content about molten glass furnaces and the "
+    "slow art of shaping transparent vessels under steady orange heat"
+)
+DOC_F = (
+    "a third unrelated passage describing tidal marsh ecology with "
+    "herons sandpipers and the slow rhythm of brackish water channels"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus_rows():
+    # already dedup-clean: three mutually unrelated documents
+    return [
+        (0, TPL),
+        (1, "unrelated corpus text about railway timetables and the "
+            "punctual departure of the morning express from platform nine"),
+        (2, "another distinct corpus document cataloguing varieties of "
+            "heirloom tomatoes grown on terraced hillsides each summer"),
+    ]
+
+
+@pytest.fixture()
+def batch_rows():
+    return [
+        (100, TPL),                                   # exact copy of corpus 0
+        (101, TPL + " trailing variant token x"),     # near-dup of corpus 0
+        (102, DOC_D),                                 # new content, batch keeper
+        (103, DOC_D),                                 # exact within-batch dup of 102
+        (104, DOC_D + " trailing token y"),           # near within-batch dup of 102
+        (105, DOC_F),                                 # fresh unique doc
+        (106, None),                                  # NULL text passes through
+        (107, None),                                  # ... each NULL row does
+    ]
+
+
+def test_incremental_matches_union_corpus_dedup(
+    spark, tmp_path, corpus_rows, batch_rows
+):
+    corpus = _df(spark, corpus_rows)
+    batch = _df(spark, batch_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+
+    got = P.incremental_dedup(
+        batch, store, "c", corpus_df=corpus, threshold=0.5
+    )
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+    assert got_ids == [102, 105, 106, 107]
+
+    # ground truth: full-corpus dedup over corpus ∪ batch, cut to batch
+    union = corpus.unionByName(batch)
+    full = P.corpus_dedup(union, "minhash", threshold=0.5)
+    full_batch_ids = sorted(
+        r["doc_id"] for r in full.collect() if r["doc_id"] >= 100
+    )
+    assert got_ids == full_batch_ids
+    # survivors keep the original batch columns/rows verbatim
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in got.collect()
+    ) == sorted((i, t) for i, t in batch_rows if i in got_ids)
+
+
+def test_transitive_chain_through_dropped_batch_member(
+    spark, tmp_path, corpus_rows
+):
+    """X ~ Y (within batch), Y ~ corpus doc, X possibly !~ corpus:
+    the single connected-components pass must drop BOTH (the
+    component contains a corpus doc), exactly like union dedup."""
+    corpus = _df(spark, corpus_rows)
+    # y: close to the corpus template; x: close to y, further from TPL
+    y = TPL + " alpha beta"
+    x = TPL + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = _df(spark, [(200, y), (201, x), (202, DOC_F)])
+    store = SignatureStore(spark, str(tmp_path / "store"))
+
+    got = sorted(
+        r["doc_id"]
+        for r in P.incremental_dedup(
+            batch, store, "c", corpus_df=corpus, threshold=0.5
+        ).collect()
+    )
+    union = corpus.unionByName(batch)
+    want = sorted(
+        r["doc_id"]
+        for r in P.corpus_dedup(union, "minhash", threshold=0.5).collect()
+        if r["doc_id"] >= 200
+    )
+    assert got == want
+    # and no batch survivor still near-dups the corpus
+    assert 202 in got
+
+
+def test_commit_batch_feeds_next_batch(spark, tmp_path, corpus_rows, batch_rows):
+    corpus = _df(spark, corpus_rows)
+    batch1 = _df(spark, batch_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+
+    s1 = P.incremental_dedup(
+        batch1, store, "c", corpus_df=corpus, threshold=0.5,
+        commit_batch="b1",
+    )
+    assert sorted(r["doc_id"] for r in s1.collect()) == [102, 105, 106, 107]
+
+    # the committed snapshot = base(3) + delta(4 survivors)
+    assert store.fingerprints(None, "c").count() == 7
+    assert (
+        sorted(r["id"] for r in store.signatures(None, "c").select("id").collect())
+        == [0, 1, 2, 102, 105]  # NULL-text docs have no shingles
+    )
+
+    # batch 2: duplicates of COMMITTED batch-1 content must now drop
+    batch2 = _df(
+        spark,
+        [
+            (300, DOC_F),                      # exact copy of committed 105
+            (301, DOC_D + " trailing nub z"),  # near-dup of committed 102
+            (302, "genuinely new second-day document about volcanic "
+                  "island soils and the crops that thrive in them"),
+            (303, None),                       # NULL text still passes
+        ],
+    )
+    s2 = P.incremental_dedup(batch2, store, "c", threshold=0.5)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [302, 303]
+
+    # committed artifacts are row-identical to a from-scratch compute
+    # over corpus ∪ survivors (the store never re-scanned the corpus)
+    snapshot = corpus.unionByName(s1.select("doc_id", "text"))
+    want = sorted(
+        tuple(r) for r in D.hashed_postings(snapshot, "doc_id", "text").collect()
+    )
+    assert sorted(tuple(r) for r in store.postings(None, "c").collect()) == want
+
+    # re-appending the same batch name is idempotent (wholesale replace)
+    store.append_batch(s1, "c", "b1")
+    assert store.fingerprints(None, "c").count() == 7
+
+
+def test_refresh_clears_deltas(spark, tmp_path, corpus_rows, batch_rows):
+    corpus = _df(spark, corpus_rows)
+    batch = _df(spark, batch_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    P.incremental_dedup(
+        batch, store, "c", corpus_df=corpus, commit_batch="b1"
+    )
+    assert store.fingerprints(None, "c").count() == 7
+    # refresh rebuilds the base from the given frame and drops deltas
+    assert store.fingerprints(corpus, "c", refresh=True).count() == 3
+
+
+def test_guards(spark, tmp_path, corpus_rows):
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="no corpus_df"):
+        P.incremental_dedup(_df(spark, [(1, "x")]), store, "missing")
+    with pytest.raises(ValueError, match="no base artifact"):
+        store.append_batch(corpus, "missing", "b1")
+    store.fingerprints(corpus, "c")
+    store.postings(corpus, "c")
+    store.signatures(corpus, "c")
+    with pytest.raises(ValueError, match="invalid batch name"):
+        store.append_batch(corpus, "c", "_bad")
+
+
+def test_cross_pairs_match_symmetric_on_split_corpus(spark, corpus_rows):
+    """minhash_lsh_pairs_cross(A, B) must find exactly the A×B subset
+    of what the symmetric operator finds on A ∪ B."""
+    a_rows = [(10, TPL + " small change one"), (11, DOC_D)]
+    b_rows = corpus_rows + [(3, DOC_D + " with a tiny suffix")]
+    a, b = _df(spark, a_rows), _df(spark, b_rows)
+
+    posts_a = D.hashed_postings(a, "doc_id", "text")
+    sig_a = D._signatures_from_hashed(posts_a, 64, 42)
+    posts_b = D.hashed_postings(b, "doc_id", "text")
+    sig_b = D._signatures_from_hashed(posts_b, 64, 42)
+    got = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs_cross(
+            posts_a, sig_a, posts_b, sig_b, threshold=0.3
+        ).collect()
+    )
+
+    both = a.unionByName(b)
+    sym = D.minhash_lsh_pairs(both, threshold=0.3)
+    a_ids = {i for i, _ in a_rows}
+    want = sorted(
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard"])
+        if r["id_b"] in a_ids
+        else (r["id_a"], r["id_b"], r["jaccard"])
+        for r in sym.collect()
+        if (r["id_a"] in a_ids) != (r["id_b"] in a_ids)
+    )
+    assert got == want
