@@ -362,6 +362,12 @@ def incremental_dedup(
     as an O(batch) delta (``SignatureStore.append_batch``), so the
     next batch deduplicates against corpus+this one. Ids must be
     unique across corpus ∪ batch (the store's keying contract).
+    Re-running with the SAME ``commit_batch`` name is idempotent
+    end-to-end: the corpus reads exclude that batch's own delta (a
+    prior attempt's commit is invisible to the re-run, so the batch
+    never matches itself) and the re-commit replaces the delta
+    wholesale — the at-least-once replay contract
+    :func:`..streaming.pipeline.start_incremental_dedup` relies on.
 
     Hot-bucket caps default ON (``DEFAULT_MAX_BAND_BUCKET``), matching
     the rest of the pipeline layer.
@@ -381,9 +387,20 @@ def incremental_dedup(
                 f"corpus {corpus!r} artifact missing at {path} and no "
                 "corpus_df given to build it"
             )
-    corpus_fps = store.fingerprints(corpus_df, corpus, id_col, text_col)
-    corpus_posts = store.postings(corpus_df, corpus, id_col, text_col)
-    corpus_sig = store.signatures(corpus_df, corpus, id_col, text_col)
+    # exclude_batch=commit_batch makes an at-least-once REPLAY of this
+    # batch idempotent: the delta a previous attempt committed under
+    # the same name is hidden from the corpus reads, so the batch's
+    # documents never anti-join/band-match against themselves, and the
+    # re-commit replaces that delta wholesale.
+    corpus_fps = store.fingerprints(
+        corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
+    )
+    corpus_posts = store.postings(
+        corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
+    )
+    corpus_sig = store.signatures(
+        corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
+    )
 
     # tier 1: exact duplicates of corpus content (anti-join on the
     # fingerprint artifact — 16-byte keys, no text in the shuffle)
@@ -443,5 +460,15 @@ def incremental_dedup(
     )
     survivors = kept.join(drop, id_col, "left_anti")
     if commit_batch is not None:
+        # materialize once: append_batch derives three artifact frames
+        # from survivors and the caller will consume it again — without
+        # this the batch dedup DAG (CC included) would run 4×. The
+        # append's first write bakes survivors into its cache, after
+        # which the intermediate caches can be dropped — a long-running
+        # stream calls this per epoch and must not accumulate persisted
+        # frames (the caller unpersists survivors when done with it).
+        survivors = survivors.transform(materialize)
         store.append_batch(survivors, corpus, commit_batch, id_col, text_col)
+        kept.unpersist()
+        batch_posts.unpersist()
     return survivors

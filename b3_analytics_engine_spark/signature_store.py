@@ -128,7 +128,7 @@ class SignatureStore:
     def _delta_root(path: str) -> str:
         return path.rstrip("/") + "__delta"
 
-    def _delta_paths(self, path: str) -> list[str]:
+    def _delta_paths(self, path: str, exclude: str | None = None) -> list[str]:
         jvm, fs, _ = _hadoop_fs(self.spark, path)
         droot = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
         if not fs.exists(droot):
@@ -138,6 +138,8 @@ class SignatureStore:
             if not st.isDirectory():
                 continue
             d = st.getPath().toString()
+            if exclude is not None and st.getPath().getName() == exclude:
+                continue
             if self._is_complete(d):
                 out.append(d)
         return sorted(out)
@@ -150,10 +152,16 @@ class SignatureStore:
         df.write.mode("overwrite").parquet(tmp)
         replace_directory(self.spark, tmp, dst)
 
-    def _read(self, path: str) -> DataFrame:
+    def _read(self, path: str, exclude_batch: str | None = None) -> DataFrame:
         """Base + committed deltas as one frame (multi-path scan; all
-        parts share one schema by construction)."""
-        return self.spark.read.parquet(path, *self._delta_paths(path))
+        parts share one schema by construction). ``exclude_batch``
+        hides that delta-batch directory from the scan — the replay
+        hook: a re-run of an at-least-once micro-batch must not see
+        the delta its own earlier (possibly partial) attempt
+        committed, or its documents would "match" themselves."""
+        return self.spark.read.parquet(
+            path, *self._delta_paths(path, exclude=exclude_batch)
+        )
 
     # ------------------------------------------------------ artifacts
     def postings(
@@ -165,6 +173,7 @@ class SignatureStore:
         n: int = 3,
         portable: bool = False,
         refresh: bool = False,
+        exclude_batch: str | None = None,
     ) -> DataFrame:
         """The ``(id, sh)`` hashed inverted index for ``corpus`` —
         computed from ``df`` and persisted on first call, read from
@@ -176,7 +185,7 @@ class SignatureStore:
             self._write_atomic(
                 hashed_postings(df, id_col, text_col, n, portable), path
             )
-        return self._read(path)
+        return self._read(path, exclude_batch)
 
     def signatures(
         self,
@@ -189,6 +198,7 @@ class SignatureStore:
         num_hashes: int = 64,
         seed: int = 42,
         refresh: bool = False,
+        exclude_batch: str | None = None,
     ) -> DataFrame:
         """The ``(id, m0..m{k-1})`` MinHash signature table — derived
         from the postings ARTIFACT (never re-tokenizes if postings
@@ -202,7 +212,7 @@ class SignatureStore:
             self._write_atomic(
                 _signatures_from_hashed(posts, num_hashes, seed), path
             )
-        return self._read(path)
+        return self._read(path, exclude_batch)
 
     def simhash_path(
         self, corpus: str, nbits: int = 64, portable: bool = False
@@ -245,6 +255,7 @@ class SignatureStore:
         id_col: str = "doc_id",
         text_col: str = "text",
         refresh: bool = False,
+        exclude_batch: str | None = None,
     ) -> DataFrame:
         """The ``(id, fp)`` exact-content fingerprint table (md5 of
         normalized text; NULL for NULL text — SQL join semantics then
@@ -261,7 +272,7 @@ class SignatureStore:
                 ),
                 path,
             )
-        return self._read(path)
+        return self._read(path, exclude_batch)
 
     # ------------------------------------------------ batch commit
     def append_batch(

@@ -218,3 +218,116 @@ def test_cross_pairs_match_symmetric_on_split_corpus(spark, corpus_rows):
         if (r["id_a"] in a_ids) != (r["id_b"] in a_ids)
     )
     assert got == want
+
+
+BATCH2_ROWS = [
+    (300, DOC_F),                      # exact copy of committed 105
+    (301, DOC_D + " trailing nub z"),  # near-dup of committed 102
+    (302, "genuinely new second-day document about volcanic "
+          "island soils and the crops that thrive in them"),
+    (303, None),                       # NULL text still passes
+]
+
+
+def test_replay_same_commit_batch_is_idempotent(
+    spark, tmp_path, corpus_rows, batch_rows
+):
+    """At-least-once replay: re-running the SAME (batch, commit name)
+    after a successful commit must return the same survivors and leave
+    the store unchanged. Without the exclude-own-delta read the replay
+    would see its prior commit in the corpus artifacts, match every
+    batch doc against itself, and emit only the NULL-text rows."""
+    corpus = _df(spark, corpus_rows)
+    batch = _df(spark, batch_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+
+    first = P.incremental_dedup(
+        batch, store, "c", corpus_df=corpus, threshold=0.5, commit_batch="b1"
+    )
+    want = sorted(r["doc_id"] for r in first.collect())
+    assert want == [102, 105, 106, 107]
+    n_fp = store.fingerprints(None, "c").count()
+
+    replay = P.incremental_dedup(
+        batch, store, "c", threshold=0.5, commit_batch="b1"
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == want
+    assert store.fingerprints(None, "c").count() == n_fp
+    # a DIFFERENT batch still sees b1's committed content
+    probe = P.incremental_dedup(
+        _df(spark, [(400, DOC_F)]), store, "c", threshold=0.5
+    )
+    assert probe.count() == 0
+
+
+def test_micro_batch_replay_is_idempotent(
+    spark, tmp_path, corpus_rows, batch_rows
+):
+    """The foreachBatch body end-to-end: replaying an epoch rewrites
+    the same ``_epoch`` lake partition and replaces the same delta —
+    byte-for-byte the same observable state, no duplicates."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        incremental_dedup_micro_batch,
+    )
+
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+    out = str(tmp_path / "lake")
+
+    for _ in range(2):  # first run + at-least-once replay
+        incremental_dedup_micro_batch(
+            _df(spark, batch_rows), 7, store, "c", out, threshold=0.5
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [(7, 102), (7, 105), (7, 106), (7, 107)]
+        assert store.fingerprints(None, "c").count() == 7
+
+
+def test_streaming_incremental_dedup_end_to_end(
+    spark, tmp_path, corpus_rows, batch_rows
+):
+    """Two micro-batches through the real writeStream shell: epoch 0
+    dedups against the corpus, epoch 1 against corpus + epoch-0
+    survivors — identical to running the batch API sequentially."""
+    import time as _time
+
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        start_incremental_dedup,
+    )
+
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+
+    src = str(tmp_path / "src")
+    _df(spark, batch_rows).coalesce(1).write.parquet(f"{src}/day1.parquet")
+    _time.sleep(1.2)  # file-source orders micro-batches by mod time
+    _df(spark, BATCH2_ROWS).coalesce(1).write.parquet(f"{src}/day2.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = start_incremental_dedup(
+        stream, store, "c",
+        output_path=str(tmp_path / "lake"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    assert sorted((r["_epoch"], r["doc_id"]) for r in lake.collect()) == [
+        (0, 102), (0, 105), (0, 106), (0, 107),
+        (1, 302), (1, 303),
+    ]
+    # the store grew by both epochs' survivors, exactly once each
+    assert sorted(
+        r["id"] for r in store.fingerprints(None, "c").select("id").collect()
+    ) == [0, 1, 2, 102, 105, 106, 107, 302, 303]
