@@ -1,0 +1,241 @@
+"""MP3 frame-header walker, H.264 Annex-B/SPS parser, and the
+probe_media_metadata (ffprobe-lite) operator.
+
+Codec scope under test is the documented header-level contract:
+spec-exact frame geometry / SPS field decode / NAL census — never
+audio synthesis or pixel reconstruction (those stay stubbed, honestly).
+Golden inputs come from the module's own writers, whose header fields
+are spec-derived; malformed-input tests pin the ValueError quarantine
+contract shared by every codec in ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from b3_analytics_engine_spark.operators.multimodal import (
+    _BitWriter,
+    _h264_strip_epb,
+    _parse_h264_info,
+    _parse_mp3_info,
+    encode_h264_annexb,
+    encode_mp3_stream,
+    probe_media_metadata,
+)
+
+# ------------------------------------------------------------- MP3
+
+
+def test_mp3_cbr_exact_duration_and_tags():
+    s = encode_mp3_stream([128] * 10, 44100, id3v2_bytes=100, id3v1=True)
+    info = _parse_mp3_info(s)
+    assert info["n_frames"] == 10
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 2
+    assert info["layer"] == 3 and info["version"] == "1"
+    # MPEG-1 Layer III: 1152 samples per frame, exactly
+    assert info["duration_ms"] == pytest.approx(10 * 1152 / 44100 * 1000)
+    assert not info["vbr"]
+    # byte-weighted average sits at the nominal rate (frame floor ~0.3%)
+    assert info["bitrate_kbps"] == pytest.approx(128, rel=0.01)
+
+
+def test_mp3_vbr_duration_is_per_frame_sum():
+    rates = [64, 128, 192, 320]
+    info = _parse_mp3_info(encode_mp3_stream(rates, 48000))
+    assert info["vbr"] and info["n_frames"] == 4
+    assert info["duration_ms"] == pytest.approx(4 * 1152 / 48000 * 1000)
+    # average must be byte-weighted, not the arithmetic mean of rates
+    assert info["bitrate_kbps"] == pytest.approx(sum(rates) / 4, rel=0.01)
+
+
+def test_mp3_mpeg2_layer3_is_576_samples_mono_padded():
+    s = encode_mp3_stream([64] * 5, 22050, version="2", channels=1, padding=1)
+    info = _parse_mp3_info(s)
+    assert info["channels"] == 1 and info["version"] == "2"
+    assert info["duration_ms"] == pytest.approx(5 * 576 / 22050 * 1000)
+
+
+def test_mp3_layer1_geometry():
+    info = _parse_mp3_info(encode_mp3_stream([384] * 3, 32000, layer=1))
+    assert info["layer"] == 1
+    assert info["duration_ms"] == pytest.approx(3 * 384 / 32000 * 1000)
+
+
+def test_mp3_mpeg25_rates():
+    info = _parse_mp3_info(encode_mp3_stream([32] * 2, 8000, version="2.5"))
+    assert info["sample_rate"] == 8000
+    assert info["duration_ms"] == pytest.approx(2 * 576 / 8000 * 1000)
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda s: b"\x12" + s[1:], "lost frame sync"),
+        (lambda s: s[:-1], "truncated frame"),
+        # bitrate_index 0 = free format (header byte 2 high nibble)
+        (lambda s: s[:2] + bytes([s[2] & 0x0F]) + s[3:], "free-format"),
+        # sample-rate index 3 = reserved
+        (lambda s: s[:2] + bytes([s[2] | 0x0C]) + s[3:], "reserved sample"),
+        # layer bits 00 = reserved
+        (lambda s: s[:1] + bytes([s[1] & ~0x06]) + s[2:], "reserved layer"),
+        # version bits 01 = reserved
+        (
+            lambda s: s[:1] + bytes([(s[1] & ~0x18) | 0x08]) + s[2:],
+            "reserved MPEG version",
+        ),
+        (lambda s: s + b"\x00\x00", "junk|lost frame sync"),
+    ],
+)
+def test_mp3_malformed_raises(mutate, msg):
+    import re
+
+    good = encode_mp3_stream([128] * 2, 44100)
+    with pytest.raises(ValueError, match=f"(?i)({msg})"):
+        _parse_mp3_info(mutate(good))
+
+
+def test_mp3_mid_stream_parameter_change_raises():
+    a = encode_mp3_stream([128], 44100)
+    b = encode_mp3_stream([64], 44100, channels=1)
+    with pytest.raises(ValueError, match="changed mid-file"):
+        _parse_mp3_info(a + b)
+
+
+def test_mp3_id3v2_oversized_raises():
+    s = encode_mp3_stream([128], 44100, id3v2_bytes=50)
+    # claim a tag bigger than the payload
+    bad = s[:6] + b"\x7f\x7f\x7f\x7f" + s[10:]
+    with pytest.raises(ValueError, match="larger than payload"):
+        _parse_mp3_info(bad)
+
+
+# ------------------------------------------------------------ H.264
+
+
+def test_h264_sps_roundtrip_no_crop():
+    info = _parse_h264_info(encode_h264_annexb(640, 480, fps=30.0,
+                                               n_idr=1, n_non_idr=2))
+    assert (info["width"], info["height"]) == (640, 480)
+    assert info["profile"] == "baseline" and info["level"] == 3.0
+    assert info["fps"] == 30.0
+    assert info["n_idr"] == 1 and info["n_slices"] == 3
+    assert info["duration_ms"] == pytest.approx(100.0)
+    assert not info["interlaced"]
+
+
+def test_h264_sps_cropping_1080p_high_profile():
+    # 1080 rows need a 1088-row coded frame + bottom crop of 8 (unit 2)
+    info = _parse_h264_info(
+        encode_h264_annexb(1920, 1080, profile_idc=100, level_idc=40)
+    )
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["profile"] == "high" and info["level"] == 4.0
+    assert info["fps"] is None and info["duration_ms"] is None
+    assert info["chroma_format_idc"] == 1
+
+
+def test_h264_three_byte_start_codes_and_fractional_fps():
+    info = _parse_h264_info(
+        encode_h264_annexb(320, 240, fps=23.976, four_byte_start=False,
+                           n_idr=2, n_non_idr=3)
+    )
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["fps"] == pytest.approx(23.976, abs=5e-4)
+    assert info["n_idr"] == 2 and info["n_slices"] == 5
+    assert info["nal_type_counts"][7] == 1  # exactly one SPS
+    assert info["nal_type_counts"][8] == 1  # exactly one PPS
+
+
+def test_h264_epb_insert_and_strip_are_inverse():
+    w = _BitWriter()
+    w.u(0, 16)   # two zero bytes
+    w.u(1, 8)    # then 0x01: raw RBSP 00 00 01 must be protected
+    out = w.rbsp_bytes()
+    assert b"\x00\x00\x03" in out          # EPB inserted
+    assert b"\x00\x00\x01" not in out      # start-code emulation gone
+    # stripping restores the raw bytes (+ rbsp trailing byte 0x80)
+    assert _h264_strip_epb(out) == b"\x00\x00\x01\x80"
+
+
+def test_h264_strip_epb_only_in_double_zero_runs():
+    # 00 00 03 -> 00 00 ; a lone 00 03 is untouched
+    assert _h264_strip_epb(b"\x00\x00\x03\x00\x00\x03\x01") == (
+        b"\x00\x00\x00\x00\x01"
+    )
+    assert _h264_strip_epb(b"\x00\x03\x00\x00\x03\x02") == (
+        b"\x00\x03\x00\x00\x02"
+    )
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda s: b"\xff" + s, "no Annex-B start code"),
+        (lambda s: s[:4] + bytes([s[4] | 0x80]) + s[5:], "forbidden_zero"),
+        # drop the SPS NAL entirely (stream starts at the PPS)
+        (lambda s: s[s.find(b"\x00\x00\x00\x01", 4):], "no SPS"),
+        # truncate inside the SPS payload
+        (lambda s: s[:8], "exhausted|no SPS|no NAL"),
+    ],
+)
+def test_h264_malformed_raises(mutate, msg):
+    good = encode_h264_annexb(640, 480, fps=30.0)
+    with pytest.raises(ValueError, match=f"(?i)({msg})"):
+        _parse_h264_info(mutate(good))
+
+
+def test_h264_writer_rejects_odd_dimensions():
+    with pytest.raises(ValueError, match="even"):
+        encode_h264_annexb(641, 480)
+
+
+# ------------------------------------------- probe operator (Spark)
+
+
+def test_probe_media_metadata_mixed_batch(spark):
+    from b3_analytics_engine_spark.operators.multimodal import encode_png
+
+    wav = (
+        b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (8).to_bytes(4, "little") + bytes(8)
+    )
+    rows = [
+        (1, encode_mp3_stream([128] * 4, 44100)),
+        (2, encode_h264_annexb(640, 480, fps=30.0, n_idr=1, n_non_idr=1)),
+        (3, wav),
+        (4, encode_png(2, 2, bytes(12))),
+        (5, b"PVF 2 2 2 10\n" + bytes(24)),
+        (6, b"\xde\xad\xbe\xef garbage"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in probe_media_metadata(df).collect()}
+    assert len(got) == 7
+
+    assert got[1]["ok"] and got[1]["container"] == "mp3"
+    assert got[1]["sample_rate"] == 44100 and got[1]["n_frames"] == 4
+    assert got[1]["profile"] == "mpeg1-layer3"
+
+    assert got[2]["ok"] and got[2]["container"] == "h264"
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert got[2]["n_keyframes"] == 1 and got[2]["n_frames"] == 2
+    assert got[2]["profile"] == "baseline@3.0"
+
+    assert got[3]["ok"] and got[3]["container"] == "wav"
+    assert got[3]["sample_rate"] == 8000 and got[3]["n_frames"] == 4
+    assert got[3]["duration_ms"] == pytest.approx(0.5)
+
+    assert got[4]["ok"] and got[4]["container"] == "png"
+    assert (got[4]["width"], got[4]["height"]) == (2, 2)
+
+    assert got[5]["ok"] and got[5]["container"] == "pvf"
+    assert got[5]["n_frames"] == 2 and got[5]["duration_ms"] == 200.0
+
+    # quarantine rows: ok=false, err carries the parser message
+    assert not got[6]["ok"] and "unrecognized container" in got[6]["err"]
+    assert not got[7]["ok"] and got[7]["err"]
