@@ -519,6 +519,8 @@ def minhash_lsh_pairs_cross(
     bands: int = 16,
     threshold: float = 0.5,
     max_band_bucket: int | None = None,
+    b_sizes: DataFrame | None = None,
+    b_hot_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs ACROSS two corpora — the asymmetric
     twin of :func:`minhash_lsh_pairs`, built for the incremental-batch
@@ -547,10 +549,27 @@ def minhash_lsh_pairs_cross(
     as the symmetric cap). The A side (a daily batch, orders of
     magnitude smaller) is left uncapped — a hot A-bucket multiplies
     work by at most |batch|.
+
+    ``b_sizes`` / ``b_hot_buckets``: precomputed B-side aggregates —
+    the ``(id, sz)`` shingle-set sizes and the ``(band, bh)`` keys to
+    drop (census rows already filtered to ``cnt > cap``). When given
+    (the :class:`..signature_store.SignatureStore` persists both as
+    delta-aware artifacts), the two per-batch O(corpus) SHUFFLES this
+    function would otherwise run — ``posts_b.groupBy(id)`` over the
+    corpus postings and the ``drop_hot_buckets`` census over the
+    band-exploded corpus — become narrow artifact scans; the per-call
+    corpus-side cost drops to scan + explode + broadcast-probe, the
+    difference between O(corpus-shuffle)-per-day and
+    O(batch)-per-day at 100 TB. Results are row-identical either way
+    (pinned by ``tests/test_incremental_dedup.py``).
     """
     banded_a = _banded_keys(sig_a, num_hashes, bands)
     banded_b = _banded_keys(sig_b, num_hashes, bands)
-    if max_band_bucket is not None:
+    if b_hot_buckets is not None:
+        banded_b = banded_b.join(
+            b_hot_buckets.select("band", "bh"), ["band", "bh"], "left_anti"
+        )
+    elif max_band_bucket is not None:
         banded_b = drop_hot_buckets(
             banded_b.transform(materialize), ["band", "bh"], max_band_bucket
         )
@@ -582,8 +601,12 @@ def minhash_lsh_pairs_cross(
     sz_a = posts_a.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a")).select(
         F.col("id").alias("id_a"), "sz_a"
     )
-    sz_b = posts_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b")).select(
-        F.col("id").alias("id_b"), "sz_b"
+    sz_b = (
+        b_sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+        if b_sizes is not None
+        else posts_b.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz_b"))
+        .select(F.col("id").alias("id_b"), "sz_b")
     )
     return (
         inter.join(sz_a, "id_a")

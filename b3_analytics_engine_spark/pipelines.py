@@ -401,6 +401,20 @@ def incremental_dedup(
     corpus_sig = store.signatures(
         corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
     )
+    # derived aggregates: shingle-set sizes and the LSH bucket census,
+    # read from delta-aware artifacts so the cross operator runs ZERO
+    # O(corpus) shuffles per batch (its corpus-side work is then scan
+    # + explode + broadcast-probe only)
+    corpus_sizes = store.sizes(
+        corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
+    )
+    hot_buckets = (
+        store.band_census(
+            corpus_df, corpus, id_col, text_col, exclude_batch=commit_batch
+        ).filter(F.col("cnt") > cap)
+        if cap is not None
+        else None
+    )
 
     # tier 1: exact duplicates of corpus content (anti-join on the
     # fingerprint artifact — 16-byte keys, no text in the shuffle)
@@ -436,24 +450,24 @@ def incremental_dedup(
     cross = D.minhash_lsh_pairs_cross(
         batch_posts, batch_sig, corpus_posts, corpus_sig,
         threshold=threshold, max_band_bucket=cap,
+        b_sizes=corpus_sizes, b_hot_buckets=hot_buckets,
     )
     edges = within.select("id_a", "id_b").union(cross.select("id_a", "id_b"))
     comp = D.connected_components(edges)
+    # corpus membership by COMPLEMENT: a CC node is a corpus doc iff
+    # it is not a batch doc — tested against the O(batch) id set (AQE
+    # broadcasts it), never by scanning an O(corpus) artifact
     lab = comp.join(
-        corpus_sig.select(
-            F.col("id").alias("node"), F.lit(True).alias("is_corpus")
-        ),
+        kept.select(F.col(id_col).alias("node"), F.lit(True).alias("is_batch")),
         "node",
         "left",
     )
     verdicts = lab.groupBy("component").agg(
-        F.max(F.coalesce(F.col("is_corpus"), F.lit(False))).alias("has_corpus"),
-        F.min(F.when(F.col("is_corpus").isNull(), F.col("node"))).alias(
-            "min_batch"
-        ),
+        F.max(F.col("is_batch").isNull()).alias("has_corpus"),
+        F.min(F.when(F.col("is_batch"), F.col("node"))).alias("min_batch"),
     )
     drop = (
-        lab.filter(F.col("is_corpus").isNull())
+        lab.filter(F.col("is_batch"))
         .join(verdicts, "component")
         .filter(F.col("has_corpus") | (F.col("node") != F.col("min_batch")))
         .select(F.col("node").alias(id_col))

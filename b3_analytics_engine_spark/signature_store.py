@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    _banded_keys,
     _signatures_from_hashed,
     hashed_postings,
     simhash_signatures,
@@ -94,6 +95,31 @@ class SignatureStore:
 
     def fingerprints_path(self, corpus: str) -> str:
         return os.path.join(self.root, "fingerprints", corpus)
+
+    def sizes_path(self, corpus: str, n: int = 3, portable: bool = False) -> str:
+        return os.path.join(
+            self.root, "doc_sizes", corpus, f"n={n}", f"portable={int(portable)}"
+        )
+
+    def band_census_path(
+        self,
+        corpus: str,
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+        bands: int = 16,
+    ) -> str:
+        return os.path.join(
+            self.root,
+            "band_census",
+            corpus,
+            f"n={n}",
+            f"portable={int(portable)}",
+            f"k={num_hashes}",
+            f"seed={seed}",
+            f"bands={bands}",
+        )
 
     # -------------------------------------------------------- helpers
     def _is_complete(self, path: str) -> bool:
@@ -162,6 +188,24 @@ class SignatureStore:
         return self.spark.read.parquet(
             path, *self._delta_paths(path, exclude=exclude_batch)
         )
+
+    def _sync_deltas(self, dst_path: str, src_path: str, derive) -> None:
+        """Backfill DERIVED-artifact deltas: for every committed delta
+        batch of ``src_path`` with no counterpart under ``dst_path``,
+        compute ``derive(delta_rows)`` and commit it under the same
+        batch name. Keeps delta-name symmetry between a source
+        artifact (postings/signatures) and aggregates derived from it
+        (sizes/band census) — the property ``exclude_batch`` replay
+        correctness rests on — including for stores whose batches were
+        committed before the derived artifact existed. O(delta) per
+        missing batch, never an O(corpus) rewrite."""
+        dst_root = self._delta_root(dst_path)
+        for d in self._delta_paths(src_path):
+            batch = d.rstrip("/").rsplit("/", 1)[-1]
+            if not self._is_complete(os.path.join(dst_root, batch)):
+                self._append_delta(
+                    derive(self.spark.read.parquet(d)), dst_path, batch
+                )
 
     # ------------------------------------------------------ artifacts
     def postings(
@@ -274,6 +318,92 @@ class SignatureStore:
             )
         return self._read(path, exclude_batch)
 
+    # ------------------------------------------ derived aggregates
+    # These exist to kill the two per-batch O(corpus) SHUFFLES the
+    # incremental workflow would otherwise pay inside
+    # ``minhash_lsh_pairs_cross``: the shingle-set sizes
+    # (``posts.groupBy(id).count()`` over the corpus postings — the
+    # largest artifact) and the LSH hot-bucket census
+    # (``groupBy(band, bh)`` over the band-exploded corpus
+    # signatures). Both are pure functions of existing artifacts, so
+    # they are derived read-through (never from raw text) and kept
+    # delta-symmetric with their source via :meth:`_sync_deltas`.
+
+    @staticmethod
+    def _sizes_from_posts(posts: DataFrame) -> DataFrame:
+        return posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    def sizes(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        portable: bool = False,
+        refresh: bool = False,
+        exclude_batch: str | None = None,
+    ) -> DataFrame:
+        """The ``(id, sz)`` shingle-set-size table — one row per
+        document, derived from the postings artifact. Consumers that
+        need ``|set|`` for Jaccard denominators (the cross-corpus
+        verify) read this instead of re-grouping O(total-tokens)
+        postings rows per batch. Ids are disjoint across base and
+        deltas, so the multi-path read needs no re-aggregation."""
+        path = self.sizes_path(corpus, n, portable)
+        ppath = self.postings_path(corpus, n, portable)
+        if refresh or not self._is_complete(path):
+            self.postings(df, corpus, id_col, text_col, n, portable)
+            self._write_atomic(
+                self._sizes_from_posts(self.spark.read.parquet(ppath)), path
+            )
+        self._sync_deltas(path, ppath, self._sizes_from_posts)
+        return self._read(path, exclude_batch)
+
+    def band_census(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+        bands: int = 16,
+        refresh: bool = False,
+        exclude_batch: str | None = None,
+    ) -> DataFrame:
+        """The ``(band, bh, cnt)`` LSH bucket census — how many corpus
+        documents hold each band key, derived from the signatures
+        artifact. The incremental workflow filters ``cnt > cap`` to
+        get the hot-bucket drop set WITHOUT the per-batch
+        O(corpus×bands) census shuffle ``drop_hot_buckets`` would run.
+        Base and delta rows overlap on bucket keys, so the read
+        re-aggregates — over census rows (≤ distinct buckets), not
+        corpus rows."""
+
+        def derive(sig: DataFrame) -> DataFrame:
+            return (
+                _banded_keys(sig, num_hashes, bands)
+                .groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+
+        path = self.band_census_path(corpus, n, portable, num_hashes, seed, bands)
+        spath = self.signatures_path(corpus, n, portable, num_hashes, seed)
+        if refresh or not self._is_complete(path):
+            self.signatures(
+                df, corpus, id_col, text_col, n, portable, num_hashes, seed
+            )
+            self._write_atomic(derive(self.spark.read.parquet(spath)), path)
+        self._sync_deltas(path, spath, derive)
+        return (
+            self._read(path, exclude_batch)
+            .groupBy("band", "bh")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
     # ------------------------------------------------ batch commit
     def append_batch(
         self,
@@ -316,7 +446,9 @@ class SignatureStore:
             F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
         )
         self._append_delta(fps, self.fingerprints_path(corpus), batch)
-        posts = hashed_postings(survivors, id_col, text_col, n, portable)
+        # four delta writes derive from the batch postings — cache once
+        # (O(batch)) and release before returning
+        posts = hashed_postings(survivors, id_col, text_col, n, portable).persist()
         self._append_delta(posts, self.postings_path(corpus, n, portable), batch)
         sig = _signatures_from_hashed(posts, num_hashes, seed)
         self._append_delta(
@@ -324,3 +456,19 @@ class SignatureStore:
             self.signatures_path(corpus, n, portable, num_hashes, seed),
             batch,
         )
+        # derived aggregates ride along when their bases exist (they
+        # are created lazily by sizes()/band_census(); _sync_deltas
+        # backfills any batch committed before that)
+        szp = self.sizes_path(corpus, n, portable)
+        if self._is_complete(szp):
+            self._append_delta(self._sizes_from_posts(posts), szp, batch)
+        bcp = self.band_census_path(corpus, n, portable, num_hashes, seed)
+        if self._is_complete(bcp):
+            self._append_delta(
+                _banded_keys(sig, num_hashes, 16)
+                .groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("cnt")),
+                bcp,
+                batch,
+            )
+        posts.unpersist()

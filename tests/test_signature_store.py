@@ -138,3 +138,128 @@ def test_store_guardrails(spark, docs, tmp_path):
         P.corpus_dedup(docs, "minhash", store=store)
     with pytest.raises(ValueError, match="corpus"):
         P.decontaminate_fuzzy(docs, lambda c: c % 10 == 0, store=store)
+
+
+def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, tmp_path):
+    """(id, sz) must equal posts.groupBy(id).count() computed from
+    scratch — base-only, and again after a delta commit (the commit
+    rides the sizes delta along; ids stay disjoint across parts)."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    from_store = store.sizes(docs, "docs")
+    want = D.hashed_postings(docs, "doc_id", "text").groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    assert _sorted_rows(from_store) == _sorted_rows(want)
+    # the artifact derives from the postings ARTIFACT, not the corpus
+    inputs = store.sizes(None, "docs").inputFiles()
+    assert inputs and all("doc_sizes" in f for f in inputs)
+
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    batch = spark.createDataFrame(
+        [(900001, "a wholly new document about glacier melt rates"),
+         (900002, None)],
+        "doc_id long, text string",
+    )
+    store.append_batch(batch, "docs", "b1")
+    merged = store.sizes(None, "docs")
+    base_n = want.count()
+    # NULL text tokenizes to no shingles -> no postings row -> no size row
+    assert merged.count() == base_n + 1
+    assert merged.filter(F.col("id") == 900001).count() == 1
+    # exclude_batch hides the delta (replay contract)
+    assert store.sizes(None, "docs", exclude_batch="b1").count() == base_n
+
+
+def test_band_census_artifact_matches_scratch_and_backfills(
+    spark, docs, tmp_path
+):
+    """(band, bh, cnt) must equal the census drop_hot_buckets would
+    compute over the band-exploded signatures — base-only and after a
+    commit; and a delta committed BEFORE the census artifact existed
+    is backfilled from the signatures delta (_sync_deltas)."""
+    import shutil
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    batch = spark.createDataFrame(
+        [(900001, "a wholly new document about glacier melt rates")],
+        "doc_id long, text string",
+    )
+    # commit BEFORE the census artifact exists -> backfill path
+    store.append_batch(batch, "docs", "b1")
+
+    got = store.band_census(None, "docs")
+    want = (
+        D._banded_keys(store.signatures(None, "docs"), 64, 16)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # the backfilled delta directory exists under the census tree
+    droot = store._delta_root(store.band_census_path("docs"))
+    assert store._is_complete(os.path.join(droot, "b1"))
+    # excluding the batch reproduces the base-only census
+    base_only = (
+        D._banded_keys(
+            spark.read.parquet(store.signatures_path("docs")), 64, 16
+        )
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _sorted_rows(
+        store.band_census(None, "docs", exclude_batch="b1")
+    ) == _sorted_rows(base_only)
+
+    # a SECOND commit rides along (no backfill needed): delete nothing,
+    # commit b2, census must include it immediately
+    batch2 = spark.createDataFrame(
+        [(900002, "another new document, este sobre ciclos de carbono")],
+        "doc_id long, text string",
+    )
+    store.append_batch(batch2, "docs", "b2")
+    assert store._is_complete(os.path.join(droot, "b2"))
+    got2 = store.band_census(None, "docs")
+    want2 = (
+        D._banded_keys(store.signatures(None, "docs"), 64, 16)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _sorted_rows(got2) == _sorted_rows(want2)
+    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
+
+
+def test_cross_pairs_with_artifact_aggregates_row_identical(
+    spark, docs, tmp_path
+):
+    """minhash_lsh_pairs_cross(b_sizes=..., b_hot_buckets=...) must be
+    row-identical to the self-computing path — same pairs, same
+    jaccard, with and without a binding cap."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    corpus = docs.limit(120)
+    posts_b = store.postings(corpus, "c")
+    sig_b = store.signatures(corpus, "c")
+    sizes_b = store.sizes(corpus, "c")
+    batch = corpus.limit(10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    posts_a = D.hashed_postings(batch, "doc_id", "text")
+    sig_a = D._signatures_from_hashed(posts_a, 64, 42)
+
+    for cap in (None, 2):
+        hot = (
+            store.band_census(None, "c").filter(F.col("cnt") > cap)
+            if cap is not None
+            else None
+        )
+        fast = D.minhash_lsh_pairs_cross(
+            posts_a, sig_a, posts_b, sig_b, threshold=0.3,
+            max_band_bucket=cap, b_sizes=sizes_b, b_hot_buckets=hot,
+        )
+        slow = D.minhash_lsh_pairs_cross(
+            posts_a, sig_a, posts_b, sig_b, threshold=0.3,
+            max_band_bucket=cap,
+        )
+        assert _sorted_rows(fast) == _sorted_rows(slow), f"cap={cap}"

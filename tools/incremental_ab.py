@@ -128,8 +128,18 @@ def main() -> None:
         f"{'snapshot build':>15s}"
     )
 
+    def dir_bytes(path: str) -> int:
+        total = 0
+        for dp, _dn, fn in os.walk(path):
+            for f in fn:
+                total += os.path.getsize(os.path.join(dp, f))
+        return total
+
     rows = []
-    for mult in (1, 8, 32):
+    mults = tuple(
+        int(m) for m in os.environ.get("AB_MULTS", "1,8,64").split(",")
+    )
+    for mult in mults:
         corpus = docs
         if mult > 1:
             # 32-token filler: heavy enough that arm A's per-doc
@@ -168,8 +178,19 @@ def main() -> None:
             t0 = time.perf_counter()
             store.fingerprints(corpus, "c")
             store.signatures(corpus, "c")  # builds postings too
+            store.sizes(corpus, "c")  # derived aggregates: pay once
+            store.band_census(corpus, "c")
             build = time.perf_counter() - t0
             _unpersist_all(spark)
+            # the I/O story wall time can't show at toy scale: arm A
+            # re-reads + re-tokenizes every corpus text byte per run;
+            # arm B's corpus-side input is the artifact parquet alone
+            text_mb = (
+                corpus.select(
+                    F.sum(F.octet_length("text")).alias("b")
+                ).first()["b"] or 0
+            ) / 1e6
+            art_mb = dir_bytes(root) / 1e6
 
             if mult == 1:
                 arm_b().write.format("noop").mode("overwrite").save()
@@ -178,6 +199,7 @@ def main() -> None:
             rows.append((n_total, a_sec, b_sec, build))
             print(
                 f"{n_total:8d} {a_sec:14.3f}s {b_sec:14.3f}s {build:14.3f}s"
+                f"   text={text_mb:8.1f}MB artifacts={art_mb:8.1f}MB"
             )
 
             if mult == 1:
