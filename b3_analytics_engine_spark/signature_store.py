@@ -170,12 +170,22 @@ class SignatureStore:
                 out.append(d)
         return sorted(out)
 
+    #: file-count ceiling per delta directory. A batch is orders of
+    #: magnitude smaller than the corpus, but its frame inherits the
+    #: session's partition count — without a coalesce, thousands of
+    #: committed epochs × 32 tiny files each is a metadata-operation
+    #: DDoS on an object store. 4 keeps small-batch deltas compact
+    #: while still letting a genuinely large backfill batch write in
+    #: parallel via... nothing — backfills that big should refresh the
+    #: base instead (or run compact() after).
+    DELTA_MAX_FILES = 4
+
     def _append_delta(self, df: DataFrame, path: str, batch: str) -> None:
         if "/" in batch or batch.startswith((".", "_")):
             raise ValueError(f"invalid batch name: {batch!r}")
         dst = os.path.join(self._delta_root(path), batch)
         tmp = dst.rstrip("/") + "__staging"
-        df.write.mode("overwrite").parquet(tmp)
+        df.coalesce(self.DELTA_MAX_FILES).write.mode("overwrite").parquet(tmp)
         replace_directory(self.spark, tmp, dst)
 
     def _read(self, path: str, exclude_batch: str | None = None) -> DataFrame:
@@ -403,6 +413,60 @@ class SignatureStore:
             .groupBy("band", "bh")
             .agg(F.sum("cnt").alias("cnt"))
         )
+
+    # ------------------------------------------------- compaction
+    def compact(
+        self,
+        corpus: str,
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+    ) -> int:
+        """Fold every committed delta batch into each artifact's base
+        and clear the delta tree — the periodic maintenance pass a
+        long-running incremental pipeline schedules (daily/weekly) so
+        file counts stay O(artifacts), not O(epochs × files-per-delta).
+
+        Row-preserving by construction: fingerprints / postings /
+        signatures / sizes deltas are id-disjoint with the base, so
+        the new base is the plain union; the band census re-aggregates
+        ``sum(cnt)`` over bucket keys. Each rewrite goes through the
+        same staging + atomic-rename + ``_SUCCESS`` gate as any base
+        write (``_write_atomic`` clears that artifact's deltas in the
+        same step), so a reader never sees a half-compacted artifact
+        and a crash mid-compaction leaves later artifacts merely
+        un-compacted, not wrong. Returns the number of delta batches
+        folded in (0 = nothing to do). Run inside a quiescent window —
+        no concurrent ``append_batch`` (a delta committed between an
+        artifact's read and its swap would be dropped) and no
+        concurrent readers of the SAME corpus (between the base swap
+        and the delta-tree clear a reader would double-count; plain
+        directories cannot give snapshot isolation — the standard
+        lakehouse maintenance-window contract).
+        """
+        targets = [
+            self.fingerprints_path(corpus),
+            self.postings_path(corpus, n, portable),
+            self.signatures_path(corpus, n, portable, num_hashes, seed),
+            self.sizes_path(corpus, n, portable),
+            self.band_census_path(corpus, n, portable, num_hashes, seed),
+        ]
+        folded = 0
+        for path in targets:
+            if not self._is_complete(path):
+                continue  # derived artifact never materialized — skip
+            deltas = self._delta_paths(path)
+            if not deltas:
+                continue
+            merged = self._read(path)
+            if path.startswith(os.path.join(self.root, "band_census")):
+                merged = merged.groupBy("band", "bh").agg(
+                    F.sum("cnt").alias("cnt")
+                )
+            self._write_atomic(merged, path)
+            folded = max(folded, len(deltas))
+        return folded
 
     # ------------------------------------------------ batch commit
     def append_batch(

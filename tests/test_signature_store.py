@@ -263,3 +263,57 @@ def test_cross_pairs_with_artifact_aggregates_row_identical(
             max_band_bucket=cap,
         )
         assert _sorted_rows(fast) == _sorted_rows(slow), f"cap={cap}"
+
+
+def test_compact_folds_deltas_row_identically(spark, docs, tmp_path):
+    """compact(): every artifact's post-compaction base must read
+    row-identical to the pre-compaction base+deltas view, delta trees
+    must be gone, and file counts bounded (DELTA_MAX_FILES per delta
+    before; one base dir after)."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.sizes(docs, "docs")
+    store.band_census(docs, "docs")
+    for i, txt in enumerate(
+        ["glacier melt rates in the northern fjords",
+         "carbon cycling of peat bogs across seasons"]
+    ):
+        store.append_batch(
+            spark.createDataFrame(
+                [(900001 + i, txt)], "doc_id long, text string"
+            ),
+            "docs",
+            f"b{i}",
+        )
+    # per-delta file bound
+    droot = store._delta_root(store.postings_path("docs"))
+    files = glob.glob(os.path.join(droot, "b0", "*.parquet"))
+    assert 1 <= len(files) <= SignatureStore.DELTA_MAX_FILES
+
+    before = {
+        "fps": _sorted_rows(store.fingerprints(None, "docs")),
+        "posts": _sorted_rows(store.postings(None, "docs")),
+        "sig": _sorted_rows(store.signatures(None, "docs")),
+        "sz": _sorted_rows(store.sizes(None, "docs")),
+        "census": _sorted_rows(store.band_census(None, "docs")),
+    }
+    assert store.compact("docs") == 2
+    after = {
+        "fps": _sorted_rows(store.fingerprints(None, "docs")),
+        "posts": _sorted_rows(store.postings(None, "docs")),
+        "sig": _sorted_rows(store.signatures(None, "docs")),
+        "sz": _sorted_rows(store.sizes(None, "docs")),
+        "census": _sorted_rows(store.band_census(None, "docs")),
+    }
+    assert before == after
+    for path in (
+        store.fingerprints_path("docs"),
+        store.postings_path("docs"),
+        store.signatures_path("docs"),
+        store.sizes_path("docs"),
+        store.band_census_path("docs"),
+    ):
+        assert store._delta_paths(path) == []
+    # idempotent: nothing left to fold
+    assert store.compact("docs") == 0
