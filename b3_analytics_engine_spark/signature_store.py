@@ -159,16 +159,37 @@ class SignatureStore:
         droot = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
         if not fs.exists(droot):
             return []
+        folded = self._folded_names(path)
         out = []
         for st in fs.listStatus(droot):
             if not st.isDirectory():
                 continue
             d = st.getPath().toString()
-            if exclude is not None and st.getPath().getName() == exclude:
+            name = st.getPath().getName()
+            if exclude is not None and name == exclude:
+                continue
+            if name in folded:
+                # already folded into the base by compact(); the dir is
+                # a GC leftover (crash between swap and delete) — skip
+                # it so reads never double-count
                 continue
             if self._is_complete(d):
                 out.append(d)
         return sorted(out)
+
+    # folded-batch markers: compact() publishes ``_folded/<batch>``
+    # marker files INSIDE the new base directory in the same atomic
+    # rename that publishes the folded rows, so "this delta is in the
+    # base now" and the base itself can never disagree — a crash
+    # between the swap and the delta-dir GC leaves a leftover dir that
+    # readers skip via the marker, not a double-count. Underscore
+    # prefix keeps Spark/Hadoop input listing from ever scanning it.
+    def _folded_names(self, path: str) -> set[str]:
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        froot = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_folded"))
+        if not fs.exists(froot):
+            return set()
+        return {st.getPath().getName() for st in fs.listStatus(froot)}
 
     #: file-count ceiling per delta directory. A batch is orders of
     #: magnitude smaller than the corpus, but its frame inherits the
@@ -183,6 +204,17 @@ class SignatureStore:
     def _append_delta(self, df: DataFrame, path: str, batch: str) -> None:
         if "/" in batch or batch.startswith((".", "_")):
             raise ValueError(f"invalid batch name: {batch!r}")
+        if batch in self._folded_names(path):
+            # a committed-then-compacted name can never be replayed:
+            # its rows live in the base, so exclude_batch can't hide
+            # them and a re-commit would be silently invisible to
+            # reads. Only compact epochs that can no longer replay
+            # (compact(exclude=current)); anything else is misuse.
+            raise ValueError(
+                f"batch {batch!r} was already folded into the base of "
+                f"{path} by compact(); re-committing it would be "
+                "unreadable — use a new batch name or refresh the base"
+            )
         dst = os.path.join(self._delta_root(path), batch)
         tmp = dst.rstrip("/") + "__staging"
         df.coalesce(self.DELTA_MAX_FILES).write.mode("overwrite").parquet(tmp)
@@ -422,29 +454,57 @@ class SignatureStore:
         portable: bool = False,
         num_hashes: int = 64,
         seed: int = 42,
+        exclude: str | None = None,
     ) -> int:
-        """Fold every committed delta batch into each artifact's base
-        and clear the delta tree — the periodic maintenance pass a
-        long-running incremental pipeline schedules (daily/weekly) so
-        file counts stay O(artifacts), not O(epochs × files-per-delta).
+        """Fold committed delta batches into each artifact's base and
+        GC their directories — the periodic maintenance pass a
+        long-running incremental pipeline schedules so file counts
+        stay O(artifacts), not O(epochs × files-per-delta).
 
         Row-preserving by construction: fingerprints / postings /
         signatures / sizes deltas are id-disjoint with the base, so
         the new base is the plain union; the band census re-aggregates
-        ``sum(cnt)`` over bucket keys. Each rewrite goes through the
-        same staging + atomic-rename + ``_SUCCESS`` gate as any base
-        write (``_write_atomic`` clears that artifact's deltas in the
-        same step), so a reader never sees a half-compacted artifact
-        and a crash mid-compaction leaves later artifacts merely
-        un-compacted, not wrong. Returns the number of delta batches
-        folded in (0 = nothing to do). Run inside a quiescent window —
-        no concurrent ``append_batch`` (a delta committed between an
-        artifact's read and its swap would be dropped) and no
-        concurrent readers of the SAME corpus (between the base swap
-        and the delta-tree clear a reader would double-count; plain
-        directories cannot give snapshot isolation — the standard
-        lakehouse maintenance-window contract).
+        ``sum(cnt)`` over bucket keys.
+
+        Crash-safe by marker: the new base directory is staged with
+        ``_folded/<batch>`` marker files inside it and published in
+        ONE atomic rename, so the folded rows and the fact that their
+        delta is folded can never disagree — a crash between the swap
+        and the delta-dir GC leaves a leftover directory that every
+        read skips via the marker (no double-count), and the next
+        compact GCs it. A crash before the swap changes nothing.
+        Artifacts compact independently; a crash mid-pass leaves later
+        artifacts merely un-compacted, never wrong.
+
+        ``exclude`` keeps that one delta batch out of the fold — the
+        replay hook: a streaming epoch may compact INSIDE its own
+        ``foreachBatch`` body (older epochs can no longer replay once
+        this epoch started) but must exclude its own just-committed
+        delta, because this epoch CAN still replay and a replay's
+        ``exclude_batch`` read cannot hide rows that were folded into
+        the base. ``_append_delta`` refuses to re-commit a folded name
+        for the same reason.
+
+        Returns the max number of delta batches folded across the
+        artifacts (0 = nothing to do). Requires no concurrent
+        ``append_batch`` on this corpus (a delta committed between an
+        artifact's read and its swap would be dropped) — inside a
+        serialized ``foreachBatch`` epoch this holds by construction.
         """
+        # backfill derived-artifact deltas BEFORE folding their source:
+        # once a postings/signatures delta is folded into the base its
+        # directory is gone, and _sync_deltas could never reconstruct
+        # the per-batch sizes/census rows for a batch committed before
+        # the derived artifact existed
+        if self._is_complete(self.sizes_path(corpus, n, portable)):
+            self.sizes(None, corpus, n=n, portable=portable)
+        if self._is_complete(
+            self.band_census_path(corpus, n, portable, num_hashes, seed)
+        ):
+            self.band_census(
+                None, corpus, n=n, portable=portable,
+                num_hashes=num_hashes, seed=seed,
+            )
         targets = [
             self.fingerprints_path(corpus),
             self.postings_path(corpus, n, portable),
@@ -456,16 +516,36 @@ class SignatureStore:
         for path in targets:
             if not self._is_complete(path):
                 continue  # derived artifact never materialized — skip
-            deltas = self._delta_paths(path)
+            jvm, fs, _ = _hadoop_fs(self.spark, path)
+            hp = jvm.org.apache.hadoop.fs.Path
+            droot = self._delta_root(path)
+            # sweep leftovers of a crashed earlier GC first (dirs whose
+            # names are already markered as folded): reads were already
+            # skipping them, this just reclaims the space
+            for nm in self._folded_names(path):
+                left = hp(os.path.join(droot, nm))
+                if fs.exists(left):
+                    fs.delete(left, True)
+            deltas = self._delta_paths(path, exclude=exclude)
             if not deltas:
                 continue
-            merged = self._read(path)
+            names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+            merged = self.spark.read.parquet(path, *deltas)
             if path.startswith(os.path.join(self.root, "band_census")):
                 merged = merged.groupBy("band", "bh").agg(
                     F.sum("cnt").alias("cnt")
                 )
-            self._write_atomic(merged, path)
-            folded = max(folded, len(deltas))
+            tmp = path.rstrip("/") + "__staging"
+            merged.write.mode("overwrite").parquet(tmp)
+            # markers ride the staging dir into the atomic swap: the
+            # folded rows and the folded-ness of their deltas publish
+            # together or not at all
+            for nm in names:
+                fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+            replace_directory(self.spark, tmp, path)
+            for nm in names:  # GC; markers make this safe to crash
+                fs.delete(hp(os.path.join(droot, nm)), True)
+            folded = max(folded, len(names))
         return folded
 
     # ------------------------------------------------ batch commit

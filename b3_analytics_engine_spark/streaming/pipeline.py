@@ -258,6 +258,7 @@ def incremental_dedup_micro_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    compact_every: int | None = None,
 ) -> None:
     """``foreachBatch`` body of :func:`start_incremental_dedup` — one
     epoch of continuous corpus growth. Exposed at module level so
@@ -278,11 +279,22 @@ def incremental_dedup_micro_batch(
     the lake write dynamic-partition-overwrites only ``_epoch=<id>``
     (``session.py`` sets ``partitionOverwriteMode=dynamic``; pinned by
     ``tests/test_incremental_dedup.py``).
+
+    ``compact_every``: every N epochs, fold accumulated store deltas
+    into the artifact bases (``SignatureStore.compact``) so a stream
+    that runs for months keeps O(artifacts) files, not O(epochs).
+    Safe inside the epoch body: ``foreachBatch`` epochs are
+    serialized, so no append races, and epochs before this one can no
+    longer replay — the current epoch's OWN delta is excluded from
+    the fold (``exclude=``) because this epoch still can, and a
+    replay's ``exclude_batch`` read cannot hide rows already folded
+    into the base.
     """
     from .. import pipelines as P
 
     if batch_df.isEmpty():
         return
+    name = f"epoch-{int(epoch_id)}"
     survivors = P.incremental_dedup(
         batch_df,
         store,
@@ -290,7 +302,7 @@ def incremental_dedup_micro_batch(
         id_col=id_col,
         text_col=text_col,
         threshold=threshold,
-        commit_batch=f"epoch-{int(epoch_id)}",
+        commit_batch=name,
     )
     (
         survivors.withColumn("_epoch", F.lit(int(epoch_id)))
@@ -299,6 +311,8 @@ def incremental_dedup_micro_batch(
         .parquet(output_path)
     )
     survivors.unpersist()
+    if compact_every and int(epoch_id) % compact_every == compact_every - 1:
+        store.compact(corpus, exclude=name)
 
 
 def start_incremental_dedup(
@@ -311,6 +325,7 @@ def start_incremental_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Continuous dedup ingestion: an append stream of new documents →
     ``foreachBatch`` → :func:`incremental_dedup_micro_batch`. Each
@@ -332,6 +347,7 @@ def start_incremental_dedup(
         incremental_dedup_micro_batch(
             batch_df, epoch_id, store, corpus, output_path,
             id_col=id_col, text_col=text_col, threshold=threshold,
+            compact_every=compact_every,
         )
 
     writer = stream_df.writeStream.foreachBatch(_run).option(

@@ -331,3 +331,49 @@ def test_streaming_incremental_dedup_end_to_end(
     assert sorted(
         r["id"] for r in store.fingerprints(None, "c").select("id").collect()
     ) == [0, 1, 2, 102, 105, 106, 107, 302, 303]
+
+
+def test_micro_batch_replay_stays_idempotent_with_compaction(
+    spark, tmp_path, corpus_rows, batch_rows
+):
+    """compact_every=1 compacts INSIDE the epoch body but excludes the
+    epoch's own delta — so an at-least-once replay of that same epoch
+    must still produce identical state (the folded older deltas are in
+    the base; the epoch's delta is still hideable via exclude_batch)."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        incremental_dedup_micro_batch,
+    )
+
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+    out = str(tmp_path / "lake")
+
+    # epoch 0 commits + compacts (no older deltas to fold yet)
+    incremental_dedup_micro_batch(
+        _df(spark, batch_rows), 0, store, "c", out,
+        threshold=0.5, compact_every=1,
+    )
+    # epoch 1 folds epoch-0's delta into the base, then... replays
+    for _ in range(2):
+        incremental_dedup_micro_batch(
+            _df(spark, BATCH2_ROWS), 1, store, "c", out,
+            threshold=0.5, compact_every=1,
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [
+            (0, 102), (0, 105), (0, 106), (0, 107),
+            (1, 302), (1, 303),
+        ]
+        assert sorted(
+            r["id"]
+            for r in store.fingerprints(None, "c").select("id").collect()
+        ) == [0, 1, 2, 102, 105, 106, 107, 302, 303]
+    # epoch-0's delta is folded; epoch-1's is still a live directory
+    fpath = store.fingerprints_path("c")
+    assert "epoch-0" in store._folded_names(fpath)
+    live = [d.rsplit("/", 1)[-1] for d in store._delta_paths(fpath)]
+    assert live == ["epoch-1"]

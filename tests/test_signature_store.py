@@ -317,3 +317,131 @@ def test_compact_folds_deltas_row_identically(spark, docs, tmp_path):
         assert store._delta_paths(path) == []
     # idempotent: nothing left to fold
     assert store.compact("docs") == 0
+
+
+def test_compact_exclude_preserves_replayability(spark, docs, tmp_path):
+    """compact(exclude=current) must leave the excluded delta as a
+    directory so an at-least-once replay of that batch can still hide
+    it via exclude_batch — and must refuse (via _append_delta) to
+    re-commit any FOLDED name, whose rows exclude_batch can no longer
+    hide."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    for i in range(3):
+        store.append_batch(
+            spark.createDataFrame(
+                [(900001 + i, f"unique new document number {i} about "
+                              f"topic{i} and subject{i}")],
+                "doc_id long, text string",
+            ),
+            "docs",
+            f"epoch-{i}",
+        )
+    total = store.fingerprints(None, "docs").count()
+    assert store.compact("docs", exclude="epoch-2") == 2
+    # folded epochs 0/1 are in the base; epoch-2 is still a live delta
+    assert store._delta_paths(store.fingerprints_path("docs")) != []
+    assert store.fingerprints(None, "docs").count() == total
+    # the replay read still hides epoch-2 (exactly 1 row less)
+    assert (
+        store.fingerprints(None, "docs", exclude_batch="epoch-2").count()
+        == total - 1
+    )
+    # ... but can NOT hide the folded epochs
+    assert (
+        store.fingerprints(None, "docs", exclude_batch="epoch-1").count()
+        == total
+    )
+    # re-committing a folded name is refused loudly
+    with pytest.raises(ValueError, match="folded"):
+        store.append_batch(
+            spark.createDataFrame(
+                [(900099, "anything")], "doc_id long, text string"
+            ),
+            "docs",
+            "epoch-1",
+        )
+    # re-committing the EXCLUDED (still-live) name stays legal: replace
+    store.append_batch(
+        spark.createDataFrame(
+            [(900003, "unique new document number 2 about topic2 "
+                      "and subject2")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "epoch-2",
+    )
+    assert store.fingerprints(None, "docs").count() == total
+
+
+def test_compact_marker_makes_gc_crash_invisible(spark, docs, tmp_path):
+    """A leftover delta directory whose name is in the _folded marker
+    (GC crashed between base swap and delete) must be skipped by every
+    read — no double count — and the next compact must GC it."""
+    import shutil
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    batch = spark.createDataFrame(
+        [(900001, "a unique document about tidal marsh sediments")],
+        "doc_id long, text string",
+    )
+    store.append_batch(batch, "docs", "b1")
+    path = store.fingerprints_path("docs")
+    d1 = os.path.join(store._delta_root(path), "b1")
+    saved = str(tmp_path / "saved_b1")
+    shutil.copytree(d1, saved)
+    total = store.fingerprints(None, "docs").count()
+
+    assert store.compact("docs") == 1
+    # simulate the GC crash: the folded dir reappears
+    shutil.copytree(saved, d1)
+    assert "b1" in store._folded_names(path)
+    assert store._delta_paths(path) == []  # marker hides it
+    assert store.fingerprints(None, "docs").count() == total  # no dup
+    store.compact("docs")  # GC sweeps the leftover
+    assert not os.path.exists(d1)
+
+
+def test_compact_backfills_derived_before_folding_source(
+    spark, docs, tmp_path
+):
+    """A batch committed BEFORE the sizes artifact existed must
+    survive compaction: compact syncs the derived deltas first, else
+    folding the postings delta would destroy the only source the
+    backfill can derive from."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.append_batch(
+        spark.createDataFrame(
+            [(900001, "a unique document about alpine lichen growth")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    # derived artifacts materialize AFTER the commit...
+    store.sizes(docs, "docs")
+    store.band_census(docs, "docs")
+    # ...wipe their b1 deltas to simulate "existed but not synced yet"
+    import shutil
+
+    for p in (store.sizes_path("docs"), store.band_census_path("docs")):
+        shutil.rmtree(os.path.join(store._delta_root(p), "b1"),
+                      ignore_errors=True)
+    store.compact("docs")
+    # the batch doc's size row survived the fold
+    assert store.sizes(None, "docs").filter(
+        F.col("id") == 900001
+    ).count() == 1
+    # and the census total equals a from-scratch census of the full
+    # post-compaction signature base
+    want = (
+        D._banded_keys(store.signatures(None, "docs"), 64, 16)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _sorted_rows(store.band_census(None, "docs")) == _sorted_rows(want)
