@@ -396,6 +396,73 @@ def cosine_ann_ivf(
     )
 
 
+def cosine_ann_ivf_indexed(
+    store,
+    corpus: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 3,
+    exclude_batch: str | None = None,
+) -> DataFrame:
+    """IVF ANN against a PERSISTED index — the production twin of
+    :func:`cosine_ann_ivf`, which trains + assigns from the corpus
+    frame on every call. Here the coarse quantizer and the
+    cell-partitioned ``(cell, id, v)`` inverted file live in a
+    :class:`..signature_store.SignatureStore` (``ivf_index`` /
+    ``ivf_append``): a probe loads the tiny centroid table, assigns
+    the query vectors (one Arrow matmul over the SMALL side), collects
+    the ≤ ``n_centroids`` probed cell ids, and reads ONLY those cell
+    directories — Spark partition pruning is the inverted-file read.
+    Per-probe cost is O(cells probed), independent of corpus size;
+    daily embedding batches enter via O(batch) ``ivf_append`` deltas
+    with no retrain. Row-identical to :func:`cosine_ann_ivf` on the
+    same corpus/params (same deterministic training — pinned by
+    ``tests/test_ivf_index.py``)."""
+    from pyspark.sql import Window
+
+    C = store.ivf_centroids(
+        None, corpus, n_centroids=n_centroids, iters=kmeans_iters
+    )
+    q = queries.select(F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"))
+    q_cells = ivf_assignments(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_v")),
+        C, query_id_col, "_v", nprobe=nprobe,
+    )
+    # bounded driver collect: ≤ n_centroids ints — the probe set
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    idx = store.ivf_index(
+        None, corpus, n_centroids=n_centroids, iters=kmeans_iters,
+        exclude_batch=exclude_batch,
+    ).filter(F.col("cell").isin(probed))
+    # no distinct needed: ids are unique across base ∪ deltas (the
+    # store's keying contract) and each lives in exactly one cell
+    # (corpus-side nprobe=1), so a (query, neighbor) pair occurs once
+    scored = (
+        idx.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("id") != F.col(query_id_col))
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("_qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.999,

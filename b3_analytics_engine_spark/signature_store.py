@@ -514,39 +514,251 @@ class SignatureStore:
         ]
         folded = 0
         for path in targets:
-            if not self._is_complete(path):
-                continue  # derived artifact never materialized — skip
-            jvm, fs, _ = _hadoop_fs(self.spark, path)
-            hp = jvm.org.apache.hadoop.fs.Path
-            droot = self._delta_root(path)
-            # sweep leftovers of a crashed earlier GC first (dirs whose
-            # names are already markered as folded): reads were already
-            # skipping them, this just reclaims the space
-            for nm in self._folded_names(path):
-                left = hp(os.path.join(droot, nm))
-                if fs.exists(left):
-                    fs.delete(left, True)
-            deltas = self._delta_paths(path, exclude=exclude)
-            if not deltas:
-                continue
-            names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
-            merged = self.spark.read.parquet(path, *deltas)
-            if path.startswith(os.path.join(self.root, "band_census")):
-                merged = merged.groupBy("band", "bh").agg(
-                    F.sum("cnt").alias("cnt")
-                )
-            tmp = path.rstrip("/") + "__staging"
-            merged.write.mode("overwrite").parquet(tmp)
-            # markers ride the staging dir into the atomic swap: the
-            # folded rows and the folded-ness of their deltas publish
-            # together or not at all
-            for nm in names:
-                fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
-            replace_directory(self.spark, tmp, path)
-            for nm in names:  # GC; markers make this safe to crash
-                fs.delete(hp(os.path.join(droot, nm)), True)
-            folded = max(folded, len(names))
+            reagg = (
+                (lambda m: m.groupBy("band", "bh").agg(F.sum("cnt").alias("cnt")))
+                if path.startswith(os.path.join(self.root, "band_census"))
+                else None
+            )
+            folded = max(folded, self._compact_one(path, exclude, reagg))
         return folded
+
+    def _compact_one(
+        self,
+        path: str,
+        exclude: str | None = None,
+        reagg=None,
+        partition_by: str | None = None,
+    ) -> int:
+        """Fold one artifact's deltas into its base with the marker
+        protocol (see :meth:`compact`). Returns #deltas folded."""
+        if not self._is_complete(path):
+            return 0  # derived artifact never materialized — skip
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        hp = jvm.org.apache.hadoop.fs.Path
+        droot = self._delta_root(path)
+        # sweep leftovers of a crashed earlier GC first (dirs whose
+        # names are already markered as folded): reads were already
+        # skipping them, this just reclaims the space
+        for nm in self._folded_names(path):
+            left = hp(os.path.join(droot, nm))
+            if fs.exists(left):
+                fs.delete(left, True)
+        deltas = self._delta_paths(path, exclude=exclude)
+        if not deltas:
+            return 0
+        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        if partition_by is None:
+            merged = self.spark.read.parquet(path, *deltas)
+        else:
+            # per-root reads (each root is its own partitioned table)
+            merged = self.spark.read.parquet(path)
+            for d in deltas:
+                merged = merged.unionByName(self.spark.read.parquet(d))
+        if reagg is not None:
+            merged = reagg(merged)
+        tmp = path.rstrip("/") + "__staging"
+        w = merged.write.mode("overwrite")
+        if partition_by is not None:
+            # static per-write: dynamic mode skips the _SUCCESS marker
+            w = w.option("partitionOverwriteMode", "static").partitionBy(
+                partition_by
+            )
+        w.parquet(tmp)
+        # markers ride the staging dir into the atomic swap: the
+        # folded rows and the folded-ness of their deltas publish
+        # together or not at all
+        for nm in names:
+            fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        replace_directory(self.spark, tmp, path)
+        for nm in names:  # GC; markers make this safe to crash
+            fs.delete(hp(os.path.join(droot, nm)), True)
+        return len(names)
+
+    # ------------------------------------------- IVF vector index
+    # The embedding twin of the MinHash artifacts: train the coarse
+    # quantizer ONCE, persist (cell, id, v) PARTITIONED BY CELL, and
+    # let every probe read only its nprobe cells via Spark partition
+    # pruning — the inverted-file read, expressed as a lake layout.
+    # At 100 TB the per-query cost is O(cells probed), never
+    # O(corpus); daily embedding batches append as cell-partitioned
+    # deltas (no retrain — standard IVF; refresh=True retrains).
+
+    def ivf_centroids_path(
+        self, corpus: str, n_centroids: int = 16, iters: int = 3
+    ) -> str:
+        return os.path.join(
+            self.root, "ivf_centroids", corpus,
+            f"c={n_centroids}", f"iters={iters}",
+        )
+
+    def ivf_index_path(
+        self, corpus: str, n_centroids: int = 16, iters: int = 3
+    ) -> str:
+        return os.path.join(
+            self.root, "ivf_index", corpus,
+            f"c={n_centroids}", f"iters={iters}",
+        )
+
+    def ivf_centroids(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        iters: int = 3,
+        refresh: bool = False,
+    ):
+        """The trained coarse-quantizer centroids as an ``ndarray``
+        ordered by cell id — computed from ``df`` once
+        (:func:`..operators.similarity.kmeans_centroids`: bounded
+        hash-sample + driver Lloyd, deterministic) and persisted as a
+        tiny ``(cell, v)`` Parquet. ``n_centroids × dim`` doubles —
+        always driver-safe to collect."""
+        from .operators.similarity import kmeans_centroids
+
+        import numpy as np
+
+        path = self.ivf_centroids_path(corpus, n_centroids, iters)
+        if refresh or not self._is_complete(path):
+            C = kmeans_centroids(
+                df, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters
+            )
+            rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+            self._write_atomic(
+                self.spark.createDataFrame(
+                    rows, "cell int, v array<double>"
+                ).coalesce(1),
+                path,
+            )
+        got = sorted(
+            self.spark.read.parquet(path).collect(), key=lambda r: r["cell"]
+        )
+        return np.asarray([r["v"] for r in got], dtype=np.float64)
+
+    def _ivf_rows(
+        self, df: DataFrame, centroids, id_col: str, vec_col: str
+    ) -> DataFrame:
+        from .operators.similarity import _dbl, ivf_assignments
+
+        assigned = ivf_assignments(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+            centroids, "id", "_v", nprobe=1,
+        )
+        vecs = df.select(
+            F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")
+        )
+        return assigned.join(vecs, "id").select("cell", "id", "v")
+
+    def _write_partitioned(self, df: DataFrame, path: str) -> None:
+        """_write_atomic, but partitioned by ``cell`` so probes prune."""
+        tmp = path.rstrip("/") + "__staging"
+        # static overwrite per-write: the session's dynamic
+        # partitionOverwriteMode skips the _SUCCESS marker the
+        # completeness gate needs, and staging dirs are fresh anyway
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cell").parquet(tmp)
+        replace_directory(self.spark, tmp, path)
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        dp = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
+        if fs.exists(dp):
+            fs.delete(dp, True)
+
+    def ivf_index(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        iters: int = 3,
+        refresh: bool = False,
+        exclude_batch: str | None = None,
+    ) -> DataFrame:
+        """The ``(cell, id, v)`` inverted file, PARTITIONED BY CELL —
+        one corpus scan to build (assign + join, Arrow matmul per
+        batch), then every probe filters ``cell IN (probed)`` and
+        Spark's partition pruning reads only those directories, base
+        and deltas alike. Vectors are stored cast to double so scores
+        are bit-stable."""
+        path = self.ivf_index_path(corpus, n_centroids, iters)
+        if refresh or not self._is_complete(path):
+            C = self.ivf_centroids(
+                df, corpus, id_col, vec_col, n_centroids, iters,
+                refresh=refresh,
+            )
+            self._write_partitioned(
+                self._ivf_rows(df, C, id_col, vec_col), path
+            )
+        # per-root reads + union, NOT one multi-path read: each root
+        # (base, each delta) is its own partitioned table, so Spark's
+        # partition discovery — and the pruning a probe's
+        # ``cell IN (...)`` filter relies on — works per scan; a
+        # multi-path read would try to infer one partition scheme
+        # across roots of different depths
+        out = self.spark.read.parquet(path)
+        for d in self._delta_paths(path, exclude=exclude_batch):
+            out = out.unionByName(self.spark.read.parquet(d))
+        return out.select("cell", "id", "v")
+
+    def ivf_append(
+        self,
+        new_df: DataFrame,
+        corpus: str,
+        batch: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        iters: int = 3,
+    ) -> None:
+        """Commit a batch of NEW vectors into the index as an
+        O(batch), cell-partitioned delta: assign against the EXISTING
+        centroids (no retrain — the standard IVF append; cell quality
+        degrades only if the distribution drifts, at which point
+        ``ivf_index(refresh=True)`` retrains). Same ``__delta/<batch>``
+        mechanics as the MinHash artifacts: atomic, idempotent on
+        re-commit, folded-name refusal, ``exclude_batch``-hideable."""
+        path = self.ivf_index_path(corpus, n_centroids, iters)
+        if not self._is_complete(path):
+            raise ValueError(
+                f"corpus {corpus!r} has no IVF index at {path}; build it "
+                "first (ivf_index with the corpus frame)"
+            )
+        if batch in self._folded_names(path):
+            raise ValueError(
+                f"batch {batch!r} was already folded into the base of "
+                f"{path} by compact(); use a new batch name"
+            )
+        C = self.ivf_centroids(
+            None, corpus, id_col, vec_col, n_centroids, iters
+        )
+        rows = self._ivf_rows(new_df, C, id_col, vec_col)
+        dst = os.path.join(self._delta_root(path), batch)
+        tmp = dst.rstrip("/") + "__staging"
+        rows.coalesce(self.DELTA_MAX_FILES).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "cell"
+        ).parquet(tmp)
+        replace_directory(self.spark, tmp, dst)
+
+    def ivf_compact(
+        self,
+        corpus: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+        exclude: str | None = None,
+    ) -> int:
+        """:meth:`compact` for the IVF index: fold appended vector
+        deltas into the cell-partitioned base (same marker protocol,
+        same quiescent-window and ``exclude`` contracts), preserving
+        the partition layout probes prune on."""
+        return self._compact_one(
+            self.ivf_index_path(corpus, n_centroids, iters),
+            exclude=exclude,
+            partition_by="cell",
+        )
 
     # ------------------------------------------------ batch commit
     def append_batch(

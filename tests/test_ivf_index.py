@@ -1,0 +1,152 @@
+"""Persisted IVF vector index: the SignatureStore's embedding twin.
+
+Invariants under test:
+- the indexed probe (`cosine_ann_ivf_indexed`) is ROW-IDENTICAL to the
+  self-training `cosine_ann_ivf` on the same corpus/params (training
+  is deterministic, so the persisted quantizer equals the recomputed
+  one);
+- probes actually PRUNE: the index scan's input files cover only the
+  probed ``cell=`` directories — the inverted-file read expressed as
+  Spark partition pruning;
+- `ivf_append` makes new vectors searchable as O(batch) deltas without
+  retraining, `exclude_batch` hides an in-flight batch (replay hook),
+  and `ivf_compact` folds deltas while preserving the partition layout
+  pruning relies on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from b3_analytics_engine_spark.operators.similarity import (
+    cosine_ann_ivf,
+    cosine_ann_ivf_indexed,
+)
+from b3_analytics_engine_spark.signature_store import SignatureStore
+from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
+
+PARAMS = dict(n_centroids=8, kmeans_iters=2, nprobe=3)
+
+
+@pytest.fixture()
+def emb(spark):
+    return load_table(spark, SMOKE_SF_DIR, "embeddings")
+
+
+@pytest.fixture()
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_probe_row_identical_to_from_frame(
+    spark, emb, queries, tmp_path
+):
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.ivf_index(
+        emb, "emb", n_centroids=PARAMS["n_centroids"],
+        iters=PARAMS["kmeans_iters"],
+    )
+    fast = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
+    slow = cosine_ann_ivf(emb, queries, k=5, **PARAMS)
+    assert _rows(fast) == _rows(slow)
+    assert fast.count() > 0
+
+
+def test_probe_prunes_to_probed_cells(spark, emb, queries, tmp_path):
+    from b3_analytics_engine_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    C = store.ivf_centroids(None, "emb", n_centroids=8, iters=2)
+    probed = {
+        r["cell"]
+        for r in ivf_assignments(
+            queries.select("query_id", F.col("embedding").alias("_v")),
+            C, "query_id", "_v", nprobe=3,
+        ).select("cell").distinct().collect()
+    }
+    # the pruning claim is only meaningful if some cells are NOT probed
+    assert len(probed) < 8
+    idx = store.ivf_index(None, "emb", n_centroids=8, iters=2).filter(
+        F.col("cell").isin(sorted(probed))
+    )
+    # the isin filter must reach the scan as a PARTITION filter (the
+    # inverted-file read: directories outside the probe set are never
+    # listed into the scan), not a post-scan data filter
+    import re
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", plan)
+    assert pf, f"no cell partition filter in plan:\n{plan[:2000]}"
+    assert not re.search(r"DataFilters: \[[^\]]*cell[^\]]*\]", plan)
+    # and every id the probe scans really belongs to a probed cell
+    assert {
+        r["cell"] for r in idx.select("cell").distinct().collect()
+    } <= probed
+
+
+def test_append_searchable_excludable_compactable(
+    spark, emb, queries, tmp_path
+):
+    import numpy as np
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+
+    # a new vector that is an exact copy of query 0's embedding: it
+    # must become that query's top-1 neighbor once appended
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    new = spark.createDataFrame(
+        [(90001, [float(x) for x in q0]),
+         (90002, [float(x) for x in np.roll(np.asarray(q0), 3)])],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(new, "emb", "day1", n_centroids=8, iters=2)
+
+    got = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
+    got_rows = _rows(got)  # snapshot: the re-append below replaces the
+    # delta's files, so the frame itself must not be re-collected after
+    top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert top[0] == 90001  # the appended twin wins
+
+    # replay hook: exclude_batch hides the delta entirely
+    hidden = cosine_ann_ivf_indexed(
+        store, "emb", queries, k=5, exclude_batch="day1", **PARAMS
+    )
+    assert not [
+        r for r in hidden.collect() if r["neighbor_id"] in (90001, 90002)
+    ]
+
+    # re-append (at-least-once) is a wholesale replace, not a dup
+    store.ivf_append(new, "emb", "day1", n_centroids=8, iters=2)
+    again = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
+    assert _rows(again) == got_rows
+
+    # compaction folds the delta, preserves results AND the
+    # cell-partitioned layout
+    before = got_rows
+    assert store.ivf_compact("emb", n_centroids=8, iters=2) == 1
+    path = store.ivf_index_path("emb", n_centroids=8, iters=2)
+    assert store._delta_paths(path) == []
+    assert any(
+        seg.startswith("cell=") for seg in os.listdir(path)
+    )
+    after = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
+    assert _rows(after) == before
+    # folded batch name is now refused
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(new, "emb", "day1", n_centroids=8, iters=2)
