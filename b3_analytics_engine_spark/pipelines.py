@@ -486,3 +486,72 @@ def incremental_dedup(
         kept.unpersist()
         batch_posts.unpersist()
     return survivors
+
+
+def media_curation(
+    df: DataFrame,
+    min_duration_ms: float | None = None,
+    max_duration_ms: float | None = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    min_bitrate_kbps: float | None = None,
+    allowed_containers: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Filter-before-decode media curation — the FIRST pass a crawl's
+    binary corpus goes through: one
+    :func:`~.operators.multimodal.probe_media_metadata` scan (magic
+    dispatch to the header-level parsers; mapInPandas, Arrow, zero
+    shuffle) and cheap metadata predicates on its UNIFORM output, so
+    the expensive full decode only ever runs on survivors.
+
+    Returns ``{"kept", "rejected", "quarantined"}`` frames, all
+    carrying the probe columns: ``quarantined`` = blobs the parsers
+    refused (``ok = false``, ``err`` says why), ``rejected`` = parsed
+    fine but failed a predicate (``reject_reason`` says which — a
+    kept/rejected/quarantined row count per reason is the audit a
+    100 TB curation run reports), ``kept`` = everything else. Every
+    input ``media_id`` lands in exactly one frame. The probe frame is
+    materialized once and fans out to the three cuts — callers should
+    ``unpersist`` any of the returned frames' parents when done, or
+    simply let the short-lived job release it.
+    """
+    from .operators.common import materialize
+    from .operators.multimodal import probe_media_metadata
+
+    probed = probe_media_metadata(df).transform(materialize)
+    bad = probed.filter(~F.col("ok"))
+    parsed = probed.filter(F.col("ok"))
+
+    reasons = []
+    if allowed_containers is not None:
+        reasons.append(
+            (~F.col("container").isin(allowed_containers), "container")
+        )
+    if min_duration_ms is not None:
+        reasons.append(
+            (F.col("duration_ms") < min_duration_ms, "too_short")
+        )
+    if max_duration_ms is not None:
+        reasons.append((F.col("duration_ms") > max_duration_ms, "too_long"))
+    if min_width is not None:
+        reasons.append((F.col("width") < min_width, "width"))
+    if min_height is not None:
+        reasons.append((F.col("height") < min_height, "height"))
+    if min_bitrate_kbps is not None:
+        reasons.append(
+            (F.col("bitrate_kbps") < min_bitrate_kbps, "bitrate")
+        )
+    # NULL predicate values (e.g. duration on a still image) never
+    # reject: coalesce each test to false so predicates only act on
+    # the media kinds that carry the field
+    reject = F.lit(None).cast("string")
+    for cond, tag in reversed(reasons):
+        reject = F.when(F.coalesce(cond, F.lit(False)), tag).otherwise(reject)
+    parsed = parsed.withColumn("reject_reason", reject)
+    return {
+        "kept": parsed.filter(F.col("reject_reason").isNull()).drop(
+            "reject_reason"
+        ),
+        "rejected": parsed.filter(F.col("reject_reason").isNotNull()),
+        "quarantined": bad,
+    }

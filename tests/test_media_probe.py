@@ -239,3 +239,42 @@ def test_probe_media_metadata_mixed_batch(spark):
     # quarantine rows: ok=false, err carries the parser message
     assert not got[6]["ok"] and "unrecognized container" in got[6]["err"]
     assert not got[7]["ok"] and got[7]["err"]
+
+
+def test_media_curation_three_way_split(spark):
+    from b3_analytics_engine_spark.pipelines import media_curation
+
+    rows = [
+        # mp3, 10 frames @128kbps 44.1kHz ≈ 261 ms — passes
+        (1, encode_mp3_stream([128] * 10, 44100)),
+        # mp3, 1 frame ≈ 26 ms — too_short
+        (2, encode_mp3_stream([128], 44100)),
+        # h264 640x480 @30fps, 3 frames = 100 ms — passes
+        (3, encode_h264_annexb(640, 480, fps=30.0, n_idr=1, n_non_idr=2)),
+        # h264 160x120, duration OK — width reject (before height)
+        (4, encode_h264_annexb(160, 120, fps=30.0, n_idr=1, n_non_idr=2)),
+        # garbage — quarantined
+        (5, b"\x00\x01garbage"),
+        # a still image big enough for the size gates: its NULL
+        # duration/bitrate must NOT reject it (predicates only act on
+        # media kinds that carry the field)
+        (6, b"P6\n320 240\n255\n" + bytes(320 * 240 * 3)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    cuts = media_curation(
+        df,
+        min_duration_ms=50.0,
+        min_width=320,
+        min_height=240,
+    )
+    kept = {r["media_id"] for r in cuts["kept"].collect()}
+    rej = {
+        r["media_id"]: r["reject_reason"]
+        for r in cuts["rejected"].collect()
+    }
+    quar = {r["media_id"] for r in cuts["quarantined"].collect()}
+    assert kept == {1, 3, 6}
+    assert rej == {2: "too_short", 4: "width"}
+    assert quar == {5}
+    # exactly one frame per input id
+    assert len(kept) + len(rej) + len(quar) == 6
