@@ -360,6 +360,36 @@ class SignatureStore:
             )
         return self._read(path, exclude_batch)
 
+    def refresh_all(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+    ) -> None:
+        """Rebuild EVERY MinHash-family artifact base for ``corpus``
+        from ``df`` and clear all deltas — the snapshot-invalidation
+        entry point. Refreshing one artifact in isolation skews the
+        corpus view (the exact tier would see batch documents the
+        near-dup tier lost, or vice versa); this keeps the five
+        artifacts one consistent snapshot. Build order follows the
+        derivation chain so nothing re-tokenizes twice."""
+        self.fingerprints(df, corpus, id_col, text_col, refresh=True)
+        # rebuilds postings first, then signatures from them
+        self.signatures(
+            df, corpus, id_col, text_col, n, portable, num_hashes, seed,
+            refresh=True,
+        )
+        self.sizes(df, corpus, id_col, text_col, n, portable, refresh=True)
+        self.band_census(
+            df, corpus, id_col, text_col, n, portable, num_hashes, seed,
+            refresh=True,
+        )
+
     # ------------------------------------------ derived aggregates
     # These exist to kill the two per-batch O(corpus) SHUFFLES the
     # incremental workflow would otherwise pay inside
@@ -621,6 +651,12 @@ class SignatureStore:
 
         path = self.ivf_centroids_path(corpus, n_centroids, iters)
         if refresh or not self._is_complete(path):
+            if df is None:
+                raise ValueError(
+                    f"corpus {corpus!r} has no IVF centroids at {path} "
+                    "and no df given to train them — check that "
+                    "n_centroids/iters match the index you built"
+                )
             C = kmeans_centroids(
                 df, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters
             )
@@ -684,6 +720,12 @@ class SignatureStore:
         are bit-stable."""
         path = self.ivf_index_path(corpus, n_centroids, iters)
         if refresh or not self._is_complete(path):
+            if df is None:
+                raise ValueError(
+                    f"corpus {corpus!r} has no IVF index at {path} and no "
+                    "df given to build it — check that n_centroids/iters "
+                    "match the index you built"
+                )
             C = self.ivf_centroids(
                 df, corpus, id_col, vec_col, n_centroids, iters,
                 refresh=refresh,

@@ -445,3 +445,53 @@ def test_compact_backfills_derived_before_folding_source(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert _sorted_rows(store.band_census(None, "docs")) == _sorted_rows(want)
+
+
+def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, tmp_path):
+    """refresh_all must rebuild all five bases from the new frame and
+    drop every delta — no artifact left seeing batch documents the
+    others lost."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.sizes(docs, "docs")
+    store.band_census(docs, "docs")
+    store.append_batch(
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    bigger = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies"),
+             (900002, "another unique doc about abyssal vents")],
+            "doc_id long, text string",
+        )
+    )
+    store.refresh_all(bigger, "docs")
+    n = bigger.count()
+    assert store.fingerprints(None, "docs").count() == n
+    assert store.signatures(None, "docs").count() == n  # all have text
+    assert store.sizes(None, "docs").count() == n
+    for p in (
+        store.fingerprints_path("docs"),
+        store.postings_path("docs"),
+        store.signatures_path("docs"),
+        store.sizes_path("docs"),
+        store.band_census_path("docs"),
+    ):
+        assert store._delta_paths(p) == []
+    # the refreshed snapshot accepts the old batch name again (no
+    # folded marker, no delta)
+    store.append_batch(
+        spark.createDataFrame(
+            [(900003, "yet another unique doc about brine pools")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    assert store.fingerprints(None, "docs").count() == n + 1
