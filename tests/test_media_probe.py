@@ -278,3 +278,113 @@ def test_media_curation_three_way_split(spark):
     assert quar == {5}
     # exactly one frame per input id
     assert len(kept) + len(rej) + len(quar) == 6
+
+
+# ------------------------------------------------ property tests
+# (pure-Python codec level — no Spark, so examples are cheap; the
+# same style as tests/test_properties.py, which pinned the decimal
+# cast boundary)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from b3_analytics_engine_spark.operators.multimodal import (
+    _MP3_BITRATES,
+    _MP3_RATES,
+)
+
+_mp3_cfg = st.sampled_from(
+    [
+        (version, layer, sr, br)
+        for version in ("1", "2", "2.5")
+        for layer in (1, 2, 3)
+        for sr in _MP3_RATES[version]
+        for br in _MP3_BITRATES[("1" if version == "1" else "2", layer)][::4]
+    ]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cfg=_mp3_cfg,
+    n_frames=st.integers(1, 7),
+    channels=st.sampled_from([1, 2]),
+    padding=st.sampled_from([0, 1]),
+    id3v2=st.integers(0, 64),
+    id3v1=st.booleans(),
+)
+def test_mp3_roundtrip_property(cfg, n_frames, channels, padding, id3v2, id3v1):
+    """Every (version × layer × sample-rate × bitrate) cell of the
+    spec tables round-trips: the walker recovers frame count, exact
+    duration, channels, and stream parameters from the writer's
+    output, with tags and padding in any combination."""
+    version, layer, sr, br = cfg
+    s = encode_mp3_stream(
+        [br] * n_frames, sr, version=version, layer=layer,
+        channels=channels, padding=padding,
+        id3v2_bytes=id3v2, id3v1=id3v1,
+    )
+    info = _parse_mp3_info(s)
+    assert info["n_frames"] == n_frames
+    assert info["sample_rate"] == sr
+    assert info["channels"] == channels
+    assert (info["version"], info["layer"]) == (version, layer)
+    spf = {1: 384, 2: 1152, 3: 1152 if version == "1" else 576}[layer]
+    assert info["duration_ms"] == pytest.approx(n_frames * spf / sr * 1000)
+    assert not info["vbr"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mbs_w=st.integers(1, 30),
+    mbs_h=st.integers(1, 20),
+    crop_r=st.integers(0, 7),
+    crop_b=st.integers(0, 7),
+    profile=st.sampled_from([66, 77, 100, 110]),
+    level=st.sampled_from([10, 21, 30, 41, 52]),
+    fps=st.one_of(st.none(), st.sampled_from([10.0, 24.0, 25.0, 30.0, 60.0])),
+    n_idr=st.integers(1, 3),
+    n_non=st.integers(0, 4),
+    four=st.booleans(),
+)
+def test_h264_roundtrip_property(
+    mbs_w, mbs_h, crop_r, crop_b, profile, level, fps, n_idr, n_non, four
+):
+    """Arbitrary macroblock grids with arbitrary (even) crops round-
+    trip through SPS encode/parse — dimensions, profile, level, fps,
+    NAL census all recovered, across baseline/main/high profiles and
+    both start-code widths. Exercises EPB insertion whenever the
+    exp-Golomb stream happens to emit 00 00 0x."""
+    w = mbs_w * 16 - 2 * crop_r
+    h = mbs_h * 16 - 2 * crop_b
+    s = encode_h264_annexb(
+        w, h, profile_idc=profile, level_idc=level, fps=fps,
+        n_idr=n_idr, n_non_idr=n_non, four_byte_start=four,
+    )
+    info = _parse_h264_info(s)
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["profile_idc"] == profile
+    assert info["level"] == pytest.approx(level / 10.0)
+    if fps is None:
+        assert info["fps"] is None
+    else:
+        assert info["fps"] == pytest.approx(fps, abs=1e-3)
+    assert info["n_idr"] == n_idr
+    assert info["n_slices"] == n_idr + n_non
+    assert info["n_nal"] == 2 + n_idr + n_non
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=8, max_size=96))
+def test_h264_strip_insert_epb_inverse_property(data):
+    """For ANY byte string: writing it through the bit writer and
+    stripping EPBs recovers the original bytes (+ the rbsp stop byte),
+    and the protected form never contains a start-code emulation."""
+    w = _BitWriter()
+    for b in data:
+        w.u(b, 8)
+    out = w.rbsp_bytes()
+    assert b"\x00\x00\x00" not in out
+    assert b"\x00\x00\x01" not in out
+    assert b"\x00\x00\x02" not in out
+    assert _h264_strip_epb(out) == data + b"\x80"
