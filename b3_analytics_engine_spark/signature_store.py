@@ -870,3 +870,114 @@ class SignatureStore:
                 batch,
             )
         posts.unpersist()
+
+    # ----------------------------------------------------------- fsck
+    def validate(
+        self,
+        corpus: str,
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+    ) -> dict:
+        """Cross-artifact consistency check — the fsck a long-running
+        ingestion schedules beside :meth:`compact`. Verifies, over the
+        FULL base+deltas view of each artifact:
+
+        - every postings id has a fingerprint row and vice versa for
+          non-NULL-fingerprint ids (NULL-text documents legitimately
+          have a fingerprint row but no postings);
+        - signature ids == postings ids (signatures derive 1:1);
+        - sizes ids == postings ids and each ``sz`` equals that id's
+          postings row count;
+        - the band census re-aggregated over (band, bh) equals a
+          census recomputed from the signature view.
+
+        Derived artifacts that were never materialized are reported
+        as ``"absent"`` and not checked. Returns ``{"ok": bool,
+        "errors": [..], "counts": {...}}`` rather than raising, so a
+        scheduler can alert on it. Cost: a few narrow-artifact scans —
+        never touches corpus text.
+        """
+        errors: list[str] = []
+        counts: dict[str, object] = {}
+        fps = self.fingerprints(None, corpus).select("id", "fp")
+        posts = self.postings(None, corpus, n=n, portable=portable)
+        sig = self.signatures(
+            None, corpus, n=n, portable=portable,
+            num_hashes=num_hashes, seed=seed,
+        )
+        post_ids = posts.select("id").distinct()
+        counts["fingerprints"] = fps.count()
+        counts["postings_ids"] = post_ids.count()
+        counts["signatures"] = sig.count()
+
+        orphan_posts = post_ids.join(fps, "id", "left_anti").count()
+        if orphan_posts:
+            errors.append(f"{orphan_posts} postings ids lack a fingerprint")
+        # a non-NULL-fp doc must tokenize to >=1 shingle -> postings
+        missing_posts = (
+            fps.filter(F.col("fp").isNotNull())
+            .join(post_ids, "id", "left_anti")
+            .count()
+        )
+        if missing_posts:
+            errors.append(
+                f"{missing_posts} fingerprinted ids have no postings"
+            )
+        sig_only = sig.select("id").join(post_ids, "id", "left_anti").count()
+        posts_only = post_ids.join(sig.select("id"), "id", "left_anti").count()
+        if sig_only or posts_only:
+            errors.append(
+                f"signature/postings id mismatch: {sig_only} signature-only,"
+                f" {posts_only} postings-only"
+            )
+
+        if self._is_complete(self.sizes_path(corpus, n, portable)):
+            sz = self.sizes(None, corpus, n=n, portable=portable)
+            counts["sizes"] = sz.count()
+            bad_sz = (
+                sz.join(self._sizes_from_posts(posts).withColumnRenamed(
+                    "sz", "_want"), "id", "full")
+                .filter(
+                    F.col("sz").isNull()
+                    | F.col("_want").isNull()
+                    | (F.col("sz") != F.col("_want"))
+                )
+                .count()
+            )
+            if bad_sz:
+                errors.append(f"{bad_sz} size rows disagree with postings")
+        else:
+            counts["sizes"] = "absent"
+
+        if self._is_complete(
+            self.band_census_path(corpus, n, portable, num_hashes, seed)
+        ):
+            census = self.band_census(
+                None, corpus, n=n, portable=portable,
+                num_hashes=num_hashes, seed=seed,
+            )
+            want = (
+                _banded_keys(sig, num_hashes, 16)
+                .groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("_want"))
+            )
+            bad_census = (
+                census.join(want, ["band", "bh"], "full")
+                .filter(
+                    F.col("cnt").isNull()
+                    | F.col("_want").isNull()
+                    | (F.col("cnt") != F.col("_want"))
+                )
+                .count()
+            )
+            counts["census_buckets"] = census.count()
+            if bad_census:
+                errors.append(
+                    f"{bad_census} census buckets disagree with signatures"
+                )
+        else:
+            counts["census_buckets"] = "absent"
+
+        return {"ok": not errors, "errors": errors, "counts": counts}

@@ -377,3 +377,64 @@ def test_micro_batch_replay_stays_idempotent_with_compaction(
     assert "epoch-0" in store._folded_names(fpath)
     live = [d.rsplit("/", 1)[-1] for d in store._delta_paths(fpath)]
     assert live == ["epoch-1"]
+
+
+def test_multi_epoch_soak_with_compaction_validates(
+    spark, tmp_path, corpus_rows
+):
+    """Six micro-batch epochs (overlapping near-dups, NULLs, exact
+    copies of earlier epochs' survivors) with compact_every=2: after
+    the soak the store must pass its own fsck (validate()), hold one
+    live delta at most (the last epoch is always excluded from its
+    own fold), and a final probe batch must dedup correctly against
+    the whole accumulated corpus."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        incremental_dedup_micro_batch,
+    )
+
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+    out = str(tmp_path / "lake")
+
+    def unique_text(e: int) -> str:
+        # fully token-disjoint across epochs: no accidental near-dup
+        return " ".join(f"epoch{e}token{k}" for k in range(12))
+
+    for e in range(6):
+        rows = [
+            (1000 * (e + 1) + 1, unique_text(e)),
+            (1000 * (e + 1) + 2, None),  # NULL text every epoch
+            # exact copy of the PREVIOUS epoch's first survivor
+            (1000 * (e + 1) + 3, unique_text(e - 1) if e else DOC_F),
+        ]
+        incremental_dedup_micro_batch(
+            _df(spark, rows), e, store, "c", out,
+            threshold=0.5, compact_every=2,
+        )
+
+    report = store.validate("c")
+    assert report["ok"], report["errors"]
+    fpath = store.fingerprints_path("c")
+    live = [d.rsplit("/", 1)[-1] for d in store._delta_paths(fpath)]
+    assert len(live) <= 2  # last fold excluded epoch-5; epoch-4 folded
+
+    # epoch uniques share zero tokens, so each epoch keeps its unique
+    # doc + its NULL row; exact copies of prior survivors are dropped
+    lake = spark.read.parquet(out)
+    per_epoch = {
+        e: sorted(
+            r["doc_id"] for r in lake.filter(F.col("_epoch") == e).collect()
+        )
+        for e in range(6)
+    }
+    for e in range(1, 6):
+        assert per_epoch[e] == [1000 * (e + 1) + 1, 1000 * (e + 1) + 2]
+
+    # final probe: exact copies of epoch-0 and epoch-5 survivors must
+    # both be recognized as duplicates of the accumulated corpus
+    probe = _df(
+        spark, [(99001, unique_text(0)), (99002, unique_text(5))]
+    )
+    assert P.incremental_dedup(probe, store, "c", threshold=0.5).count() == 0
