@@ -795,6 +795,89 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_cross(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 64,
+    max_chunk_bucket: int | None = None,
+    b_hot_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs ACROSS two corpora — the asymmetric twin
+    of :func:`simhash_pairs`, completing the incremental-batch story
+    for the second banding family (MinHash has
+    :func:`minhash_lsh_pairs_cross`). Inputs are ``(id, sig)``
+    signature frames: A = the new batch's fresh signatures (O(batch)
+    tokenize), B = the corpus snapshot's persisted artifact
+    (:meth:`..signature_store.SignatureStore.simhash` — a narrow
+    two-column scan, never a re-tokenize). Both sides MUST share
+    (nbits, portable); ids must be disjoint across sides — no
+    ``id_a < id_b`` cut is applied, every A×B chunk collision is a
+    candidate. Returns ``(id_a, id_b, hamming)`` with hamming ≤
+    ``max_hamming``; the 4-chunk pigeonhole guarantee is unchanged
+    (any pair within Hamming ≤ 3 agrees on ≥ 1 of 4 chunks).
+
+    ``b_hot_buckets``: precomputed ``(chunk, cv)`` keys to drop on the
+    corpus side (census rows already filtered to ``cnt > cap`` — the
+    :meth:`..signature_store.SignatureStore.simhash_census` artifact),
+    replacing the per-batch O(corpus) census shuffle
+    ``max_chunk_bucket`` would run; same division of labor as the
+    MinHash cross operator's ``b_hot_buckets``. The A side stays
+    uncapped (a hot batch chunk multiplies work by at most |batch|).
+    """
+    chunk_bits = nbits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+
+    def chunked(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk"),
+                            F.shiftright(F.col("sig"), i * chunk_bits)
+                            .bitwiseAND(F.lit(chunk_mask))
+                            .alias("cv"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("ck"),
+        ).select("id", "sig", "ck.chunk", "ck.cv")
+
+    ca = chunked(sig_a)
+    cb = chunked(sig_b)
+    if b_hot_buckets is not None:
+        cb = cb.join(
+            b_hot_buckets.select("chunk", "cv"), ["chunk", "cv"], "left_anti"
+        )
+    elif max_chunk_bucket is not None:
+        cb = drop_hot_buckets(
+            cb.transform(materialize), ["chunk", "cv"], max_chunk_bucket
+        )
+    a = ca.alias("a")
+    b = cb.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

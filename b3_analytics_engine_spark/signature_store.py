@@ -320,19 +320,91 @@ class SignatureStore:
         nbits: int = 64,
         portable: bool = False,
         refresh: bool = False,
+        exclude_batch: str | None = None,
     ) -> DataFrame:
         """The ``(id, sig)`` SimHash table — token-level (not derived
         from the shingle postings), so it is its own first-class
         artifact. Row-identical to
         :func:`..operators.dedup.simhash_signatures`; feeds
-        ``simhash_pairs(sig=...)``."""
+        ``simhash_pairs(sig=...)`` and the cross operator.
+
+        Build it BEFORE the first ``append_batch`` if the incremental
+        workflow will consume it: commits ride a simhash delta along
+        only when this base exists, and a base built later from ``df``
+        cannot reconstruct batch documents (their text is not stored).
+        ``validate()`` flags that inconsistency."""
         path = self.simhash_path(corpus, nbits, portable)
         if refresh or not self._is_complete(path):
             self._write_atomic(
                 simhash_signatures(df, id_col, text_col, nbits, portable),
                 path,
             )
-        return self._read(path)
+        return self._read(path, exclude_batch)
+
+    def simhash_census_path(
+        self, corpus: str, nbits: int = 64, portable: bool = False
+    ) -> str:
+        return os.path.join(
+            self.root,
+            "simhash_census",
+            corpus,
+            f"nbits={nbits}",
+            f"portable={int(portable)}",
+        )
+
+    def simhash_census(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        nbits: int = 64,
+        portable: bool = False,
+        refresh: bool = False,
+        exclude_batch: str | None = None,
+    ) -> DataFrame:
+        """The ``(chunk, cv, cnt)`` SimHash chunk-bucket census —
+        derived from the simhash artifact exactly as ``band_census``
+        derives from the MinHash signatures, and consumed the same
+        way: filter ``cnt > cap`` for the corpus-side hot-bucket drop
+        set of :func:`..operators.dedup.simhash_pairs_cross` without a
+        per-batch O(corpus) census shuffle."""
+        chunk_bits = nbits // 4
+        chunk_mask = (1 << chunk_bits) - 1
+
+        def derive(sig: DataFrame) -> DataFrame:
+            return (
+                sig.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(i).alias("chunk"),
+                                    F.shiftright(F.col("sig"), i * chunk_bits)
+                                    .bitwiseAND(F.lit(chunk_mask))
+                                    .alias("cv"),
+                                )
+                                for i in range(4)
+                            ]
+                        )
+                    ).alias("ck")
+                )
+                .select("ck.chunk", "ck.cv")
+                .groupBy("chunk", "cv")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+
+        path = self.simhash_census_path(corpus, nbits, portable)
+        spath = self.simhash_path(corpus, nbits, portable)
+        if refresh or not self._is_complete(path):
+            self.simhash(df, corpus, id_col, text_col, nbits, portable)
+            self._write_atomic(derive(self.spark.read.parquet(spath)), path)
+        self._sync_deltas(path, spath, derive)
+        return (
+            self._read(path, exclude_batch)
+            .groupBy("chunk", "cv")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
 
     def fingerprints(
         self,
@@ -535,20 +607,34 @@ class SignatureStore:
                 None, corpus, n=n, portable=portable,
                 num_hashes=num_hashes, seed=seed,
             )
+        if self._is_complete(self.simhash_census_path(corpus, 64, portable)):
+            self.simhash_census(None, corpus, nbits=64, portable=portable)
+        # derived censuses re-aggregate on fold; everything else is an
+        # id-disjoint plain union
         targets = [
-            self.fingerprints_path(corpus),
-            self.postings_path(corpus, n, portable),
-            self.signatures_path(corpus, n, portable, num_hashes, seed),
-            self.sizes_path(corpus, n, portable),
-            self.band_census_path(corpus, n, portable, num_hashes, seed),
+            (self.fingerprints_path(corpus), None),
+            (self.postings_path(corpus, n, portable), None),
+            (
+                self.signatures_path(corpus, n, portable, num_hashes, seed),
+                None,
+            ),
+            (self.sizes_path(corpus, n, portable), None),
+            (
+                self.band_census_path(corpus, n, portable, num_hashes, seed),
+                lambda m: m.groupBy("band", "bh").agg(
+                    F.sum("cnt").alias("cnt")
+                ),
+            ),
+            (self.simhash_path(corpus, 64, portable), None),
+            (
+                self.simhash_census_path(corpus, 64, portable),
+                lambda m: m.groupBy("chunk", "cv").agg(
+                    F.sum("cnt").alias("cnt")
+                ),
+            ),
         ]
         folded = 0
-        for path in targets:
-            reagg = (
-                (lambda m: m.groupBy("band", "bh").agg(F.sum("cnt").alias("cnt")))
-                if path.startswith(os.path.join(self.root, "band_census"))
-                else None
-            )
+        for path, reagg in targets:
             folded = max(folded, self._compact_one(path, exclude, reagg))
         return folded
 
@@ -870,6 +956,46 @@ class SignatureStore:
                 batch,
             )
         posts.unpersist()
+        # simhash (and its census) ride along when their bases exist —
+        # they CANNOT be backfilled later (token-level, derived from
+        # text the store does not keep), so build the simhash base
+        # before the first commit if the workflow consumes it;
+        # validate() flags the id-set gap otherwise
+        shp = self.simhash_path(corpus, 64, portable)
+        if self._is_complete(shp):
+            sh = simhash_signatures(
+                survivors, id_col, text_col, 64, portable
+            ).persist()
+            self._append_delta(sh, shp, batch)
+            shcp = self.simhash_census_path(corpus, 64, portable)
+            if self._is_complete(shcp):
+                chunk_bits = 16
+                chunk_mask = (1 << chunk_bits) - 1
+                self._append_delta(
+                    sh.select(
+                        F.explode(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        F.lit(i).alias("chunk"),
+                                        F.shiftright(
+                                            F.col("sig"), i * chunk_bits
+                                        )
+                                        .bitwiseAND(F.lit(chunk_mask))
+                                        .alias("cv"),
+                                    )
+                                    for i in range(4)
+                                ]
+                            )
+                        ).alias("ck")
+                    )
+                    .select("ck.chunk", "ck.cv")
+                    .groupBy("chunk", "cv")
+                    .agg(F.count(F.lit(1)).alias("cnt")),
+                    shcp,
+                    batch,
+                )
+            sh.unpersist()
 
     # ----------------------------------------------------------- fsck
     def validate(
@@ -979,5 +1105,26 @@ class SignatureStore:
                 )
         else:
             counts["census_buckets"] = "absent"
+
+        if self._is_complete(self.simhash_path(corpus, 64, portable)):
+            sh = self.simhash(None, corpus, nbits=64, portable=portable)
+            counts["simhash"] = sh.count()
+            # token-level artifact: must cover exactly the ids with
+            # non-empty text — the fingerprinted-and-tokenizable set,
+            # which equals the postings id set (≥1 token ⇔ ≥1 shingle
+            # under the padded shingler). A gap means batches were
+            # committed before the simhash base existed.
+            sh_only = sh.select("id").join(post_ids, "id", "left_anti").count()
+            missing_sh = post_ids.join(
+                sh.select("id"), "id", "left_anti"
+            ).count()
+            if sh_only or missing_sh:
+                errors.append(
+                    f"simhash/postings id mismatch: {sh_only} simhash-only,"
+                    f" {missing_sh} postings-only (simhash base likely "
+                    "built after commits)"
+                )
+        else:
+            counts["simhash"] = "absent"
 
         return {"ok": not errors, "errors": errors, "counts": counts}

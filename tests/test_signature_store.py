@@ -495,3 +495,116 @@ def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, tmp_path):
         "b1",
     )
     assert store.fingerprints(None, "docs").count() == n + 1
+
+
+def test_simhash_cross_matches_symmetric_on_split_corpus(spark, docs, tmp_path):
+    """simhash_pairs_cross(A-sigs, B-sigs) must equal the symmetric
+    operator's A×B cut on the union — same pairs, same hamming —
+    with and without the corpus-side hot-chunk drop (census-fed path
+    row-identical to the self-census path)."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    sig_a = D.simhash_signatures(half_a, "doc_id", "text")
+    sig_b = store.simhash(half_b, "b")
+    a_ids = {r["doc_id"] for r in half_a.select("doc_id").collect()}
+
+    sym = D.simhash_pairs(docs, max_hamming=6)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        if r["id_a"] in a_ids
+        else (r["id_b"], r["id_a"], r["hamming"])
+        for r in sym.collect()
+        if (r["id_a"] in a_ids) != (r["id_b"] in a_ids)
+    )
+    for hot in (
+        None,
+        store.simhash_census(None, "b").filter(F.col("cnt") > 3),
+    ):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in D.simhash_pairs_cross(
+                sig_a, sig_b, max_hamming=6,
+                max_chunk_bucket=3 if hot is None else None,
+                b_hot_buckets=hot,
+            ).collect()
+        )
+        # with the cap binding at 3, some pairs may legitimately drop;
+        # assert the two capped paths agree with each other instead
+        if hot is None:
+            capped_self = got
+        else:
+            assert got == capped_self
+    # uncapped cross == the symmetric A×B cut exactly
+    uncapped = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs_cross(sig_a, sig_b, max_hamming=6).collect()
+    )
+    assert uncapped == want
+
+
+def test_simhash_delta_ride_along_and_validate_gap(spark, docs, tmp_path):
+    """A commit rides simhash (and its census) deltas along when the
+    bases exist; exclude_batch hides them; and validate() flags the
+    id-set gap when the simhash base was built only AFTER commits."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.simhash(docs, "docs")
+    store.simhash_census(docs, "docs")
+    n0 = store.simhash(None, "docs").count()
+    batch = spark.createDataFrame(
+        [(900001, "a singular document about volcanic soil chemistry")],
+        "doc_id long, text string",
+    )
+    store.append_batch(batch, "docs", "b1")
+    assert store.simhash(None, "docs").count() == n0 + 1
+    assert store.simhash(None, "docs", exclude_batch="b1").count() == n0
+    # census total tracks the base+delta signature view
+    want = (
+        store.simhash_census(None, "docs")
+        .agg(F.sum("cnt").alias("s"))
+        .first()["s"]
+    )
+    assert want == (n0 + 1) * 4  # 4 chunks per signature
+    assert store.validate("docs")["ok"]
+
+    # second store: simhash base built AFTER the commit -> gap flagged
+    store2 = SignatureStore(spark, str(tmp_path / "store2"))
+    store2.fingerprints(docs, "docs")
+    store2.signatures(docs, "docs")
+    store2.append_batch(batch, "docs", "b1")
+    store2.simhash(docs, "docs")  # from the ORIGINAL frame: misses b1
+    report = store2.validate("docs")
+    assert not report["ok"]
+    assert any("simhash" in e for e in report["errors"])
+
+
+def test_compact_folds_simhash_family(spark, docs, tmp_path):
+    """compact() folds simhash + simhash-census deltas like the
+    MinHash family: reads identical, delta trees cleared, census
+    re-aggregated."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.simhash(docs, "docs")
+    store.simhash_census(docs, "docs")
+    store.append_batch(
+        spark.createDataFrame(
+            [(900001, "a singular document about volcanic soil chemistry")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    before_sig = _sorted_rows(store.simhash(None, "docs"))
+    before_census = _sorted_rows(store.simhash_census(None, "docs"))
+    assert store.compact("docs") >= 1
+    assert _sorted_rows(store.simhash(None, "docs")) == before_sig
+    assert _sorted_rows(store.simhash_census(None, "docs")) == before_census
+    for p in (
+        store.simhash_path("docs"),
+        store.simhash_census_path("docs"),
+    ):
+        assert store._delta_paths(p) == []
+    assert store.validate("docs")["ok"]
