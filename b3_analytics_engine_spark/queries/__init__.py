@@ -48,48 +48,45 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-10 front window (round 9 went 50/50 green;
-# exactly the rotation the r9 verdict prescribed):
-# (a) the 9 queries whose newest external green is round 6 — three
-# rounds stale, the oldest evidence anywhere, displaced from the r9
-# window because 50 slots couldn't hold 59 candidates; the r9 verdict
-# named them front-of-line for this round;
-# (b) 41 of the 42 round-7-newest queries (two rounds stale, which
-# hits the 3-round ceiling after this round), weakest-evidence-first
+# external evidence. Round-11 front window (round 10 went 50/50
+# green; exactly the rotation the r10 verdict prescribed):
+# (a) union_dedup_keeplast — newest external green round 7, three
+# rounds stale, the single oldest evidence anywhere (displaced from
+# the r10 window as the strongest-evidence member of the r7 cohort;
+# the r10 verdict named it round-11 front of line);
+# (b) 49 of the round-8-newest cohort, weakest-evidence-first
 # (fewest external greens, then registration order) as computed by
-# tools/rotation_report.py; the single displaced query
-# (union_dedup_keeplast, four greens — the strongest evidence in the
-# cohort) is first in line for round 11.
+# tools/rotation_report.py.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r6 — 3 rounds stale (9)
-    "semi_anti_join", "shipping_priority", "small_order_quantity",
-    "tfidf_topterms", "time_range_filter", "time_rollup_hierarchy",
-    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
-    # (b) newest external green r7, weakest-evidence-first (41 of 42)
-    "lang_mismatch_audit", "filter_project", "pii_redact",
-    "quarantine_rows", "shard_assignment", "shipmode_priority",
-    "sliding_window_agg", "sql_interface_revenue", "chunk_documents",
-    "corpus_curation", "data_quality_report", "decontaminate",
-    "dedup_exact", "distribution_rank", "dup_cluster_keep",
-    "incremental_agg_merge", "sequence_packing", "skew_salted_join",
-    "snapshot_diff_feed", "stratified_sample", "trade_pagerank",
-    "vocab_topk", "window_dedup", "winsorized_stats", "asof_join",
-    "cohort_retention", "gap_fill_forward", "grouped_zscore",
-    "lang_id", "latest_per_key", "max_drawdown",
-    "multimodal_features", "multimodal_frame_plan",
-    "ngram_jaccard_pairs", "pivot_daily_mean", "rolling_volatility",
-    "session_windows", "snapshot_join", "text_fingerprint",
-    "text_quality", "topk_per_group",
+    # (a) newest external green r7 — 3 rounds stale (1)
+    "union_dedup_keeplast",
+    # (b) newest external green r8, weakest-evidence-first (49)
+    "acf_per_key", "anomaly_mad", "audio_decode_stats",
+    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
+    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
+    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
+    "event_transitions", "fuzzy_levenshtein_pairs",
+    "image_decode_stats", "image_resize_stats", "k_anonymity",
+    "key_skew_audit", "ks_drift", "mixture_rebalance",
+    "negative_sampling", "ngram_novelty", "ohlc_bars", "oov_rate",
+    "pmi_collocations", "png_decode_stats", "psi_drift",
+    "scd2_history", "semantic_dedup", "source_overlap",
+    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
+    "char_entropy", "duplicated_spans", "embedding_neardup",
+    "min_cost_supplier", "regional_revenue", "tumbling_window_agg",
+    "corr_matrix", "cosine_topk", "cube_revenue", "dedup_minhash_lsh",
+    "dedup_simhash", "incident_window_join", "repetition_ratio",
+    "rollup_revenue", "warehouse_metrics", "funnel_conversion",
 )
-# Outside this window: the round-8 cohort (checked r8, one round
-# fresh), the round-9 cohort (checked r9 — the freshest evidence
-# possible), and union_dedup_keeplast (r7-newest, four greens,
-# round-11 front of line). After this round every query's newest
-# external green is ≤2 rounds old except union_dedup_keeplast (3) —
-# the staleness ceiling the 3-round rotation cycle is designed to
-# hold. All registered queries are re-checked by
-# tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
-# pins every query's physical scan counts.
+# Outside this window: the round-9 and round-10 cohorts (checked one
+# and zero rounds ago — the freshest evidence possible) plus the few
+# r8-cohort members with the strongest green counts that 50 slots
+# could not hold. After this round no query's newest external green
+# is older than round 9 (≤2 rounds stale) — inside the 3-round
+# staleness ceiling the rotation cycle is designed to hold. All
+# registered queries are re-checked by tests/test_oracle_parity.py
+# every run, and tests/test_scan_audit.py pins every query's physical
+# scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:
