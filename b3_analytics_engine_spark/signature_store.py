@@ -443,13 +443,18 @@ class SignatureStore:
         num_hashes: int = 64,
         seed: int = 42,
     ) -> None:
-        """Rebuild EVERY MinHash-family artifact base for ``corpus``
-        from ``df`` and clear all deltas — the snapshot-invalidation
-        entry point. Refreshing one artifact in isolation skews the
-        corpus view (the exact tier would see batch documents the
-        near-dup tier lost, or vice versa); this keeps the five
-        artifacts one consistent snapshot. Build order follows the
-        derivation chain so nothing re-tokenizes twice."""
+        """Rebuild EVERY artifact base for ``corpus`` from ``df`` and
+        clear all deltas — the snapshot-invalidation entry point.
+        Refreshing one artifact in isolation skews the corpus view
+        (the exact tier would see batch documents the near-dup tier
+        lost, or vice versa); this keeps all materialized artifacts —
+        fingerprints, postings, signatures, sizes, band census, and,
+        when their bases exist, the SimHash signature table and its
+        census — one consistent snapshot. Build order follows the
+        derivation chain so nothing re-tokenizes twice. SimHash
+        artifacts refresh only if already materialized (they are
+        opt-in; see :meth:`simhash`) — a corpus that never built them
+        gains nothing from a refresh creating them."""
         self.fingerprints(df, corpus, id_col, text_col, refresh=True)
         # rebuilds postings first, then signatures from them
         self.signatures(
@@ -461,6 +466,20 @@ class SignatureStore:
             df, corpus, id_col, text_col, n, portable, num_hashes, seed,
             refresh=True,
         )
+        # simhash is token-level (its own derivation root): an existing
+        # base left un-refreshed would silently keep the OLD corpus
+        # view while every shingle-derived artifact moved on — exactly
+        # the skew refresh_all exists to prevent
+        if self._is_complete(self.simhash_path(corpus, 64, portable)):
+            self.simhash(df, corpus, id_col, text_col, 64, portable,
+                         refresh=True)
+            if self._is_complete(
+                self.simhash_census_path(corpus, 64, portable)
+            ):
+                self.simhash_census(
+                    df, corpus, id_col, text_col, 64, portable,
+                    refresh=True,
+                )
 
     # ------------------------------------------ derived aggregates
     # These exist to kill the two per-batch O(corpus) SHUFFLES the
@@ -585,7 +604,10 @@ class SignatureStore:
         delta, because this epoch CAN still replay and a replay's
         ``exclude_batch`` read cannot hide rows that were folded into
         the base. ``_append_delta`` refuses to re-commit a folded name
-        for the same reason.
+        for the same reason — and the ``_folded`` marker set is a
+        persistent ledger carried forward into every new base, so the
+        refusal holds across ANY number of later compactions, not
+        just the first.
 
         Returns the max number of delta batches folded across the
         artifacts (0 = nothing to do). Requires no concurrent
@@ -663,6 +685,15 @@ class SignatureStore:
         if not deltas:
             return 0
         names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        # the marker set is a persistent ledger: carry every
+        # previously-folded name forward into the new base, or the
+        # _append_delta replay refusal would only survive ONE
+        # compaction — a batch folded two compactions ago could be
+        # re-committed and double-count against the base undetected.
+        # Cost: O(total batches ever folded) empty marker files per
+        # compact — bounded by epoch count, reclaimed only by a base
+        # refresh (which legitimately resets replay history).
+        ledger = names | self._folded_names(path)
         if partition_by is None:
             merged = self.spark.read.parquet(path, *deltas)
         else:
@@ -682,8 +713,8 @@ class SignatureStore:
         w.parquet(tmp)
         # markers ride the staging dir into the atomic swap: the
         # folded rows and the folded-ness of their deltas publish
-        # together or not at all
-        for nm in names:
+        # together or not at all (ledger = newly folded ∪ all prior)
+        for nm in ledger:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
         replace_directory(self.spark, tmp, path)
         for nm in names:  # GC; markers make this safe to crash

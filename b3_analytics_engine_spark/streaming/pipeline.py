@@ -277,7 +277,9 @@ def incremental_dedup_micro_batch(
     epoch's own delta from the corpus reads (so the batch never
     matches itself), the re-commit replaces that delta wholesale, and
     the lake write dynamic-partition-overwrites only ``_epoch=<id>``
-    (``session.py`` sets ``partitionOverwriteMode=dynamic``; pinned by
+    (``partitionOverwriteMode=dynamic`` is pinned on the write itself,
+    so the contract holds on a user-supplied session without
+    ``session.py``'s default; pinned by
     ``tests/test_incremental_dedup.py``).
 
     ``compact_every``: every N epochs, fold accumulated store deltas
@@ -307,6 +309,10 @@ def incremental_dedup_micro_batch(
     (
         survivors.withColumn("_epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")
+        # dynamic pinned PER-WRITE: on a user-supplied session without
+        # session.py's default, static mode would wipe every previously
+        # published epoch from output_path on each overwrite
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_epoch")
         .parquet(output_path)
     )

@@ -438,3 +438,41 @@ def test_multi_epoch_soak_with_compaction_validates(
         spark, [(99001, unique_text(0)), (99002, unique_text(5))]
     )
     assert P.incremental_dedup(probe, store, "c", threshold=0.5).count() == 0
+
+
+def test_epoch_lake_write_independent_of_session_overwrite_mode(
+    spark, tmp_path, corpus_rows
+):
+    """The per-epoch lake write pins partitionOverwriteMode=dynamic on
+    the write itself: under a session configured STATIC (any
+    user-supplied SparkSession without session.py's default), a later
+    epoch's overwrite must still leave earlier epochs' partitions
+    intact instead of wiping output_path wholesale."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        incremental_dedup_micro_batch,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        corpus = _df(spark, corpus_rows)
+        store = SignatureStore(spark, str(tmp_path / "store"))
+        store.fingerprints(corpus, "c")
+        store.signatures(corpus, "c")
+        out = str(tmp_path / "lake")
+        incremental_dedup_micro_batch(
+            _df(spark, [(200, DOC_D)]), 0, store, "c", out, threshold=0.5
+        )
+        incremental_dedup_micro_batch(
+            _df(spark, [(300, DOC_F)]), 1, store, "c", out, threshold=0.5
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [(0, 200), (1, 300)]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

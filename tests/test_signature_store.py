@@ -608,3 +608,88 @@ def test_compact_folds_simhash_family(spark, docs, tmp_path):
     ):
         assert store._delta_paths(p) == []
     assert store.validate("docs")["ok"]
+
+
+def test_refresh_all_includes_simhash_family(spark, docs, tmp_path):
+    """refresh_all must refresh an EXISTING simhash base (and census)
+    to the new corpus frame — an un-refreshed simhash artifact would
+    silently keep the old corpus view while every shingle-derived
+    artifact moved on, skewing simhash_pairs_cross consumers."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    store.simhash(docs, "docs")
+    store.simhash_census(docs, "docs")
+    store.append_batch(
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    bigger = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies"),
+             (900002, "another unique doc about abyssal vents")],
+            "doc_id long, text string",
+        )
+    )
+    store.refresh_all(bigger, "docs")
+    n = bigger.count()
+    assert store.simhash(None, "docs").count() == n
+    # census re-derived from the refreshed signature base
+    total = (
+        store.simhash_census(None, "docs")
+        .agg(F.sum("cnt").alias("s"))
+        .first()["s"]
+    )
+    assert total == n * 4
+    for p in (
+        store.simhash_path("docs"),
+        store.simhash_census_path("docs"),
+    ):
+        assert store._delta_paths(p) == []
+    assert store.validate("docs")["ok"]
+    # a corpus that never built simhash still refreshes cleanly
+    store2 = SignatureStore(spark, str(tmp_path / "store2"))
+    store2.fingerprints(docs, "docs")
+    store2.signatures(docs, "docs")
+    store2.refresh_all(bigger, "docs")
+    assert not store2._is_complete(store2.simhash_path("docs"))
+
+
+def test_folded_ledger_survives_later_compactions(spark, docs, tmp_path):
+    """The _folded marker set must be a persistent ledger: a batch
+    folded TWO compactions ago is still refused on re-commit — without
+    carry-forward, the second compact's fresh base would only marker
+    the newly folded names and a b0 replay would double-count."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+
+    def _commit(name, txt):
+        store.append_batch(
+            spark.createDataFrame(
+                [(hash(name) % 1000 + 900001, txt)],
+                "doc_id long, text string",
+            ),
+            "docs",
+            name,
+        )
+
+    _commit("b0", "glacier melt rates in the northern fjords")
+    assert store.compact("docs") == 1          # folds b0
+    _commit("b1", "carbon cycling of peat bogs across seasons")
+    assert store.compact("docs") == 1          # folds b1 — new base
+    # b0's folded-ness must have ridden into the b1-compaction base
+    assert store._folded_names(store.fingerprints_path("docs")) >= {"b0", "b1"}
+    for name in ("b0", "b1"):
+        with pytest.raises(ValueError, match="folded"):
+            _commit(name, "replay attempt")
+    # reads stay clean and artifacts consistent
+    assert store.validate("docs")["ok"]
+    # a base refresh legitimately resets replay history
+    store.refresh_all(docs.select("doc_id", "text"), "docs")
+    _commit("b0", "glacier melt rates in the northern fjords")
+    assert store.validate("docs")["ok"]
