@@ -102,6 +102,18 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     callers can route bad blobs to a quarantine column instead of
     crashing the batch.
     """
+    width, height, maxval, pos = _ppm_header(payload)
+    n = width * height * 3
+    pix = payload[pos : pos + n]
+    if len(pix) != n:
+        raise ValueError(f"truncated PPM raster: {len(pix)}/{n} bytes")
+    return width, height, maxval, pix
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """The P6 header grammar shared by the full decoder and the probe:
+    returns ``(width, height, maxval, raster_offset)`` without touching
+    the raster bytes."""
     if payload is None or len(payload) < 2 or payload[:2] != b"P6":
         raise ValueError("not a binary PPM (missing P6 magic)")
     pos = 2
@@ -130,12 +142,7 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
     if pos >= len(payload) or not payload[pos : pos + 1].isspace():
         raise ValueError("missing single whitespace after maxval")
-    pos += 1  # exactly ONE whitespace byte, then the raster
-    n = width * height * 3
-    pix = payload[pos : pos + n]
-    if len(pix) != n:
-        raise ValueError(f"truncated PPM raster: {len(pix)}/{n} bytes")
-    return width, height, maxval, pix
+    return width, height, maxval, pos + 1
 
 
 def _parse_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -2504,6 +2511,177 @@ def encode_h264_annexb(
     return bytes(out)
 
 
+# --------------------------------------------- header-only probes
+# The probe path exists to CUT cheaply before any full decode
+# (``pipelines.media_curation``), so it must never pay per-pixel
+# Python work: these parsers keep the full structural walk (chunk
+# CRCs / marker grammar / header field constraints / raster length)
+# but read dimensions from IHDR / SOF / the DIB header only —
+# inflate, unfilter, Huffman decode, IDCT and color conversion are
+# reserved for the *_decode_stats operators. The tradeoff is
+# documented: a blob whose HEADERS are valid but whose pixel payload
+# is corrupt probes ok=true and only fails at decode time — exactly
+# the contract ffprobe gives a curation pipeline.
+
+
+def _probe_png_header(payload: bytes) -> tuple[int, int]:
+    """Chunk walk of :func:`_parse_png` (CRC-verified, IHDR
+    constraints, IDAT/IEND presence) without inflating the raster."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    mv = memoryview(payload)
+    pos, ihdr, idat_len, ended = 8, None, 0, False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk (body+CRC past EOF)")
+        ctype = payload[pos + 4 : pos + 8]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(mv[pos + 4 : pos + 8 + length]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR body is {length} bytes, not 13")
+            w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload, pos + 8
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (need 8)")
+            if color not in (0, 2, 6):
+                raise ValueError(f"unsupported color type {color}")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported compression/filter/interlace")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
+            ihdr = (w, h)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat_len += length
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat_len or not ended:
+        raise ValueError("missing IHDR, IDAT or IEND")
+    return ihdr
+
+
+def _probe_jpeg_header(payload: bytes) -> tuple[int, int]:
+    """Marker walk of :func:`_parse_jpeg` (segment grammar validated
+    through to EOI, entropy-coded scans skipped by byte-stuffing
+    rules) without building Huffman tables or decoding a single MCU.
+    Accepts baseline AND progressive (dims sit in the same SOF
+    fields)."""
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, sof, eoi = 2, None, False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(
+                f"expected marker at {pos}, got {payload[pos]:#x}"
+            )
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # fill bytes are legal between segments
+        if pos >= len(payload):
+            raise ValueError("truncated after fill bytes")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            eoi = True
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("segment length past EOF")
+        body_at = pos + 2
+        body_len = seglen - 2
+        pos += seglen
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            if body_len < 6:
+                raise ValueError("truncated SOF")
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, body_at)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if w == 0 or h == 0:
+                raise ValueError("zero image dimension")
+            sof = (w, h)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x}")
+        elif marker == 0xDA:  # SOS: skip the entropy-coded scan
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            while pos + 1 < len(payload):
+                if payload[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2  # stuffed byte / restart marker
+                elif nxt == 0xFF:
+                    pos += 1  # fill byte
+                else:
+                    break  # real marker — outer loop reads it
+    if sof is None:
+        raise ValueError("no SOF frame header")
+    if not eoi:
+        raise ValueError("missing EOI")
+    return sof
+
+
+def _probe_bmp_header(payload: bytes) -> tuple[int, int]:
+    """Header fields + raster-length check of :func:`_parse_bmp`
+    without the per-pixel BGR→RGB conversion."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic / short header)")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} "
+            f"compression={compression}; need uncompressed 24-bit)"
+        )
+    height = -height_raw if height_raw < 0 else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    stride = ((width * 3 + 3) // 4) * 4
+    need = pix_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"truncated BMP raster: {len(payload)}/{need} bytes"
+        )
+    return width, height
+
+
+def _probe_ppm_header(payload: bytes) -> tuple[int, int]:
+    """P6 header + raster-length check without slicing the raster."""
+    width, height, _maxval, pos = _ppm_header(payload)
+    n = width * height * 3
+    if len(payload) - pos < n:
+        raise ValueError(
+            f"truncated PPM raster: {len(payload) - pos}/{n} bytes"
+        )
+    return width, height
+
+
 PROBE_SCHEMA = (
     "media_id long, ok boolean, container string, width int, height int, "
     "sample_rate int, channels int, duration_ms double, "
@@ -2528,18 +2706,21 @@ def _probe_one(payload: bytes) -> tuple:
         _off, n, pw, ph, fps = _parse_pvf_header(payload)
         return ("pvf", pw, ph, None, None, n * 1000.0 / fps, None, n, n,
                 "raw-rgb")
+    # still images go through the HEADER-ONLY probes: the curation cut
+    # must never pay inflate/Huffman/IDCT on blobs it may be about to
+    # drop — full pixel decode (and its stronger payload validation)
+    # belongs to the *_decode_stats operators
     if payload[:8] == _PNG_MAGIC:
-        pw, ph, nc, _pix = _parse_png(payload)
-        return ("png", pw, ph, None, None, None, None, 1, 1, f"rgb{nc * 8}")
+        pw, ph = _probe_png_header(payload)
+        return ("png", pw, ph, None, None, None, None, 1, 1, "rgb24")
     if payload[:2] == b"\xff\xd8":
-        # _parse_jpeg dispatches SOF2 to the progressive decoder itself
-        pw, ph, nc, _pix = _parse_jpeg(payload)
-        return ("jpeg", pw, ph, None, None, None, None, 1, 1, f"ycbcr{nc}")
+        pw, ph = _probe_jpeg_header(payload)
+        return ("jpeg", pw, ph, None, None, None, None, 1, 1, "ycbcr3")
     if payload[:2] == b"BM":
-        pw, ph, nc, _pix = _parse_bmp(payload)
+        pw, ph = _probe_bmp_header(payload)
         return ("bmp", pw, ph, None, None, None, None, 1, 1, "bgr24")
     if payload[:2] == b"P6":
-        pw, ph, _mx, pix = _parse_ppm(payload)
+        pw, ph = _probe_ppm_header(payload)
         return ("ppm", pw, ph, None, None, None, None, 1, 1, "rgb24")
     head = payload[: min(len(payload), 5)]
     if head[:3] == b"\x00\x00\x01" or head[:4] == b"\x00\x00\x00\x01":
@@ -2567,7 +2748,15 @@ def probe_media_metadata(df: DataFrame) -> DataFrame:
     crawl runs FIRST: filter by duration/resolution/bitrate before
     any expensive full decode, with malformed blobs quarantined as
     ``ok=false`` rows carrying the parser's error text instead of
-    failing the batch."""
+    failing the batch.
+
+    Still images are probed HEADER-ONLY (structural walk + IHDR/SOF/
+    DIB dimensions; no inflate, Huffman, IDCT, or color convert), so
+    the probe's cost per blob is O(container structure), never
+    O(pixels) — a blob with valid headers but corrupt pixel payload
+    probes ``ok=true`` and is only rejected by the ``*_decode_stats``
+    full decoders, the same contract ffprobe gives a curation
+    pipeline."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

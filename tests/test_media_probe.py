@@ -388,3 +388,93 @@ def test_h264_strip_insert_epb_inverse_property(data):
     assert b"\x00\x00\x01" not in out
     assert b"\x00\x00\x02" not in out
     assert _h264_strip_epb(out) == data + b"\x80"
+
+
+# ------------------------------------- header-only probe contract
+
+
+def _crafted_png_bad_deflate():
+    """A PNG whose chunk structure and CRCs are VALID but whose IDAT
+    deflate stream inflates to the wrong size — full decode rejects
+    it; the header probe must accept it without inflating."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad_idat = zlib.compress(bytes(7))  # far less than (4*3+1)*4 bytes
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bad_idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_probe_png_is_header_only_but_structurally_strict():
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_png,
+        _probe_png_header,
+        encode_png,
+    )
+
+    blob = _crafted_png_bad_deflate()
+    # structure valid -> probe accepts with dims; full decode rejects
+    assert _probe_png_header(blob) == (4, 4)
+    with pytest.raises(ValueError, match="inflated size"):
+        _parse_png(blob)
+    # structural corruption still fails the probe: flip one IDAT byte
+    good = encode_png(2, 2, bytes(12))
+    i = good.find(b"IDAT") + 4
+    bad_crc = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1:]
+    with pytest.raises(ValueError, match="bad CRC"):
+        _probe_png_header(bad_crc)
+    with pytest.raises(ValueError, match="missing IHDR, IDAT or IEND"):
+        _probe_png_header(good[: good.find(b"IEND") - 4])
+
+
+def test_probe_jpeg_is_header_only_but_structurally_strict():
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        _probe_jpeg_header,
+        encode_jpeg_baseline,
+    )
+
+    good = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3))
+    assert _probe_jpeg_header(good) == (8, 8)
+    # corrupt the entropy-coded scan: zero a byte mid-ECS while
+    # keeping segment structure + EOI — probe accepts, decoder rejects
+    sos = good.find(b"\xff\xda")
+    ecs = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big") + 2
+    bad_ecs = bytearray(good)
+    for j in range(ecs, min(ecs + 4, len(bad_ecs) - 2)):
+        bad_ecs[j] = 0x55
+    bad_ecs = bytes(bad_ecs)
+    assert _probe_jpeg_header(bad_ecs) == (8, 8)
+    with pytest.raises(ValueError):
+        _parse_jpeg(bad_ecs)
+    # structural corruption still fails the probe: no EOI
+    with pytest.raises(ValueError, match="missing EOI|truncated"):
+        _probe_jpeg_header(good[:-2])
+
+
+def test_probe_spark_batch_header_only_paths(spark):
+    """End-to-end through probe_media_metadata: the crafted bad-pixel
+    PNG probes ok=true (headers valid), while decode_image_stats — the
+    full-decode tier — quarantines the same blob."""
+    from b3_analytics_engine_spark.operators.multimodal import (
+        decode_image_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _crafted_png_bad_deflate())], "media_id long, payload binary"
+    )
+    probe = probe_media_metadata(df).collect()[0]
+    assert probe["ok"] and (probe["width"], probe["height"]) == (4, 4)
+    stats = decode_image_stats(df).collect()[0]
+    assert not stats["ok"]
