@@ -41,6 +41,8 @@ the production entry point, like the hot-bucket cap defaults in
 from __future__ import annotations
 
 import os
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +57,32 @@ from .operators.text import fingerprint
 from .sinks.files import _hadoop_fs, replace_directory
 
 
+def _with_lease(fn):
+    """Method decorator: run the body holding the per-corpus write
+    lease (see :meth:`SignatureStore.lock`). The wrapped method's
+    ``corpus`` argument names the lease."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        corpus = sig.bind(self, *args, **kwargs).arguments["corpus"]
+        with self.lock(corpus):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
+class StoreLockedError(RuntimeError):
+    """Another writer holds the corpus write lease. Raised instead of
+    letting two mutators interleave unanalyzed (a delta committed
+    between a compact's read and its base swap would be silently
+    dropped or double-markered). Wait for the holder, or — if it is a
+    crashed job that will not come back — ``break_lock(corpus)``."""
+
+
 class SignatureStore:
     """Read-through Parquet cache for MinHash-family artifacts.
 
@@ -63,11 +91,119 @@ class SignatureStore:
 
         <root>/hashed_postings/<corpus>/n=<n>/portable=<0|1>/
         <root>/minhash_signatures/<corpus>/n=<n>/portable=<0|1>/k=<k>/seed=<s>/
+
+    **Single-writer contract (per corpus).** ``compact`` reads every
+    live delta, rewrites the base, then GCs those delta dirs; a
+    concurrent ``append_batch`` could commit a delta between the read
+    and the swap (silently dropped from the new base) or collide with
+    the GC. Likewise two concurrent ``append_batch`` calls on the same
+    batch name would race the wholesale-replace rename. So every
+    mutating entry point — ``append_batch``, ``compact``,
+    ``refresh_all``, ``ivf_append``, ``ivf_compact`` — takes a
+    per-corpus write LEASE: a lock file under ``<root>/_locks/``
+    created exclusively and stamped with this store's ``owner`` token.
+    A second independent writer fails loudly with
+    :class:`StoreLockedError` instead of interleaving. Within one
+    store instance the lease is reentrant, and a NEW instance built
+    with the SAME ``owner`` adopts an existing lease rather than
+    failing — the crash-recovery path: give a restarted job the same
+    stable owner (e.g. derived from its checkpoint dir) and its replay
+    proceeds; give independent jobs independent owners (the default —
+    a fresh random token per instance) and the second one is refused.
+    ``break_lock(corpus)`` is the manual override for a lease whose
+    holder is known dead. Readers never take the lease (artifact reads
+    are atomic-swap consistent). Exclusive-create is atomic on HDFS
+    and local filesystems; on S3-family stores, front this with a real
+    conditional-put lock service if two writers are a possibility.
+
+    The lease guards the delta/compact lifecycle; first-time base
+    creation (the lazy read-through builds) is assumed to be a single
+    setup actor, as before.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, owner: str | None = None):
         self.spark = spark
         self.root = root
+        self.owner = owner or uuid.uuid4().hex
+        self._lease_depth: dict[str, int] = {}
+
+    # ------------------------------------------------------ write lease
+    def _lock_file(self, corpus: str) -> str:
+        return os.path.join(self.root, "_locks", f"{corpus}.lock")
+
+    def _lock_owner(self, corpus: str) -> str | None:
+        """The owner token in the corpus lock file, or None if unheld."""
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
+        if not fs.exists(hp):
+            return None
+        inp = fs.open(hp)
+        try:
+            return inp.readUTF()
+        finally:
+            inp.close()
+
+    @contextmanager
+    def lock(self, corpus: str):
+        """Hold the corpus write lease for a multi-step maintenance
+        block. Reentrant within this instance; adopts an existing
+        lease stamped with this instance's ``owner`` (crash
+        recovery); raises :class:`StoreLockedError` on any other
+        holder. Used internally by every mutating entry point."""
+        depth = self._lease_depth.get(corpus, 0)
+        if depth == 0:
+            self._acquire(corpus)
+        self._lease_depth[corpus] = depth + 1
+        try:
+            yield
+        finally:
+            self._lease_depth[corpus] -= 1
+            if self._lease_depth[corpus] == 0:
+                del self._lease_depth[corpus]
+                self._release(corpus)
+
+    def _acquire(self, corpus: str) -> None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
+        try:
+            out = fs.create(hp, False)  # exclusive create
+        except Exception:
+            holder = self._lock_owner(corpus)
+            if holder is None:
+                # raced a release (or an unreadable stamp): one retry
+                try:
+                    out = fs.create(hp, False)
+                except Exception as e2:
+                    raise StoreLockedError(
+                        f"corpus {corpus!r} lease at "
+                        f"{self._lock_file(corpus)} is contended; retry, "
+                        "or break_lock() if the holder is dead"
+                    ) from e2
+            elif holder == self.owner:
+                return  # adopt our own lease (reentrant / crash recovery)
+            else:
+                raise StoreLockedError(
+                    f"corpus {corpus!r} is write-locked by owner "
+                    f"{holder!r} (lease {self._lock_file(corpus)}); a "
+                    "second concurrent writer would interleave "
+                    "append/compact unanalyzed — wait for it, or "
+                    "break_lock() if that job is dead"
+                )
+        out.writeUTF(self.owner)
+        out.close()
+
+    def _release(self, corpus: str) -> None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
+        if fs.exists(hp):
+            fs.delete(hp, False)
+
+    def break_lock(self, corpus: str) -> None:
+        """Force-release a lease whose holder is known dead. The
+        caller asserts no live writer exists — breaking a LIVE
+        writer's lease reintroduces exactly the interleavings the
+        lease exists to prevent."""
+        self._release(corpus)
 
     # ---------------------------------------------------------- paths
     def postings_path(self, corpus: str, n: int = 3, portable: bool = False) -> str:
@@ -432,6 +568,7 @@ class SignatureStore:
             )
         return self._read(path, exclude_batch)
 
+    @_with_lease
     def refresh_all(
         self,
         df: DataFrame,
@@ -568,6 +705,7 @@ class SignatureStore:
         )
 
     # ------------------------------------------------- compaction
+    @_with_lease
     def compact(
         self,
         corpus: str,
@@ -861,6 +999,7 @@ class SignatureStore:
             out = out.unionByName(self.spark.read.parquet(d))
         return out.select("cell", "id", "v")
 
+    @_with_lease
     def ivf_append(
         self,
         new_df: DataFrame,
@@ -902,6 +1041,7 @@ class SignatureStore:
         ).parquet(tmp)
         replace_directory(self.spark, tmp, dst)
 
+    @_with_lease
     def ivf_compact(
         self,
         corpus: str,
@@ -920,6 +1060,7 @@ class SignatureStore:
         )
 
     # ------------------------------------------------ batch commit
+    @_with_lease
     def append_batch(
         self,
         survivors: DataFrame,

@@ -347,6 +347,14 @@ def start_incremental_dedup(
     rather than silently treating history as empty. ``trigger``
     defaults to availableNow (T2 drain-then-stop); pass
     ``{"processingTime": "60 seconds"}`` for a T1 cadence.
+
+    Each epoch mutates the store under its per-corpus write LEASE
+    (``SignatureStore.lock``), so an independent batch job touching
+    the same corpus fails loudly instead of interleaving with the
+    stream. Build the store with a STABLE ``owner`` (e.g. derived
+    from ``checkpoint``) so a crash-restart ADOPTS a lease the dead
+    run left behind and replays; a store with the default random
+    owner would refuse its own replacement until ``break_lock``.
     """
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:

@@ -693,3 +693,102 @@ def test_folded_ledger_survives_later_compactions(spark, docs, tmp_path):
     store.refresh_all(docs.select("doc_id", "text"), "docs")
     _commit("b0", "glacier melt rates in the northern fjords")
     assert store.validate("docs")["ok"]
+
+
+# ------------------------------------------------- write lease
+
+
+def test_second_writer_fails_loudly_append_vs_compact(spark, docs, tmp_path):
+    """Two independent stores (distinct owners) on the same root: while
+    writer A holds the corpus lease (append racing compact and
+    append racing append), writer B's mutators raise StoreLockedError
+    instead of interleaving; afterwards B proceeds and the artifacts
+    fsck green."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    root = str(tmp_path / "store")
+    a = SignatureStore(spark, root, owner="job-a")
+    b = SignatureStore(spark, root, owner="job-b")
+    a.fingerprints(docs, "docs")
+    a.signatures(docs, "docs")
+    batch = spark.createDataFrame(
+        [(900001, "a unique doc about kelp forest canopies")],
+        "doc_id long, text string",
+    )
+    with a.lock("docs"):  # A mid-append / mid-compact
+        # append racing compact
+        with pytest.raises(StoreLockedError, match="write-locked"):
+            b.compact("docs")
+        # append racing append
+        with pytest.raises(StoreLockedError, match="write-locked"):
+            b.append_batch(batch, "docs", "b1")
+        # A itself is unaffected (reentrant lease)
+        a.append_batch(batch, "docs", "b1")
+    # lease released: B can now mutate, and the store is consistent
+    assert b.compact("docs") == 1
+    assert b.validate("docs")["ok"]
+
+
+def test_lease_adoption_is_the_crash_recovery_path(spark, docs, tmp_path):
+    """A crashed writer leaves its lease behind. A restart with the
+    SAME stable owner adopts it and replays; any other owner is
+    refused until break_lock."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    root = str(tmp_path / "store")
+    a = SignatureStore(spark, root, owner="stream-ckpt-7")
+    a.fingerprints(docs, "docs")
+    a.signatures(docs, "docs")
+    a._acquire("docs")  # crash: lease never released
+
+    stranger = SignatureStore(spark, root)  # random owner
+    with pytest.raises(StoreLockedError, match="stream-ckpt-7"):
+        stranger.compact("docs")
+
+    restarted = SignatureStore(spark, root, owner="stream-ckpt-7")
+    restarted.append_batch(  # adopts the stale lease and replays
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    # the replayed mutation completed -> lease released with it
+    assert restarted._lock_owner("docs") is None
+    assert stranger.compact("docs") == 1
+
+    # break_lock is the override when the dead holder will NOT replay
+    a._acquire("docs")  # crash again
+    with pytest.raises(StoreLockedError, match="stream-ckpt-7"):
+        stranger.refresh_all(docs.select("doc_id", "text"), "docs")
+    stranger.break_lock("docs")
+    stranger.refresh_all(docs.select("doc_id", "text"), "docs")
+    assert stranger.validate("docs")["ok"]
+
+
+def test_lease_released_after_normal_mutation(spark, docs, tmp_path):
+    """Every mutating entry point releases the lease on exit (success
+    AND failure), so sequential writers with different owners never
+    block each other."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    root = str(tmp_path / "store")
+    a = SignatureStore(spark, root, owner="x")
+    b = SignatureStore(spark, root, owner="y")
+    a.fingerprints(docs, "docs")
+    a.signatures(docs, "docs")
+    batch = spark.createDataFrame(
+        [(900001, "a unique doc about kelp forest canopies")],
+        "doc_id long, text string",
+    )
+    a.append_batch(batch, "docs", "b1")
+    assert a._lock_owner("docs") is None
+    b.compact("docs")
+    assert b._lock_owner("docs") is None
+    # a failing mutator also releases: folded-name replay refusal
+    with pytest.raises(ValueError, match="folded"):
+        a.append_batch(batch, "docs", "b1")
+    assert a._lock_owner("docs") is None
+    b.refresh_all(docs.select("doc_id", "text"), "docs")
+    assert b._lock_owner("docs") is None
