@@ -262,3 +262,159 @@ def write_dashboard_html(
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(html)
     return path
+
+
+# ------------------------------------------------- report charts
+# The reference's second rendering surface beside the dashboard: the
+# report generator (reference include/tasks/generate_dashboard.py:37-60)
+# saves a per-symbol cumulative-returns line chart (x100, matplotlib)
+# and an annotated correlation heatmap of daily returns (seaborn
+# coolwarm) as output/cumulative_returns.png and
+# output/correlation_heatmap.png. Same frames, same rules here: the
+# values come from the oracle-checked W3/W4 window operators and the
+# A5 single-pass corr matrix, every collect bounded, output
+# deterministic SVG.
+
+
+def _diverging_color(v: float) -> str:
+    """coolwarm-style diverging map on [-1, 1]: blue → white → red.
+    NaN (pairwise-complete corr with <2 paired rows) renders gray."""
+    if v is None or v != v:
+        return "#cccccc"
+    v = max(-1.0, min(1.0, v))
+    lo, mid, hi = (59, 76, 192), (255, 255, 255), (180, 4, 38)
+    a, b, t = (mid, hi, v) if v >= 0 else (mid, lo, -v)
+    rgb = tuple(round(x + (y - x) * t) for x, y in zip(a, b))
+    return "#%02x%02x%02x" % rgb
+
+
+def svg_heatmap(
+    labels: list[str],
+    cells: dict[tuple[str, str], float | None],
+    title: str = "",
+    cell_px: int = 56,
+) -> str:
+    """Annotated N x N heatmap (the seaborn ``annot=True fmt='.2f'``
+    analog): one rect per (row, col) colored by the diverging map,
+    the value printed in the cell, row/col labels on the margins."""
+    pad = 70
+    n = len(labels)
+    w = pad + n * cell_px + 10
+    h = pad + n * cell_px + 10
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+        f'height="{h}" class="heatmap">',
+        f'<text x="{w // 2}" y="16" text-anchor="middle" '
+        f'font-weight="bold">{escape(title)}</text>',
+    ]
+    for j, lab in enumerate(labels):  # column labels
+        parts.append(
+            f'<text x="{pad + (j + 0.5) * cell_px:.1f}" y="{pad - 8}" '
+            f'text-anchor="middle" font-size="11">{escape(lab)}</text>'
+        )
+    for i, row in enumerate(labels):
+        parts.append(
+            f'<text x="{pad - 6}" y="{pad + (i + 0.5) * cell_px + 4:.1f}" '
+            f'text-anchor="end" font-size="11">{escape(row)}</text>'
+        )
+        for j, col in enumerate(labels):
+            v = cells.get((row, col))
+            x, y = pad + j * cell_px, pad + i * cell_px
+            parts.append(
+                f'<rect x="{x}" y="{y}" width="{cell_px}" '
+                f'height="{cell_px}" fill="{_diverging_color(v)}" '
+                f'stroke="#fff" stroke-width="1"/>'
+            )
+            txt = "—" if v is None or v != v else f"{v:.2f}"
+            # dark cells (strong correlation either way) get white text
+            fill = (
+                "#fff" if v is not None and v == v and abs(v) > 0.6
+                else "#000"
+            )
+            parts.append(
+                f'<text x="{x + cell_px / 2:.1f}" y="{y + cell_px / 2 + 4:.1f}" '
+                f'text-anchor="middle" font-size="11" fill="{fill}">'
+                f"{txt}</text>"
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def render_report_charts(
+    warehouse: DataFrame,
+    symbols: list[str] | None = None,
+    max_points: int = 200,
+) -> dict[str, str]:
+    """The two report-generator charts as deterministic SVG strings
+    (keys ``cumulative_returns`` and ``correlation_heatmap``) —
+    reference include/tasks/generate_dashboard.py:37-60.
+
+    - *cumulative_returns*: one line per symbol of the W3/W4
+      compounded return x100 (``(1+pct_change).cumprod()-1``), cut to
+      the last ``max_points`` rows per symbol INSIDE Spark
+      (:func:`bounded_history`) before the collect.
+    - *correlation_heatmap*: the A5 pairwise-complete Pearson matrix
+      of daily returns, annotated ``.2f`` on a diverging colormap;
+      the collect is the N² matrix cells, never the table.
+
+    ``symbols`` defaults to the warehouse's distinct symbols (sorted;
+    a dashboard-scale cardinality — for a wider universe pass the
+    watchlist explicitly)."""
+    from ..pipelines import daily_returns, returns_correlation
+
+    if symbols is None:
+        symbols = sorted(
+            r["symbol"]
+            for r in warehouse.select("symbol").distinct().collect()
+        )
+    rets = daily_returns(warehouse).withColumn(
+        "cum_pct", F.col("cumulative_return") * 100.0
+    )
+    hist = bounded_history(
+        rets, value_col="cum_pct", max_points=max_points
+    ).collect()
+    series: dict[str, list[tuple[float, float]]] = {}
+    for r in hist:
+        if r["cum_pct"] is None:
+            continue  # first row per symbol: pandas plots skip NaN too
+        t = r["date"]
+        x = t.toordinal() if hasattr(t, "toordinal") else float(t)
+        series.setdefault(r["symbol"], []).append(
+            (float(x), float(r["cum_pct"]))
+        )
+    corr = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in returns_correlation(warehouse, symbols).collect()
+    }
+    return {
+        "cumulative_returns": svg_line_chart(
+            series, "Cumulative return (%)"
+        ),
+        "correlation_heatmap": svg_heatmap(
+            symbols, corr, "Daily-return correlation"
+        ),
+    }
+
+
+def write_report_charts(
+    warehouse: DataFrame,
+    out_dir: str,
+    symbols: list[str] | None = None,
+    max_points: int = 200,
+) -> list[str]:
+    """Save both report charts under ``out_dir`` as
+    ``cumulative_returns.svg`` and ``correlation_heatmap.svg`` — the
+    reference's ``output/*.png`` pair, SVG-native."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    charts = render_report_charts(
+        warehouse, symbols=symbols, max_points=max_points
+    )
+    paths = []
+    for name, svg in sorted(charts.items()):
+        path = os.path.join(out_dir, f"{name}.svg")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(svg)
+        paths.append(path)
+    return paths

@@ -165,3 +165,68 @@ def test_dashboard_frames(spark):
     assert top_vol["volume"] == 3000.0
     shares = {r["symbol"]: r["cap_pct"] for r in frames["cap_share"].collect()}
     assert math.isclose(shares["PETR4"] + shares["VALE3"], 100.0)
+
+
+def test_report_charts_render(spark, tmpdir):
+    """K6 closure — the two report-generator charts (reference
+    include/tasks/generate_dashboard.py:37-60): cumulative-returns
+    line (x100 of the W3/W4 compounded return) and the annotated
+    daily-return correlation heatmap, deterministic SVG."""
+    from b3_analytics_engine_spark.sinks.dashboard import (
+        render_report_charts,
+        write_report_charts,
+    )
+
+    wh = _warehouse(spark)
+    charts = render_report_charts(wh)
+    line = charts["cumulative_returns"]
+    heat = charts["correlation_heatmap"]
+
+    # one polyline per symbol; values are the x100 compounded return
+    assert line.count("<polyline") == 2
+    assert "Cumulative return" in line
+    # PETR4: day2 = 11/10-1 = 10%, day3 = 12.1/10-1 = 21%; the y-axis
+    # label carries min..max across both symbols (VALE3 day2 = -10%)
+    assert "-10.00..21.00" in line
+
+    # heatmap: 2x2 cells, .2f annotations, diagonal exactly 1.00
+    assert heat.count("<rect") == 4
+    assert heat.count(">1.00<") == 2
+    assert "PETR4" in heat and "VALE3" in heat
+    # PETR4/VALE3 off-diagonal appears twice (symmetric)
+    off = [
+        c for c in ("-1.00", "-0.99", "1.00")
+        if heat.count(f">{c}<")
+    ]
+    assert off  # a correlation value is printed
+
+    # deterministic output (byte-stable like render_dashboard)
+    again = render_report_charts(wh)
+    assert again == charts
+
+    # file sink writes both, sorted
+    paths = write_report_charts(wh, f"{tmpdir}/report")
+    assert [p.rsplit("/", 1)[-1] for p in paths] == [
+        "correlation_heatmap.svg",
+        "cumulative_returns.svg",
+    ]
+    with open(paths[1], encoding="utf-8") as fh:
+        assert fh.read() == line
+
+
+def test_heatmap_nan_and_extremes():
+    """The diverging colormap and NaN handling are pure functions:
+    +1 -> the red pole, -1 -> the blue pole, 0 -> white, NaN -> gray
+    cell with an em-dash annotation."""
+    from b3_analytics_engine_spark.sinks.dashboard import (
+        _diverging_color,
+        svg_heatmap,
+    )
+
+    assert _diverging_color(1.0) == "#b40426"
+    assert _diverging_color(-1.0) == "#3b4cc0"
+    assert _diverging_color(0.0) == "#ffffff"
+    assert _diverging_color(float("nan")) == "#cccccc"
+    svg = svg_heatmap(["a", "b"], {("a", "a"): 1.0, ("b", "b"): 1.0,
+                                   ("a", "b"): float("nan")})
+    assert "#cccccc" in svg and ">—<" in svg
