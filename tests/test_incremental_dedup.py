@@ -379,6 +379,7 @@ def test_micro_batch_replay_stays_idempotent_with_compaction(
     assert live == ["epoch-1"]
 
 
+@pytest.mark.soak
 def test_multi_epoch_soak_with_compaction_validates(
     spark, tmp_path, corpus_rows
 ):

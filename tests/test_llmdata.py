@@ -10,6 +10,8 @@ can't check (approximate-by-design):
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -1500,10 +1502,11 @@ def test_jpeg_parser_rejects_malformed_valueerror_only():
     with pytest.raises(ValueError):
         _parse_jpeg(None)
 
-    # truncation fuzz: EVERY strict prefix must raise ValueError,
-    # never escape — including len(good)-1 and len(good)-2, which cut
-    # only the trailing EOI (the decoder requires it per T.81 §B.2.1).
-    for cut in range(2, len(good)):
+    # truncation fuzz, SAMPLED tier: every 7th boundary plus the EOI
+    # hot spots len-1/len-2 (the decoder requires EOI per T.81
+    # §B.2.1). The EXHAUSTIVE every-prefix sweep is the soak-marked
+    # twin below — same property, full rigor, opt-in (`-m soak`).
+    for cut in [*range(2, len(good), 7), len(good) - 2, len(good) - 1]:
         with pytest.raises(ValueError):
             _parse_jpeg(good[:cut])
 
@@ -1604,7 +1607,7 @@ def test_progressive_jpeg_rejects_malformed_valueerror_only():
     w, h, ch, _ = _parse_jpeg(good)
     assert (w, h, ch) == (16, 16, 3)
 
-    for cut in range(2, len(good)):
+    for cut in [*range(2, len(good), 7), len(good) - 2, len(good) - 1]:
         with pytest.raises(ValueError):
             _parse_jpeg(good[:cut])
 
@@ -1624,3 +1627,26 @@ def test_progressive_jpeg_rejects_malformed_valueerror_only():
         + good[sof + 2 + seglen :]
     with pytest.raises(ValueError, match="multiple SOF"):
         _parse_jpeg(dup)
+
+
+@pytest.mark.soak
+def test_jpeg_truncation_fuzz_exhaustive():
+    """Soak tier of the two truncation fuzzes above: EVERY strict
+    prefix of a valid baseline stream and of a valid progressive
+    stream must raise ValueError — no byte boundary escapes the
+    quarantine contract. The default gate runs the sampled version;
+    this one is the full sweep (`pytest -m soak`)."""
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    for good in (
+        encode_jpeg_baseline(16, 16, bytes(16 * 16 * 3), q=16,
+                             restart_interval=1),
+        encode_jpeg_progressive(16, 16, _grad_rgb(16, 16), q=16),
+    ):
+        for cut in range(2, len(good)):
+            with pytest.raises(ValueError):
+                _parse_jpeg(good[:cut])
