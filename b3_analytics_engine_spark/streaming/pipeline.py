@@ -369,3 +369,84 @@ def start_incremental_dedup(
     )
     t = trigger or {"availableNow": True}
     return writer.trigger(**t).start()
+
+
+def ivf_append_micro_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store,
+    corpus: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+    compact_every: int | None = None,
+) -> None:
+    """``foreachBatch`` body of :func:`start_ivf_append` — one epoch of
+    continuous vector-index growth, the embedding twin of
+    :func:`incremental_dedup_micro_batch`. Exposed at module level so
+    tests and batch backfills can drive it with static frames.
+
+    Per epoch: assign the batch against the PERSISTED coarse quantizer
+    (no retrain — standard IVF) and commit it as the ``epoch-<id>``
+    cell-partitioned delta (``SignatureStore.ivf_append``), so the
+    next probe's partition pruning sees base + all committed epochs.
+    O(batch) per epoch, independent of index size.
+
+    Replay-idempotent (T3): ``ivf_append`` replaces the epoch's delta
+    wholesale on a re-commit, and ``compact_every`` compacts with
+    ``exclude=`` the current epoch so a replayed epoch's name is never
+    folded-refused — the same epoch-lifecycle contract as the dedup
+    stream, sharing its lease/owner recovery story (build the store
+    with a checkpoint-derived owner)."""
+    if batch_df.isEmpty():
+        return
+    name = f"epoch-{int(epoch_id)}"
+    store.ivf_append(
+        batch_df, corpus, name,
+        id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters,
+    )
+    if compact_every and int(epoch_id) % compact_every == compact_every - 1:
+        store.ivf_compact(
+            corpus, n_centroids=n_centroids, iters=iters, exclude=name
+        )
+
+
+def start_ivf_append(
+    stream_df: DataFrame,
+    store,
+    corpus: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Continuous vector ingestion into the persisted IVF index: an
+    append stream of ``(id, embedding)`` rows → ``foreachBatch`` →
+    :func:`ivf_append_micro_batch` — what "index 100 TB of embeddings
+    as they land" looks like: probes stay O(cells-probed) while the
+    index grows by O(batch) deltas per epoch, compacted every
+    ``compact_every`` epochs to keep file counts O(cells).
+
+    The index base (and its trained centroids) must exist before the
+    stream starts (``SignatureStore.ivf_index`` with the corpus
+    frame); a missing base fails the first epoch loudly rather than
+    silently seeding an index from one micro-batch."""
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_append_micro_batch(
+            batch_df, epoch_id, store, corpus,
+            id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, iters=iters,
+            compact_every=compact_every,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_run).option(
+        "checkpointLocation", checkpoint
+    )
+    t = trigger or {"availableNow": True}
+    return writer.trigger(**t).start()
