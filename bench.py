@@ -146,6 +146,10 @@ HEADLINE = [
     # (bench-only callable — the default-caps code path gets a
     # recurring perf signal, not just unit coverage)
     "corpus_dedup_pipeline",
+    # round 11: the probe-once media curation cut end-to-end
+    # (bench-only callable — header-level probe + predicate split over
+    # a mixed PPM/WAV/PVF/garbage corpus)
+    "media_curation_pipeline",
 ]
 
 
@@ -271,6 +275,7 @@ def main() -> None:
         corpus_dedup_pipeline,
         cosine_ann_ivf_raw,
         cosine_ann_lsh_raw,
+        media_curation_pipeline,
     )
 
     spark = get_spark(
@@ -282,6 +287,7 @@ def main() -> None:
     qs["cosine_ann_lsh_raw"] = cosine_ann_lsh_raw
     qs["cosine_ann_ivf_raw"] = cosine_ann_ivf_raw
     qs["corpus_dedup_pipeline"] = corpus_dedup_pipeline
+    qs["media_curation_pipeline"] = media_curation_pipeline
 
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
