@@ -1300,3 +1300,84 @@ class SignatureStore:
             counts["simhash"] = "absent"
 
         return {"ok": not errors, "errors": errors, "counts": counts}
+
+    def validate_ivf(
+        self,
+        corpus: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+    ) -> dict:
+        """:meth:`validate` for the IVF index — the fsck an embedding
+        ingestion schedules beside :meth:`ivf_compact`. Verifies, over
+        the full base+deltas view:
+
+        - the persisted centroid table has exactly ``n_centroids``
+          rows with a consistent vector dimension;
+        - every index row's ``cell`` is a valid centroid id;
+        - index vectors share the centroid dimension;
+        - ids are unique (an id in two cells would double-serve
+          probes; a re-assign after drift must replace, not add);
+        - every index row's cell IS its nearest centroid under the
+          current quantizer (spot contract: appends assigned against
+          stale/foreign centroids — e.g. params mismatched between
+          build and append — surface here rather than as silent
+          recall loss).
+
+        Same return contract as :meth:`validate`; cost is one scan of
+        the (narrow) index plus an Arrow re-assign, never a probe
+        fan-out."""
+        errors: list[str] = []
+        counts: dict[str, object] = {}
+        cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
+        ipath = self.ivf_index_path(corpus, n_centroids, iters)
+        if not self._is_complete(cpath) or not self._is_complete(ipath):
+            return {
+                "ok": False,
+                "errors": [f"IVF artifacts absent for corpus {corpus!r}"],
+                "counts": {"centroids": "absent", "index": "absent"},
+            }
+        C = self.ivf_centroids(None, corpus, n_centroids=n_centroids,
+                               iters=iters)
+        counts["centroids"] = int(C.shape[0])
+        if C.shape[0] != n_centroids:
+            errors.append(
+                f"{C.shape[0]} centroids persisted, expected {n_centroids}"
+            )
+        dim = int(C.shape[1])
+        idx = self.ivf_index(None, corpus, n_centroids=n_centroids,
+                             iters=iters)
+        counts["index_rows"] = idx.count()
+        bad_cell = idx.filter(
+            (F.col("cell") < 0) | (F.col("cell") >= C.shape[0])
+        ).count()
+        if bad_cell:
+            errors.append(f"{bad_cell} index rows in nonexistent cells")
+        bad_dim = idx.filter(F.size("v") != dim).count()
+        if bad_dim:
+            errors.append(
+                f"{bad_dim} index vectors with dim != centroid dim {dim}"
+            )
+        dup_ids = (
+            idx.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        if dup_ids:
+            errors.append(f"{dup_ids} ids appear in more than one row")
+        from .operators.similarity import ivf_assignments
+
+        want = ivf_assignments(
+            idx.select("id", F.col("v").alias("_v")), C, "id", "_v", nprobe=1
+        ).withColumnRenamed("cell", "_want")
+        misassigned = (
+            idx.select("cell", "id")
+            .join(want.select("id", "_want"), "id")
+            .filter(F.col("cell") != F.col("_want"))
+            .count()
+        )
+        if misassigned:
+            errors.append(
+                f"{misassigned} rows not in their nearest cell under the "
+                "current quantizer (stale/foreign-centroid append?)"
+            )
+        return {"ok": not errors, "errors": errors, "counts": counts}

@@ -222,3 +222,45 @@ def test_streaming_ivf_append_end_to_end_with_replay(
     )
     again = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
     assert _rows(again) == rows
+
+
+def test_validate_ivf_green_then_catches_planted_faults(
+    spark, emb, tmp_path
+):
+    """IVF fsck: green on a healthy base+delta index; flags planted
+    duplicate ids and misassigned cells; absent artifacts report
+    ok=false rather than raising."""
+    import numpy as np
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    assert not store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    store.ivf_append(
+        spark.createDataFrame(
+            [(90001, [float(x) for x in np.roll(np.asarray(q0), 5)])],
+            "vec_id long, embedding array<float>",
+        ),
+        "emb", "day1", n_centroids=8, iters=2,
+    )
+    report = store.validate_ivf("emb", n_centroids=8, iters=2)
+    assert report["ok"], report["errors"]
+    assert report["counts"]["centroids"] == 8
+
+    # plant a duplicate id in a WRONG cell as a second delta
+    row = store.ivf_index(None, "emb", n_centroids=8, iters=2).filter(
+        F.col("id") == 90001
+    ).first()
+    wrong_cell = (row["cell"] + 1) % 8
+    store._append_delta(
+        spark.createDataFrame(
+            [(wrong_cell, 90001, row["v"])], "cell int, id long, v array<double>"
+        ),
+        store.ivf_index_path("emb", n_centroids=8, iters=2),
+        "bad",
+    )
+    report = store.validate_ivf("emb", n_centroids=8, iters=2)
+    assert not report["ok"]
+    assert any("more than one row" in e for e in report["errors"])
+    assert any("nearest cell" in e for e in report["errors"])
