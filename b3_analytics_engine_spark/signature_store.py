@@ -116,9 +116,13 @@ class SignatureStore:
     and local filesystems; on S3-family stores, front this with a real
     conditional-put lock service if two writers are a possibility.
 
-    The lease guards the delta/compact lifecycle; first-time base
-    creation (the lazy read-through builds) is assumed to be a single
-    setup actor, as before.
+    First-time base creation (the lazy read-through builds) and
+    derived-delta backfill (:meth:`_sync_deltas`) take the lease too,
+    double-checked: the completeness test runs again under the lease,
+    so two jobs racing the same first build cannot collide on the
+    staging directory — one builds, the other re-reads the published
+    artifact (same owner) or fails loudly (different owner). Pure
+    reads of complete artifacts never touch the lease.
     """
 
     def __init__(self, spark: SparkSession, root: str, owner: str | None = None):
@@ -367,7 +371,9 @@ class SignatureStore:
             path, *self._delta_paths(path, exclude=exclude_batch)
         )
 
-    def _sync_deltas(self, dst_path: str, src_path: str, derive) -> None:
+    def _sync_deltas(
+        self, dst_path: str, src_path: str, derive, corpus: str
+    ) -> None:
         """Backfill DERIVED-artifact deltas: for every committed delta
         batch of ``src_path`` with no counterpart under ``dst_path``,
         compute ``derive(delta_rows)`` and commit it under the same
@@ -376,13 +382,31 @@ class SignatureStore:
         (sizes/band census) — the property ``exclude_batch`` replay
         correctness rests on — including for stores whose batches were
         committed before the derived artifact existed. O(delta) per
-        missing batch, never an O(corpus) rewrite."""
+        missing batch, never an O(corpus) rewrite.
+
+        This is a WRITE on an otherwise-read path, so when (and only
+        when) missing deltas exist it runs under the corpus lease,
+        re-listing inside it (double-checked: a concurrent writer may
+        have backfilled while we acquired)."""
         dst_root = self._delta_root(dst_path)
-        for d in self._delta_paths(src_path):
-            batch = d.rstrip("/").rsplit("/", 1)[-1]
-            if not self._is_complete(os.path.join(dst_root, batch)):
+
+        def _missing():
+            return [
+                d
+                for d in self._delta_paths(src_path)
+                if not self._is_complete(
+                    os.path.join(dst_root, d.rstrip("/").rsplit("/", 1)[-1])
+                )
+            ]
+
+        if not _missing():
+            return
+        with self.lock(corpus):
+            for d in _missing():
                 self._append_delta(
-                    derive(self.spark.read.parquet(d)), dst_path, batch
+                    derive(self.spark.read.parquet(d)),
+                    dst_path,
+                    d.rstrip("/").rsplit("/", 1)[-1],
                 )
 
     # ------------------------------------------------------ artifacts
@@ -404,9 +428,12 @@ class SignatureStore:
         ``tests/test_signature_store.py``)."""
         path = self.postings_path(corpus, n, portable)
         if refresh or not self._is_complete(path):
-            self._write_atomic(
-                hashed_postings(df, id_col, text_col, n, portable), path
-            )
+            with self.lock(corpus):  # double-checked first build
+                if refresh or not self._is_complete(path):
+                    self._write_atomic(
+                        hashed_postings(df, id_col, text_col, n, portable),
+                        path,
+                    )
         return self._read(path, exclude_batch)
 
     def signatures(
@@ -428,12 +455,16 @@ class SignatureStore:
         :func:`..operators.dedup.minhash_signatures`."""
         path = self.signatures_path(corpus, n, portable, num_hashes, seed)
         if refresh or not self._is_complete(path):
-            posts = self.postings(
-                df, corpus, id_col, text_col, n, portable, refresh=refresh
-            )
-            self._write_atomic(
-                _signatures_from_hashed(posts, num_hashes, seed), path
-            )
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    posts = self.postings(
+                        df, corpus, id_col, text_col, n, portable,
+                        refresh=refresh,
+                    )
+                    self._write_atomic(
+                        _signatures_from_hashed(posts, num_hashes, seed),
+                        path,
+                    )
         return self._read(path, exclude_batch)
 
     def simhash_path(
@@ -471,10 +502,14 @@ class SignatureStore:
         ``validate()`` flags that inconsistency."""
         path = self.simhash_path(corpus, nbits, portable)
         if refresh or not self._is_complete(path):
-            self._write_atomic(
-                simhash_signatures(df, id_col, text_col, nbits, portable),
-                path,
-            )
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    self._write_atomic(
+                        simhash_signatures(
+                            df, id_col, text_col, nbits, portable
+                        ),
+                        path,
+                    )
         return self._read(path, exclude_batch)
 
     def simhash_census_path(
@@ -533,9 +568,15 @@ class SignatureStore:
         path = self.simhash_census_path(corpus, nbits, portable)
         spath = self.simhash_path(corpus, nbits, portable)
         if refresh or not self._is_complete(path):
-            self.simhash(df, corpus, id_col, text_col, nbits, portable)
-            self._write_atomic(derive(self.spark.read.parquet(spath)), path)
-        self._sync_deltas(path, spath, derive)
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    self.simhash(
+                        df, corpus, id_col, text_col, nbits, portable
+                    )
+                    self._write_atomic(
+                        derive(self.spark.read.parquet(spath)), path
+                    )
+        self._sync_deltas(path, spath, derive, corpus)
         return (
             self._read(path, exclude_batch)
             .groupBy("chunk", "cv")
@@ -559,13 +600,15 @@ class SignatureStore:
         corpus text."""
         path = self.fingerprints_path(corpus)
         if refresh or not self._is_complete(path):
-            self._write_atomic(
-                df.select(
-                    F.col(id_col).alias("id"),
-                    fingerprint(text_col).alias("fp"),
-                ),
-                path,
-            )
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    self._write_atomic(
+                        df.select(
+                            F.col(id_col).alias("id"),
+                            fingerprint(text_col).alias("fp"),
+                        ),
+                        path,
+                    )
         return self._read(path, exclude_batch)
 
     @_with_lease
@@ -653,11 +696,16 @@ class SignatureStore:
         path = self.sizes_path(corpus, n, portable)
         ppath = self.postings_path(corpus, n, portable)
         if refresh or not self._is_complete(path):
-            self.postings(df, corpus, id_col, text_col, n, portable)
-            self._write_atomic(
-                self._sizes_from_posts(self.spark.read.parquet(ppath)), path
-            )
-        self._sync_deltas(path, ppath, self._sizes_from_posts)
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    self.postings(df, corpus, id_col, text_col, n, portable)
+                    self._write_atomic(
+                        self._sizes_from_posts(
+                            self.spark.read.parquet(ppath)
+                        ),
+                        path,
+                    )
+        self._sync_deltas(path, ppath, self._sizes_from_posts, corpus)
         return self._read(path, exclude_batch)
 
     def band_census(
@@ -693,11 +741,16 @@ class SignatureStore:
         path = self.band_census_path(corpus, n, portable, num_hashes, seed, bands)
         spath = self.signatures_path(corpus, n, portable, num_hashes, seed)
         if refresh or not self._is_complete(path):
-            self.signatures(
-                df, corpus, id_col, text_col, n, portable, num_hashes, seed
-            )
-            self._write_atomic(derive(self.spark.read.parquet(spath)), path)
-        self._sync_deltas(path, spath, derive)
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    self.signatures(
+                        df, corpus, id_col, text_col, n, portable,
+                        num_hashes, seed,
+                    )
+                    self._write_atomic(
+                        derive(self.spark.read.parquet(spath)), path
+                    )
+        self._sync_deltas(path, spath, derive, corpus)
         return (
             self._read(path, exclude_batch)
             .groupBy("band", "bh")
@@ -912,16 +965,21 @@ class SignatureStore:
                     "and no df given to train them — check that "
                     "n_centroids/iters match the index you built"
                 )
-            C = kmeans_centroids(
-                df, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters
-            )
-            rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
-            self._write_atomic(
-                self.spark.createDataFrame(
-                    rows, "cell int, v array<double>"
-                ).coalesce(1),
-                path,
-            )
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    C = kmeans_centroids(
+                        df, n_centroids, id_col=id_col, vec_col=vec_col,
+                        iters=iters,
+                    )
+                    rows = [
+                        (i, [float(x) for x in C[i]]) for i in range(len(C))
+                    ]
+                    self._write_atomic(
+                        self.spark.createDataFrame(
+                            rows, "cell int, v array<double>"
+                        ).coalesce(1),
+                        path,
+                    )
         got = sorted(
             self.spark.read.parquet(path).collect(), key=lambda r: r["cell"]
         )
@@ -981,13 +1039,15 @@ class SignatureStore:
                     "df given to build it — check that n_centroids/iters "
                     "match the index you built"
                 )
-            C = self.ivf_centroids(
-                df, corpus, id_col, vec_col, n_centroids, iters,
-                refresh=refresh,
-            )
-            self._write_partitioned(
-                self._ivf_rows(df, C, id_col, vec_col), path
-            )
+            with self.lock(corpus):
+                if refresh or not self._is_complete(path):
+                    C = self.ivf_centroids(
+                        df, corpus, id_col, vec_col, n_centroids, iters,
+                        refresh=refresh,
+                    )
+                    self._write_partitioned(
+                        self._ivf_rows(df, C, id_col, vec_col), path
+                    )
         # per-root reads + union, NOT one multi-path read: each root
         # (base, each delta) is its own partitioned table, so Spark's
         # partition discovery — and the pruning a probe's

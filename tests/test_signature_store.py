@@ -792,3 +792,55 @@ def test_lease_released_after_normal_mutation(spark, docs, tmp_path):
     assert a._lock_owner("docs") is None
     b.refresh_all(docs.select("doc_id", "text"), "docs")
     assert b._lock_owner("docs") is None
+
+
+def test_first_build_is_lease_guarded_double_checked(spark, docs, tmp_path):
+    """Two jobs racing the same FIRST build must not collide on the
+    staging directory: while writer A holds the lease, writer B's
+    first-build (and derived backfill) fails loudly; after release B
+    re-checks and reads the artifact A published instead of
+    rebuilding. Pure reads of complete artifacts never touch the
+    lease."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    root = str(tmp_path / "store")
+    a = SignatureStore(spark, root, owner="a")
+    b = SignatureStore(spark, root, owner="b")
+    with a.lock("docs"):
+        with pytest.raises(StoreLockedError):
+            b.postings(docs, "docs")
+        a.fingerprints(docs, "docs")  # A builds under its own lease
+        a.signatures(docs, "docs")
+    # B's build branch re-checks under the lease: artifact complete ->
+    # no rebuild (pinned by file mtimes staying put)
+    import glob as _glob
+    import os as _os
+
+    files_before = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(root, "hashed_postings", "**", "*.parquet"),
+                            recursive=True)
+    }
+    assert b.postings(docs, "docs").count() > 0
+    files_after = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(root, "hashed_postings", "**", "*.parquet"),
+                            recursive=True)
+    }
+    assert files_before == files_after
+    # a pure read with the lease HELD by someone else still works
+    with a.lock("docs"):
+        assert b.signatures(None, "docs").count() > 0
+    # derived backfill on the read path is also lease-guarded
+    a.append_batch(
+        spark.createDataFrame(
+            [(900001, "a unique doc about kelp forest canopies")],
+            "doc_id long, text string",
+        ),
+        "docs", "b1",
+    )
+    a.sizes(docs, "docs")  # creates sizes base + backfills b1 delta
+    with a.lock("docs"):
+        # b's sizes() read needs no backfill -> lock-free, works
+        assert b.sizes(None, "docs").count() > 0
+    assert a.validate("docs")["ok"]
