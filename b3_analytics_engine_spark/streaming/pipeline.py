@@ -450,3 +450,112 @@ def start_ivf_append(
     )
     t = trigger or {"availableNow": True}
     return writer.trigger(**t).start()
+
+
+def corpus_ingest_micro_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store,
+    corpus: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_centroids: int = 16,
+    iters: int = 3,
+    compact_every: int | None = None,
+) -> None:
+    """One epoch of the FULL training-data ingest — the composition of
+    :func:`incremental_dedup_micro_batch` and
+    :func:`ivf_append_micro_batch` under ONE epoch name: dedup the
+    batch's documents against the corpus snapshot, publish the
+    survivors to the lake, and make exactly the survivors' embeddings
+    searchable in the persisted IVF index. Dropped duplicates never
+    reach the vector index, so dedup and similarity serving can never
+    disagree about what is in the corpus.
+
+    Replay-idempotent as a UNIT: both artifact families key the epoch
+    by the same ``epoch-<id>`` batch name — the dedup reads exclude
+    the epoch's own delta, every commit is a wholesale delta replace,
+    and a crash between the dedup commit and the IVF append recovers
+    on replay (the re-run recomputes the same survivor set against
+    the same excluded-epoch corpus view and replaces both deltas).
+    ``compact_every`` folds BOTH families' deltas in-epoch with
+    ``exclude=`` the current epoch, same contract as each twin alone.
+    """
+    from .. import pipelines as P
+
+    if batch_df.isEmpty():
+        return
+    name = f"epoch-{int(epoch_id)}"
+    survivors = P.incremental_dedup(
+        batch_df.select(id_col, text_col),
+        store,
+        corpus,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        commit_batch=name,
+    )
+    (
+        survivors.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(output_path)
+    )
+    vecs = batch_df.select(id_col, vec_col).join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    store.ivf_append(
+        vecs, corpus, name,
+        id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters,
+    )
+    survivors.unpersist()
+    if compact_every and int(epoch_id) % compact_every == compact_every - 1:
+        store.compact(corpus, exclude=name)
+        store.ivf_compact(
+            corpus, n_centroids=n_centroids, iters=iters, exclude=name
+        )
+
+
+def start_corpus_ingest(
+    stream_df: DataFrame,
+    store,
+    corpus: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_centroids: int = 16,
+    iters: int = 3,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """The end-to-end continuous training-data pipeline: an append
+    stream of ``(id, text, embedding)`` rows → ``foreachBatch`` →
+    :func:`corpus_ingest_micro_batch`. Per epoch the corpus grows by
+    exactly the deduplicated survivors — text artifacts, lake
+    partitions, and vector index in lock-step — at O(batch) cost per
+    family. The dedup bases AND the IVF index (with its trained
+    quantizer) must exist before the stream starts; both twins'
+    loud-failure and lease/owner recovery contracts apply (build the
+    store with a checkpoint-derived owner)."""
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus_ingest_micro_batch(
+            batch_df, epoch_id, store, corpus, output_path,
+            id_col=id_col, text_col=text_col, vec_col=vec_col,
+            threshold=threshold, n_centroids=n_centroids, iters=iters,
+            compact_every=compact_every,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_run).option(
+        "checkpointLocation", checkpoint
+    )
+    t = trigger or {"availableNow": True}
+    return writer.trigger(**t).start()

@@ -477,3 +477,72 @@ def test_epoch_lake_write_independent_of_session_overwrite_mode(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_rows):
+    """The composed ingest epoch: survivors land in the lake AND the
+    vector index; dropped duplicates reach neither; replaying the
+    epoch leaves every artifact family byte-identical."""
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.similarity import (
+        cosine_ann_ivf_indexed,
+    )
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        corpus_ingest_micro_batch,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def vec(seed):
+        v = np.asarray(np.random.default_rng(seed).normal(size=16))
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    corpus = _df(spark, corpus_rows)
+    corpus_emb = spark.createDataFrame(
+        [(i, vec(i)) for i, _ in corpus_rows],
+        "doc_id long, embedding array<double>",
+    )
+    store = SignatureStore(spark, str(tmp_path / "store"), owner="ingest")
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+    store.ivf_index(
+        corpus_emb, "c", id_col="doc_id", vec_col="embedding",
+        n_centroids=2, iters=2,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (200, DOC_D, vec(200)),       # new content — survives
+            (201, DOC_D, vec(201)),       # exact dup of 200 — dropped
+            (202, corpus_rows[0][1], vec(202)),  # corpus copy — dropped
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out = str(tmp_path / "lake")
+    for _ in range(2):  # first run + at-least-once replay
+        corpus_ingest_micro_batch(
+            batch, 0, store, "c", out,
+            threshold=0.5, n_centroids=2, iters=2,
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [(0, 200)]
+        # exactly the survivor's vector is searchable
+        idx_ids = sorted(
+            r["id"] for r in store.ivf_index(
+                None, "c", n_centroids=2, iters=2
+            ).select("id").collect()
+        )
+        assert idx_ids == [0, 1, 2, 200]
+    # the survivor's vector probes as its own exact-match top-1
+    q = spark.createDataFrame(
+        [(0, vec(200))], "query_id long, embedding array<double>"
+    )
+    top = cosine_ann_ivf_indexed(
+        store, "c", q, k=1, n_centroids=2, kmeans_iters=2, nprobe=1,
+    ).first()
+    assert top["neighbor_id"] == 200
+    assert store.validate("c")["ok"]
+    assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
