@@ -758,6 +758,50 @@ class SignatureStore:
         )
 
     # ------------------------------------------------- compaction
+    def maybe_compact(
+        self,
+        corpus: str,
+        n: int = 3,
+        portable: bool = False,
+        num_hashes: int = 64,
+        seed: int = 42,
+        max_deltas: int = 16,
+        exclude: str | None = None,
+    ) -> int:
+        """Threshold-triggered :meth:`compact`: fold only when some
+        artifact's LIVE delta count exceeds ``max_deltas`` — the
+        self-scheduling form a long-running ingestion calls every
+        epoch instead of hardcoding a cadence. Delta counts drive the
+        real cost (file listings and multi-path scan fan-out per
+        read), so the trigger watches them directly: a bursty stream
+        compacts more often, a trickle almost never. Returns 0
+        without taking the lease when under threshold (the count is a
+        listing, not a scan); otherwise returns ``compact()``'s fold
+        count."""
+        paths = [
+            self.fingerprints_path(corpus),
+            self.postings_path(corpus, n, portable),
+            self.signatures_path(corpus, n, portable, num_hashes, seed),
+            self.sizes_path(corpus, n, portable),
+            self.band_census_path(corpus, n, portable, num_hashes, seed),
+            self.simhash_path(corpus, 64, portable),
+            self.simhash_census_path(corpus, 64, portable),
+        ]
+        live = max(
+            (
+                len(self._delta_paths(p, exclude=exclude))
+                for p in paths
+                if self._is_complete(p)
+            ),
+            default=0,
+        )
+        if live <= max_deltas:
+            return 0
+        return self.compact(
+            corpus, n=n, portable=portable,
+            num_hashes=num_hashes, seed=seed, exclude=exclude,
+        )
+
     @_with_lease
     def compact(
         self,

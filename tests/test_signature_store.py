@@ -844,3 +844,33 @@ def test_first_build_is_lease_guarded_double_checked(spark, docs, tmp_path):
         # b's sizes() read needs no backfill -> lock-free, works
         assert b.sizes(None, "docs").count() > 0
     assert a.validate("docs")["ok"]
+
+
+def test_maybe_compact_triggers_on_delta_count(spark, docs, tmp_path):
+    """maybe_compact is the self-scheduling compaction: a no-op (and
+    lease-free) under the threshold, a full fold above it, honoring
+    exclude= for the current epoch."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.fingerprints(docs, "docs")
+    store.signatures(docs, "docs")
+    for i in range(3):
+        store.append_batch(
+            spark.createDataFrame(
+                [(900001 + i, f"distinct doc number {i} about topic {i}")],
+                "doc_id long, text string",
+            ),
+            "docs",
+            f"b{i}",
+        )
+    # under threshold: no fold, even while someone else holds the lease
+    other = SignatureStore(spark, str(tmp_path / "store"), owner="other")
+    with other.lock("docs"):
+        assert store.maybe_compact("docs", max_deltas=3) == 0
+    # above threshold: folds everything but the excluded epoch
+    assert store.maybe_compact("docs", max_deltas=1, exclude="b2") == 2
+    live = [
+        p.rsplit("/", 1)[-1]
+        for p in store._delta_paths(store.fingerprints_path("docs"))
+    ]
+    assert live == ["b2"]
+    assert store.validate("docs")["ok"]
