@@ -44,6 +44,35 @@ def _cache_hygiene():
         s.catalog.clearCache()
 
 
+@pytest.fixture(scope="session")
+def registry_plan_audit(spark):
+    """One optimization pass per registered query at smoke scale,
+    shared by the three full-registry structural sweeps (cartesian,
+    global-window, scan-count) — each used to redo its own 151-query
+    analyze+optimize walk (~30 s apiece). Cache is cleared around
+    every query so each plan is the clean first-run plan (the
+    convention the scan-count snapshot was audited under)."""
+    from b3_analytics_engine_spark.plans import (
+        global_windows,
+        join_kinds,
+        parquet_scan_counts,
+    )
+    from b3_analytics_engine_spark.queries import registry
+
+    out = {}
+    for name, spec in registry().items():
+        try:
+            df = spec.fn(spark, SMOKE_SF_DIR)
+            out[name] = {
+                "joins": join_kinds(df),
+                "global_windows": global_windows(df),
+                "scans": parquet_scan_counts(df),
+            }
+        finally:
+            spark.catalog.clearCache()
+    return out
+
+
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in FIXTURE_TABLES:

@@ -11,6 +11,8 @@ O(batch) delta append that the next batch's dedup sees.
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -36,16 +38,50 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+# already dedup-clean: three mutually unrelated documents
+_CORPUS_ROWS = [
+    (0, TPL),
+    (1, "unrelated corpus text about railway timetables and the "
+        "punctual departure of the morning express from platform nine"),
+    (2, "another distinct corpus document cataloguing varieties of "
+        "heirloom tomatoes grown on terraced hillsides each summer"),
+]
+
+
 @pytest.fixture()
 def corpus_rows():
-    # already dedup-clean: three mutually unrelated documents
-    return [
-        (0, TPL),
-        (1, "unrelated corpus text about railway timetables and the "
-            "punctual departure of the morning express from platform nine"),
-        (2, "another distinct corpus document cataloguing varieties of "
-            "heirloom tomatoes grown on terraced hillsides each summer"),
-    ]
+    return _CORPUS_ROWS
+
+
+# All five corpus artifacts incremental_dedup consumes, built ONCE
+# per module from _CORPUS_ROWS; per-test fixtures copy the directory
+# (milliseconds) instead of re-paying the ~10 s first build. The
+# first-build path itself stays covered by
+# test_incremental_matches_union_corpus_dedup / test_guards /
+# test_refresh_clears_deltas, which still build fresh.
+@pytest.fixture(scope="module")
+def _prebuilt_corpus_store(spark, tmp_path_factory):
+    corpus = _df(spark, _CORPUS_ROWS)
+    root = str(tmp_path_factory.mktemp("prebuilt-corpus") / "store")
+    store = SignatureStore(spark, root)
+    store.fingerprints(corpus, "c")
+    store.postings(corpus, "c")
+    store.signatures(corpus, "c")
+    store.sizes(corpus, "c")
+    store.band_census(corpus, "c")
+    return root
+
+
+@pytest.fixture()
+def corpus_store_dir(tmp_path, _prebuilt_corpus_store):
+    dst = str(tmp_path / "store")
+    shutil.copytree(_prebuilt_corpus_store, dst)
+    return dst
+
+
+@pytest.fixture()
+def corpus_store(spark, corpus_store_dir):
+    return SignatureStore(spark, corpus_store_dir)
 
 
 @pytest.fixture()
@@ -89,7 +125,7 @@ def test_incremental_matches_union_corpus_dedup(
 
 
 def test_transitive_chain_through_dropped_batch_member(
-    spark, tmp_path, corpus_rows
+    spark, corpus_store, corpus_rows
 ):
     """X ~ Y (within batch), Y ~ corpus doc, X possibly !~ corpus:
     the single connected-components pass must drop BOTH (the
@@ -99,7 +135,7 @@ def test_transitive_chain_through_dropped_batch_member(
     y = TPL + " alpha beta"
     x = TPL + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
     batch = _df(spark, [(200, y), (201, x), (202, DOC_F)])
-    store = SignatureStore(spark, str(tmp_path / "store"))
+    store = corpus_store
 
     got = sorted(
         r["doc_id"]
@@ -118,10 +154,10 @@ def test_transitive_chain_through_dropped_batch_member(
     assert 202 in got
 
 
-def test_commit_batch_feeds_next_batch(spark, tmp_path, corpus_rows, batch_rows):
+def test_commit_batch_feeds_next_batch(spark, corpus_store, corpus_rows, batch_rows):
     corpus = _df(spark, corpus_rows)
     batch1 = _df(spark, batch_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
+    store = corpus_store
 
     s1 = P.incremental_dedup(
         batch1, store, "c", corpus_df=corpus, threshold=0.5,
@@ -230,7 +266,7 @@ BATCH2_ROWS = [
 
 
 def test_replay_same_commit_batch_is_idempotent(
-    spark, tmp_path, corpus_rows, batch_rows
+    spark, corpus_store, corpus_rows, batch_rows
 ):
     """At-least-once replay: re-running the SAME (batch, commit name)
     after a successful commit must return the same survivors and leave
@@ -239,7 +275,7 @@ def test_replay_same_commit_batch_is_idempotent(
     batch doc against itself, and emit only the NULL-text rows."""
     corpus = _df(spark, corpus_rows)
     batch = _df(spark, batch_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
+    store = corpus_store
 
     first = P.incremental_dedup(
         batch, store, "c", corpus_df=corpus, threshold=0.5, commit_batch="b1"
@@ -261,7 +297,7 @@ def test_replay_same_commit_batch_is_idempotent(
 
 
 def test_micro_batch_replay_is_idempotent(
-    spark, tmp_path, corpus_rows, batch_rows
+    spark, tmp_path, corpus_store, corpus_rows, batch_rows
 ):
     """The foreachBatch body end-to-end: replaying an epoch rewrites
     the same ``_epoch`` lake partition and replaces the same delta —
@@ -270,10 +306,7 @@ def test_micro_batch_replay_is_idempotent(
         incremental_dedup_micro_batch,
     )
 
-    corpus = _df(spark, corpus_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(corpus, "c")
-    store.signatures(corpus, "c")
+    store = corpus_store
     out = str(tmp_path / "lake")
 
     for _ in range(2):  # first run + at-least-once replay
@@ -288,7 +321,7 @@ def test_micro_batch_replay_is_idempotent(
 
 
 def test_streaming_incremental_dedup_end_to_end(
-    spark, tmp_path, corpus_rows, batch_rows
+    spark, tmp_path, corpus_store, corpus_rows, batch_rows
 ):
     """Two micro-batches through the real writeStream shell: epoch 0
     dedups against the corpus, epoch 1 against corpus + epoch-0
@@ -300,9 +333,7 @@ def test_streaming_incremental_dedup_end_to_end(
     )
 
     corpus = _df(spark, corpus_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(corpus, "c")
-    store.signatures(corpus, "c")
+    store = corpus_store
 
     src = str(tmp_path / "src")
     _df(spark, batch_rows).coalesce(1).write.parquet(f"{src}/day1.parquet")
@@ -334,7 +365,7 @@ def test_streaming_incremental_dedup_end_to_end(
 
 
 def test_micro_batch_replay_stays_idempotent_with_compaction(
-    spark, tmp_path, corpus_rows, batch_rows
+    spark, tmp_path, corpus_store, corpus_rows, batch_rows
 ):
     """compact_every=1 compacts INSIDE the epoch body but excludes the
     epoch's own delta — so an at-least-once replay of that same epoch
@@ -344,10 +375,7 @@ def test_micro_batch_replay_stays_idempotent_with_compaction(
         incremental_dedup_micro_batch,
     )
 
-    corpus = _df(spark, corpus_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(corpus, "c")
-    store.signatures(corpus, "c")
+    store = corpus_store
     out = str(tmp_path / "lake")
 
     # epoch 0 commits + compacts (no older deltas to fold yet)
@@ -381,7 +409,7 @@ def test_micro_batch_replay_stays_idempotent_with_compaction(
 
 @pytest.mark.soak
 def test_multi_epoch_soak_with_compaction_validates(
-    spark, tmp_path, corpus_rows
+    spark, tmp_path, corpus_store, corpus_rows
 ):
     """Six micro-batch epochs (overlapping near-dups, NULLs, exact
     copies of earlier epochs' survivors) with compact_every=2: after
@@ -394,9 +422,7 @@ def test_multi_epoch_soak_with_compaction_validates(
     )
 
     corpus = _df(spark, corpus_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(corpus, "c")
-    store.signatures(corpus, "c")
+    store = corpus_store
     out = str(tmp_path / "lake")
 
     def unique_text(e: int) -> str:
@@ -442,7 +468,7 @@ def test_multi_epoch_soak_with_compaction_validates(
 
 
 def test_epoch_lake_write_independent_of_session_overwrite_mode(
-    spark, tmp_path, corpus_rows
+    spark, tmp_path, corpus_store, corpus_rows
 ):
     """The per-epoch lake write pins partitionOverwriteMode=dynamic on
     the write itself: under a session configured STATIC (any
@@ -457,10 +483,7 @@ def test_epoch_lake_write_independent_of_session_overwrite_mode(
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "static")
     try:
-        corpus = _df(spark, corpus_rows)
-        store = SignatureStore(spark, str(tmp_path / "store"))
-        store.fingerprints(corpus, "c")
-        store.signatures(corpus, "c")
+        store = corpus_store
         out = str(tmp_path / "lake")
         incremental_dedup_micro_batch(
             _df(spark, [(200, DOC_D)]), 0, store, "c", out, threshold=0.5
@@ -479,7 +502,7 @@ def test_epoch_lake_write_independent_of_session_overwrite_mode(
             spark.conf.set(key, prev)
 
 
-def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_rows):
+def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_store_dir, corpus_rows):
     """The composed ingest epoch: survivors land in the lake AND the
     vector index; dropped duplicates reach neither; replaying the
     epoch leaves every artifact family byte-identical."""
@@ -498,14 +521,11 @@ def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_rows):
         v = np.asarray(np.random.default_rng(seed).normal(size=16))
         return [float(x) for x in v / np.linalg.norm(v)]
 
-    corpus = _df(spark, corpus_rows)
     corpus_emb = spark.createDataFrame(
         [(i, vec(i)) for i, _ in corpus_rows],
         "doc_id long, embedding array<double>",
     )
-    store = SignatureStore(spark, str(tmp_path / "store"), owner="ingest")
-    store.fingerprints(corpus, "c")
-    store.signatures(corpus, "c")
+    store = SignatureStore(spark, corpus_store_dir, owner="ingest")
     store.ivf_index(
         corpus_emb, "c", id_col="doc_id", vec_col="embedding",
         n_centroids=2, iters=2,

@@ -36,6 +36,35 @@ def emb(spark):
     return load_table(spark, SMOKE_SF_DIR, "embeddings")
 
 
+# the (8-centroid, 2-iter) index every test here starts from, built
+# ONCE per module and copied per test (milliseconds) — the first-build
+# path stays covered by test_indexed_probe_row_identical_to_from_frame,
+# which still builds fresh
+@pytest.fixture(scope="module")
+def _prebuilt_ivf_store(spark, tmp_path_factory):
+    import shutil as _shutil  # noqa: F401 — parity with other modules
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    root = str(tmp_path_factory.mktemp("prebuilt-ivf") / "store")
+    store = SignatureStore(spark, root)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    return root
+
+
+@pytest.fixture()
+def ivf_store_dir(tmp_path, _prebuilt_ivf_store):
+    import shutil
+
+    dst = str(tmp_path / "store")
+    shutil.copytree(_prebuilt_ivf_store, dst)
+    return dst
+
+
+@pytest.fixture()
+def ivf_store(spark, ivf_store_dir):
+    return SignatureStore(spark, ivf_store_dir)
+
+
 @pytest.fixture()
 def queries(emb):
     return emb.filter(F.col("vec_id") < 6).select(
@@ -61,13 +90,12 @@ def test_indexed_probe_row_identical_to_from_frame(
     assert fast.count() > 0
 
 
-def test_probe_prunes_to_probed_cells(spark, emb, queries, tmp_path):
+def test_probe_prunes_to_probed_cells(spark, emb, queries, ivf_store):
     from b3_analytics_engine_spark.operators.similarity import (
         ivf_assignments,
     )
 
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store = ivf_store
     C = store.ivf_centroids(None, "emb", n_centroids=8, iters=2)
     probed = {
         r["cell"]
@@ -97,12 +125,11 @@ def test_probe_prunes_to_probed_cells(spark, emb, queries, tmp_path):
 
 
 def test_append_searchable_excludable_compactable(
-    spark, emb, queries, tmp_path
+    spark, emb, queries, ivf_store
 ):
     import numpy as np
 
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store = ivf_store
 
     # a new vector that is an exact copy of query 0's embedding: it
     # must become that query's top-1 neighbor once appended
@@ -153,7 +180,7 @@ def test_append_searchable_excludable_compactable(
 
 
 def test_streaming_ivf_append_end_to_end_with_replay(
-    spark, emb, queries, tmp_path
+    spark, emb, queries, tmp_path, ivf_store_dir
 ):
     """Stretch #7 (r10 verdict): the IVF index joins the incremental
     family's streaming side. Two-epoch embedding stream through the
@@ -170,8 +197,7 @@ def test_streaming_ivf_append_end_to_end_with_replay(
         start_ivf_append,
     )
 
-    store = SignatureStore(spark, str(tmp_path / "store"), owner="ivf-ck")
-    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store = SignatureStore(spark, ivf_store_dir, owner="ivf-ck")
 
     q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     day1 = [(90001, [float(x) for x in q0])]

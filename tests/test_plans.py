@@ -95,7 +95,7 @@ def test_snapshot_join_is_aggregate_before_join(spark, qs):
     assert "HashAggregate" in plan[join_pos:], "feeds not aggregated below the join"
 
 
-def test_no_cartesian_anywhere(spark, qs):
+def test_no_cartesian_anywhere(registry_plan_audit):
     # intentional nested-loop joins: brute-force cosine (broadcast
     # query side × corpus scan) and the scalar-subquery cross joins
     # (1-row broadcast build side: percent-of-total, avg-balance
@@ -130,27 +130,24 @@ def test_no_cartesian_anywhere(spark, qs):
         "key_skew_audit",  # 1-row key-total broadcast
         "benford_audit",  # 1-row digit-total broadcast
     }
-    for name, spec in qs.items():
-        df = spec.fn(spark, SMOKE_SF_DIR)
-        kinds = join_kinds(df)
+    for name, audit in registry_plan_audit.items():
+        kinds = audit["joins"]
         assert "CartesianProduct" not in kinds, f"{name}: {kinds}"
         if name not in allowed_nested:
             assert "BroadcastNestedLoopJoin" not in kinds, f"{name}: {kinds}"
 
 
-def test_no_global_windows_anywhere(spark, qs):
+def test_no_global_windows_anywhere(registry_plan_audit):
     # a Window with no partitionBy funnels the entire input through
     # ONE task ("Moving all data to a single partition") — fatal at
     # scale. Top-k belongs in orderBy().limit() (TakeOrdered), scalar
     # max/total in a 1-row broadcast. Structural sweep over every
     # registered query's optimized plan.
-    from b3_analytics_engine_spark.plans import global_windows
-
-    offenders = {}
-    for name, spec in qs.items():
-        gw = global_windows(spec.fn(spark, SMOKE_SF_DIR))
-        if gw:
-            offenders[name] = gw
+    offenders = {
+        name: audit["global_windows"]
+        for name, audit in registry_plan_audit.items()
+        if audit["global_windows"]
+    }
     assert not offenders, offenders
 
 

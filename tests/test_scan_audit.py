@@ -92,14 +92,10 @@ EXPECTED_MULTI_SCANS = {
 }
 
 
-def test_registry_scan_counts_pinned(spark):
+def test_registry_scan_counts_pinned(registry_plan_audit):
     got: dict[str, dict[str, int]] = {}
-    for name, spec in registry().items():
-        try:
-            counts = parquet_scan_counts(spec.fn(spark, SF_DIR))
-        finally:
-            spark.catalog.clearCache()
-        multi = {t: n for t, n in counts.items() if n >= 2}
+    for name, audit in registry_plan_audit.items():
+        multi = {t: n for t, n in audit["scans"].items() if n >= 2}
         if multi:
             got[name] = multi
 

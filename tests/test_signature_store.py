@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -20,6 +21,51 @@ from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
 @pytest.fixture()
 def docs(spark):
     return load_table(spark, SMOKE_SF_DIR, "documents")
+
+
+# The fingerprint + signature first build costs several Spark write
+# jobs; most tests below treat it as a mere PRECONDITION. Build it
+# once per module and give each test a private filesystem copy
+# (milliseconds) — first-build behavior itself stays covered by the
+# row-identity / read-through tests, which still build fresh.
+@pytest.fixture(scope="module")
+def _prebuilt_docs_store(spark, tmp_path_factory):
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    root = str(tmp_path_factory.mktemp("prebuilt-minhash") / "store")
+    s = SignatureStore(spark, root)
+    s.fingerprints(docs, "docs")
+    s.signatures(docs, "docs")
+    return root
+
+
+@pytest.fixture(scope="module")
+def _prebuilt_docs_store_simhash(spark, tmp_path_factory, _prebuilt_docs_store):
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    root = str(tmp_path_factory.mktemp("prebuilt-simhash") / "store")
+    shutil.copytree(_prebuilt_docs_store, root)
+    s = SignatureStore(spark, root)
+    s.simhash(docs, "docs")
+    s.simhash_census(docs, "docs")
+    return root
+
+
+@pytest.fixture()
+def docs_store_dir(tmp_path, _prebuilt_docs_store):
+    dst = str(tmp_path / "store")
+    shutil.copytree(_prebuilt_docs_store, dst)
+    return dst
+
+
+@pytest.fixture()
+def docs_store(spark, docs_store_dir):
+    return SignatureStore(spark, docs_store_dir)
+
+
+@pytest.fixture()
+def docs_simhash_store(spark, tmp_path, _prebuilt_docs_store_simhash):
+    dst = str(tmp_path / "store")
+    shutil.copytree(_prebuilt_docs_store_simhash, dst)
+    return SignatureStore(spark, dst)
 
 
 def _sorted_rows(df):
@@ -140,11 +186,11 @@ def test_store_guardrails(spark, docs, tmp_path):
         P.decontaminate_fuzzy(docs, lambda c: c % 10 == 0, store=store)
 
 
-def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, tmp_path):
+def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, docs_store):
     """(id, sz) must equal posts.groupBy(id).count() computed from
     scratch — base-only, and again after a delta commit (the commit
     rides the sizes delta along; ids stay disjoint across parts)."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
+    store = docs_store
     from_store = store.sizes(docs, "docs")
     want = D.hashed_postings(docs, "doc_id", "text").groupBy("id").agg(
         F.count(F.lit(1)).alias("sz")
@@ -154,8 +200,6 @@ def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, tmp_path):
     inputs = store.sizes(None, "docs").inputFiles()
     assert inputs and all("doc_sizes" in f for f in inputs)
 
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
     batch = spark.createDataFrame(
         [(900001, "a wholly new document about glacier melt rates"),
          (900002, None)],
@@ -172,17 +216,13 @@ def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, tmp_path):
 
 
 def test_band_census_artifact_matches_scratch_and_backfills(
-    spark, docs, tmp_path
+    spark, docs, docs_store
 ):
     """(band, bh, cnt) must equal the census drop_hot_buckets would
     compute over the band-exploded signatures — base-only and after a
     commit; and a delta committed BEFORE the census artifact existed
     is backfilled from the signatures delta (_sync_deltas)."""
-    import shutil
-
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     batch = spark.createDataFrame(
         [(900001, "a wholly new document about glacier melt rates")],
         "doc_id long, text string",
@@ -227,7 +267,6 @@ def test_band_census_artifact_matches_scratch_and_backfills(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert _sorted_rows(got2) == _sorted_rows(want2)
-    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
 
 
 def test_cross_pairs_with_artifact_aggregates_row_identical(
@@ -265,14 +304,12 @@ def test_cross_pairs_with_artifact_aggregates_row_identical(
         assert _sorted_rows(fast) == _sorted_rows(slow), f"cap={cap}"
 
 
-def test_compact_folds_deltas_row_identically(spark, docs, tmp_path):
+def test_compact_folds_deltas_row_identically(spark, docs, docs_store):
     """compact(): every artifact's post-compaction base must read
     row-identical to the pre-compaction base+deltas view, delta trees
     must be gone, and file counts bounded (DELTA_MAX_FILES per delta
     before; one base dir after)."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     store.sizes(docs, "docs")
     store.band_census(docs, "docs")
     for i, txt in enumerate(
@@ -319,15 +356,13 @@ def test_compact_folds_deltas_row_identically(spark, docs, tmp_path):
     assert store.compact("docs") == 0
 
 
-def test_compact_exclude_preserves_replayability(spark, docs, tmp_path):
+def test_compact_exclude_preserves_replayability(spark, docs, docs_store):
     """compact(exclude=current) must leave the excluded delta as a
     directory so an at-least-once replay of that batch can still hide
     it via exclude_batch — and must refuse (via _append_delta) to
     re-commit any FOLDED name, whose rows exclude_batch can no longer
     hide."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     for i in range(3):
         store.append_batch(
             spark.createDataFrame(
@@ -375,15 +410,15 @@ def test_compact_exclude_preserves_replayability(spark, docs, tmp_path):
     assert store.fingerprints(None, "docs").count() == total
 
 
-def test_compact_marker_makes_gc_crash_invisible(spark, docs, tmp_path):
+def test_compact_marker_makes_gc_crash_invisible(
+    spark, docs, tmp_path, docs_store
+):
     """A leftover delta directory whose name is in the _folded marker
     (GC crashed between base swap and delete) must be skipped by every
     read — no double count — and the next compact must GC it."""
     import shutil
 
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     batch = spark.createDataFrame(
         [(900001, "a unique document about tidal marsh sediments")],
         "doc_id long, text string",
@@ -406,15 +441,13 @@ def test_compact_marker_makes_gc_crash_invisible(spark, docs, tmp_path):
 
 
 def test_compact_backfills_derived_before_folding_source(
-    spark, docs, tmp_path
+    spark, docs, docs_store
 ):
     """A batch committed BEFORE the sizes artifact existed must
     survive compaction: compact syncs the derived deltas first, else
     folding the postings delta would destroy the only source the
     backfill can derive from."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     store.append_batch(
         spark.createDataFrame(
             [(900001, "a unique document about alpine lichen growth")],
@@ -447,13 +480,11 @@ def test_compact_backfills_derived_before_folding_source(
     assert _sorted_rows(store.band_census(None, "docs")) == _sorted_rows(want)
 
 
-def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, tmp_path):
+def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, docs_store):
     """refresh_all must rebuild all five bases from the new frame and
     drop every delta — no artifact left seeing batch documents the
     others lost."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     store.sizes(docs, "docs")
     store.band_census(docs, "docs")
     store.append_batch(
@@ -543,15 +574,13 @@ def test_simhash_cross_matches_symmetric_on_split_corpus(spark, docs, tmp_path):
     assert uncapped == want
 
 
-def test_simhash_delta_ride_along_and_validate_gap(spark, docs, tmp_path):
+def test_simhash_delta_ride_along_and_validate_gap(
+    spark, docs, tmp_path, docs_simhash_store
+):
     """A commit rides simhash (and its census) deltas along when the
     bases exist; exclude_batch hides them; and validate() flags the
     id-set gap when the simhash base was built only AFTER commits."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
-    store.simhash(docs, "docs")
-    store.simhash_census(docs, "docs")
+    store = docs_simhash_store
     n0 = store.simhash(None, "docs").count()
     batch = spark.createDataFrame(
         [(900001, "a singular document about volcanic soil chemistry")],
@@ -580,15 +609,11 @@ def test_simhash_delta_ride_along_and_validate_gap(spark, docs, tmp_path):
     assert any("simhash" in e for e in report["errors"])
 
 
-def test_compact_folds_simhash_family(spark, docs, tmp_path):
+def test_compact_folds_simhash_family(spark, docs, docs_simhash_store):
     """compact() folds simhash + simhash-census deltas like the
     MinHash family: reads identical, delta trees cleared, census
     re-aggregated."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
-    store.simhash(docs, "docs")
-    store.simhash_census(docs, "docs")
+    store = docs_simhash_store
     store.append_batch(
         spark.createDataFrame(
             [(900001, "a singular document about volcanic soil chemistry")],
@@ -610,16 +635,14 @@ def test_compact_folds_simhash_family(spark, docs, tmp_path):
     assert store.validate("docs")["ok"]
 
 
-def test_refresh_all_includes_simhash_family(spark, docs, tmp_path):
+def test_refresh_all_includes_simhash_family(
+    spark, docs, tmp_path, docs_simhash_store
+):
     """refresh_all must refresh an EXISTING simhash base (and census)
     to the new corpus frame — an un-refreshed simhash artifact would
     silently keep the old corpus view while every shingle-derived
     artifact moved on, skewing simhash_pairs_cross consumers."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
-    store.simhash(docs, "docs")
-    store.simhash_census(docs, "docs")
+    store = docs_simhash_store
     store.append_batch(
         spark.createDataFrame(
             [(900001, "a unique doc about kelp forest canopies")],
@@ -659,14 +682,12 @@ def test_refresh_all_includes_simhash_family(spark, docs, tmp_path):
     assert not store2._is_complete(store2.simhash_path("docs"))
 
 
-def test_folded_ledger_survives_later_compactions(spark, docs, tmp_path):
+def test_folded_ledger_survives_later_compactions(spark, docs, docs_store):
     """The _folded marker set must be a persistent ledger: a batch
     folded TWO compactions ago is still refused on re-commit — without
     carry-forward, the second compact's fresh base would only marker
     the newly folded names and a b0 replay would double-count."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
 
     def _commit(name, txt):
         store.append_batch(
@@ -698,7 +719,9 @@ def test_folded_ledger_survives_later_compactions(spark, docs, tmp_path):
 # ------------------------------------------------- write lease
 
 
-def test_second_writer_fails_loudly_append_vs_compact(spark, docs, tmp_path):
+def test_second_writer_fails_loudly_append_vs_compact(
+    spark, docs, docs_store_dir
+):
     """Two independent stores (distinct owners) on the same root: while
     writer A holds the corpus lease (append racing compact and
     append racing append), writer B's mutators raise StoreLockedError
@@ -706,11 +729,9 @@ def test_second_writer_fails_loudly_append_vs_compact(spark, docs, tmp_path):
     fsck green."""
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
-    root = str(tmp_path / "store")
+    root = docs_store_dir
     a = SignatureStore(spark, root, owner="job-a")
     b = SignatureStore(spark, root, owner="job-b")
-    a.fingerprints(docs, "docs")
-    a.signatures(docs, "docs")
     batch = spark.createDataFrame(
         [(900001, "a unique doc about kelp forest canopies")],
         "doc_id long, text string",
@@ -729,16 +750,16 @@ def test_second_writer_fails_loudly_append_vs_compact(spark, docs, tmp_path):
     assert b.validate("docs")["ok"]
 
 
-def test_lease_adoption_is_the_crash_recovery_path(spark, docs, tmp_path):
+def test_lease_adoption_is_the_crash_recovery_path(
+    spark, docs, docs_store_dir
+):
     """A crashed writer leaves its lease behind. A restart with the
     SAME stable owner adopts it and replays; any other owner is
     refused until break_lock."""
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
-    root = str(tmp_path / "store")
+    root = docs_store_dir
     a = SignatureStore(spark, root, owner="stream-ckpt-7")
-    a.fingerprints(docs, "docs")
-    a.signatures(docs, "docs")
     a._acquire("docs")  # crash: lease never released
 
     stranger = SignatureStore(spark, root)  # random owner
@@ -767,17 +788,15 @@ def test_lease_adoption_is_the_crash_recovery_path(spark, docs, tmp_path):
     assert stranger.validate("docs")["ok"]
 
 
-def test_lease_released_after_normal_mutation(spark, docs, tmp_path):
+def test_lease_released_after_normal_mutation(spark, docs, docs_store_dir):
     """Every mutating entry point releases the lease on exit (success
     AND failure), so sequential writers with different owners never
     block each other."""
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
-    root = str(tmp_path / "store")
+    root = docs_store_dir
     a = SignatureStore(spark, root, owner="x")
     b = SignatureStore(spark, root, owner="y")
-    a.fingerprints(docs, "docs")
-    a.signatures(docs, "docs")
     batch = spark.createDataFrame(
         [(900001, "a unique doc about kelp forest canopies")],
         "doc_id long, text string",
@@ -846,13 +865,11 @@ def test_first_build_is_lease_guarded_double_checked(spark, docs, tmp_path):
     assert a.validate("docs")["ok"]
 
 
-def test_maybe_compact_triggers_on_delta_count(spark, docs, tmp_path):
+def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     """maybe_compact is the self-scheduling compaction: a no-op (and
     lease-free) under the threshold, a full fold above it, honoring
     exclude= for the current epoch."""
-    store = SignatureStore(spark, str(tmp_path / "store"))
-    store.fingerprints(docs, "docs")
-    store.signatures(docs, "docs")
+    store = docs_store
     for i in range(3):
         store.append_batch(
             spark.createDataFrame(
@@ -863,7 +880,7 @@ def test_maybe_compact_triggers_on_delta_count(spark, docs, tmp_path):
             f"b{i}",
         )
     # under threshold: no fold, even while someone else holds the lease
-    other = SignatureStore(spark, str(tmp_path / "store"), owner="other")
+    other = SignatureStore(spark, store.root, owner="other")
     with other.lock("docs"):
         assert store.maybe_compact("docs", max_deltas=3) == 0
     # above threshold: folds everything but the excluded epoch
