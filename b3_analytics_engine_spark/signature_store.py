@@ -41,6 +41,7 @@ the production entry point, like the hot-bucket cap defaults in
 from __future__ import annotations
 
 import os
+import struct
 import uuid
 from contextlib import contextmanager
 
@@ -136,7 +137,9 @@ class SignatureStore:
         return os.path.join(self.root, "_locks", f"{corpus}.lock")
 
     def _lock_owner(self, corpus: str) -> str | None:
-        """The owner token in the corpus lock file, or None if unheld."""
+        """The owner token in the corpus lock file, or None if unheld
+        (or if the stamp is half-written — a racer between create and
+        stamp — which callers treat as contended)."""
         jvm, fs, _ = _hadoop_fs(self.spark, self.root)
         hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
         if not fs.exists(hp):
@@ -144,8 +147,22 @@ class SignatureStore:
         inp = fs.open(hp)
         try:
             return inp.readUTF()
+        except Exception:
+            return None
         finally:
             inp.close()
+
+    def _local_lock_path(self, corpus: str) -> str | None:
+        """OS path of the lock file when the store root lives on the
+        local filesystem, else None (remote scheme)."""
+        _, fs, _ = _hadoop_fs(self.spark, self.root)
+        if fs.getScheme() != "file":
+            return None
+        lock = self._lock_file(corpus)
+        for prefix in ("file://", "file:"):
+            if lock.startswith(prefix):
+                return lock[len(prefix):]
+        return lock
 
     @contextmanager
     def lock(self, corpus: str):
@@ -167,10 +184,57 @@ class SignatureStore:
                 self._release(corpus)
 
     def _acquire(self, corpus: str) -> None:
+        """Take the corpus write lease via EXCLUSIVE CREATE — the
+        primitive that makes a second concurrent writer fail loudly.
+
+        Exclusive create must be ATOMIC, or two racing writers can
+        both think they won. Hadoop's ``create(path, overwrite=false)``
+        IS atomic on HDFS (checked under the NameNode's namespace
+        lock) but check-then-act on the LOCAL filesystem — so on
+        ``file://`` the lease is taken with POSIX ``O_CREAT|O_EXCL``
+        directly (atomic at the kernel level; pinned by the
+        threaded-race test). Object stores without an atomic
+        create-or-rename primitive (plain S3) cannot host this lease:
+        give the store a consistent FS root, or front mutations with
+        an external lock service."""
+        local = self._local_lock_path(corpus)
+        if local is not None:
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            for attempt in (1, 2):
+                try:
+                    fd = os.open(
+                        local, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                except FileExistsError:
+                    holder = self._lock_owner(corpus)
+                    if holder == self.owner:
+                        return  # adopt our own lease (reentrant / crash recovery)
+                    if holder is None and attempt == 1:
+                        continue  # raced a release / half-written stamp: one retry
+                    if holder is None:
+                        raise StoreLockedError(
+                            f"corpus {corpus!r} lease at "
+                            f"{self._lock_file(corpus)} is contended; "
+                            "retry, or break_lock() if the holder is dead"
+                        )
+                    raise StoreLockedError(
+                        f"corpus {corpus!r} is write-locked by owner "
+                        f"{holder!r} (lease {self._lock_file(corpus)}); a "
+                        "second concurrent writer would interleave "
+                        "append/compact unanalyzed — wait for it, or "
+                        "break_lock() if that job is dead"
+                    )
+                else:
+                    # stamp in java.io.DataOutput#writeUTF layout so
+                    # _lock_owner's readUTF stays the one reader
+                    data = self.owner.encode("utf-8")
+                    with os.fdopen(fd, "wb") as out:
+                        out.write(struct.pack(">H", len(data)) + data)
+                    return
         jvm, fs, _ = _hadoop_fs(self.spark, self.root)
         hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
         try:
-            out = fs.create(hp, False)  # exclusive create
+            out = fs.create(hp, False)  # exclusive create (atomic on HDFS)
         except Exception:
             holder = self._lock_owner(corpus)
             if holder is None:

@@ -891,3 +891,42 @@ def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     ]
     assert live == ["b2"]
     assert store.validate("docs")["ok"]
+
+
+def test_lease_admits_one_writer_under_thread_race(spark, docs_store_dir):
+    """Eight threads race append_batch on the SAME corpus with
+    distinct owners and distinct batch names. The kernel-level
+    O_CREAT|O_EXCL create admits one holder at a time (Hadoop's local
+    create(overwrite=false) is check-then-act, which two racers can
+    both pass), so every attempt either commits fully or raises
+    StoreLockedError — never interleaves. Afterwards the committed
+    batches are each present exactly once and the store fscks green."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    def attempt(i):
+        s = SignatureStore(spark, docs_store_dir, owner=f"racer-{i}")
+        text = " ".join(f"racer{i}token{k}" for k in range(10))
+        batch = spark.createDataFrame(
+            [(910000 + i, text)], "doc_id long, text string"
+        )
+        try:
+            s.append_batch(batch, "docs", f"race-{i}")
+            return ("ok", i)
+        except StoreLockedError:
+            return ("locked", i)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(attempt, range(8)))
+
+    ok = sorted(i for st, i in results if st == "ok")
+    assert ok, "every racer lost — the lease never admitted anyone"
+    store = SignatureStore(spark, docs_store_dir)
+    ids = [
+        r["id"]
+        for r in store.fingerprints(None, "docs").select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)), "a racing append double-committed"
+    assert {i for i in ids if i >= 910000} == {910000 + i for i in ok}
+    assert store.validate("docs")["ok"]
