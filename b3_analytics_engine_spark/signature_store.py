@@ -1227,6 +1227,174 @@ class SignatureStore:
             partition_by="cell",
         )
 
+    def ivf_cell_stats(
+        self, corpus: str, n_centroids: int = 16, iters: int = 3
+    ) -> dict:
+        """Per-cell occupancy of the LIVE index view (base + deltas) —
+        the drift signal an embedding ingestion watches. One narrow
+        scan, at most ``n_centroids`` count rows back to the driver,
+        never vectors.
+
+        ``balance`` = max cell count / mean occupied-cell count (1.0
+        is perfectly even). :meth:`ivf_append` assigns against frozen
+        centroids, so a drifting vector distribution shows up here as
+        a few cells absorbing most new rows — and probe cost is
+        per-cell scan cost, so a hot cell is a hot probe."""
+        idx = self.ivf_index(
+            None, corpus, n_centroids=n_centroids, iters=iters
+        )
+        per = {
+            int(r["cell"]): int(r["n"])
+            for r in idx.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(per.values())
+        occupied = len(per)
+        mx = max(per.values(), default=0)
+        mean = (total / occupied) if occupied else 0.0
+        return {
+            "cells": per,
+            "total": total,
+            "occupied": occupied,
+            "empty": max(n_centroids - occupied, 0),
+            "max": mx,
+            "balance": (mx / mean) if mean else 0.0,
+        }
+
+    @_with_lease
+    def ivf_retrain(
+        self,
+        corpus: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+        exclude: str | None = None,
+    ) -> int:
+        """Retrain the coarse quantizer FROM THE INDEX'S OWN VECTORS
+        and rebuild the cell layout — the drift-repair path.
+        :meth:`ivf_append` deliberately never retrains (O(batch),
+        frozen centroids); once the distribution has drifted far
+        enough that a few cells absorb most traffic (see
+        :meth:`ivf_cell_stats`), this folds base + deltas through a
+        fresh k-means and rewrites both artifacts. The original
+        corpus frame is NOT needed: the index stores ``(cell, id,
+        v)`` with ``v`` already double, so rebuilds are schedulable
+        from the maintenance loop without re-reading the source lake.
+        Returns the number of deltas folded into the rebuilt base.
+
+        Replay ledger: every live delta name plus every previously
+        folded name rides into the new base's ``_folded`` markers, so
+        an at-least-once re-commit of an old batch is still refused
+        after any number of retrains (same contract as
+        :meth:`compact`).
+
+        ``exclude``: leave that delta LIVE through the rebuild (the
+        in-epoch contract :meth:`compact` has — a streaming ingest
+        retrains with ``exclude=`` the current epoch so an
+        at-least-once replay can still wholesale-replace it). Because
+        the quantizer changes, the excluded delta is re-assigned
+        under the new centroids and rewritten in place after the
+        swap; its name is NOT ledgered.
+
+        Crash contract: the reassigned index is fully staged first,
+        then centroids swap, then the index swaps, then the excluded
+        delta (if any) is rewritten. A crash between the swaps leaves
+        rows assigned under the OLD quantizer with NEW centroids
+        persisted — :meth:`validate_ivf` flags the misassignment, and
+        the recovery is to re-run ``ivf_retrain`` (every write is a
+        wholesale replace, so the re-run is idempotent)."""
+        import numpy as np
+
+        from .operators.similarity import kmeans_centroids
+
+        ipath = self.ivf_index_path(corpus, n_centroids, iters)
+        cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
+        if not self._is_complete(ipath):
+            raise ValueError(
+                f"corpus {corpus!r} has no IVF index at {ipath}; build "
+                "it first (ivf_index with the corpus frame)"
+            )
+        jvm, fs, _ = _hadoop_fs(self.spark, ipath)
+        hp = jvm.org.apache.hadoop.fs.Path
+        droot = self._delta_root(ipath)
+        deltas = self._delta_paths(ipath, exclude=exclude)
+        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        ledger = names | self._folded_names(ipath)
+
+        live = self.ivf_index(
+            None, corpus, n_centroids=n_centroids, iters=iters,
+            exclude_batch=exclude,
+        )
+        # new quantizer from the index's own vectors: bounded
+        # hash-sample + driver Lloyd, collected BEFORE any swap
+        C = kmeans_centroids(
+            live, n_centroids, id_col="id", vec_col="v", iters=iters
+        )
+        # full reassignment, staged from the still-live old view; the
+        # staging job completes before either artifact swaps
+        tmp = ipath.rstrip("/") + "__retrain_staging"
+        self._ivf_rows(live.select("id", "v"), C, "id", "v").write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "cell"
+        ).parquet(tmp)
+        for nm in ledger:
+            fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        # centroids first, index second (see crash contract above)
+        self._write_atomic(
+            self.spark.createDataFrame(
+                [
+                    (i, [float(x) for x in np.asarray(C[i])])
+                    for i in range(len(C))
+                ],
+                "cell int, v array<double>",
+            ).coalesce(1),
+            cpath,
+        )
+        replace_directory(self.spark, tmp, ipath)
+        for nm in names:  # GC; markers make this safe to crash
+            fs.delete(hp(os.path.join(droot, nm)), True)
+        if exclude is not None:
+            dst = os.path.join(droot, exclude)
+            if fs.exists(hp(dst)):
+                # re-assign the still-live delta under the NEW
+                # quantizer (its cells are stale otherwise); staged,
+                # then swapped in place under the same batch name so
+                # the replay contract is untouched
+                rows = self._ivf_rows(
+                    self.spark.read.parquet(dst).select("id", "v"),
+                    C, "id", "v",
+                )
+                tmp2 = dst.rstrip("/") + "__staging"
+                rows.coalesce(self.DELTA_MAX_FILES).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "static").partitionBy(
+                    "cell"
+                ).parquet(tmp2)
+                replace_directory(self.spark, tmp2, dst)
+        return len(names)
+
+    def ivf_maybe_retrain(
+        self,
+        corpus: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+        max_balance: float = 4.0,
+        exclude: str | None = None,
+    ) -> int:
+        """Threshold-triggered :meth:`ivf_retrain` — the
+        self-scheduling form an embedding ingestion calls beside
+        :meth:`maybe_compact`: retrain only when the occupancy skew
+        (``ivf_cell_stats``'s ``balance``) exceeds ``max_balance``.
+        Returns -1 without mutating when under threshold, else
+        ``ivf_retrain``'s fold count. The stats read costs one narrow
+        index scan, no lease; ``exclude`` is the in-epoch replay
+        contract, forwarded to the retrain."""
+        stats = self.ivf_cell_stats(corpus, n_centroids, iters)
+        if stats["balance"] <= max_balance:
+            return -1
+        return self.ivf_retrain(corpus, n_centroids, iters, exclude=exclude)
+
     # ------------------------------------------------ batch commit
     @_with_lease
     def append_batch(

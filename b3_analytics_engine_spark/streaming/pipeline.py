@@ -465,6 +465,7 @@ def corpus_ingest_micro_batch(
     n_centroids: int = 16,
     iters: int = 3,
     compact_every: int | None = None,
+    retrain_balance: float | None = None,
 ) -> None:
     """One epoch of the FULL training-data ingest — the composition of
     :func:`incremental_dedup_micro_batch` and
@@ -483,6 +484,12 @@ def corpus_ingest_micro_batch(
     the same excluded-epoch corpus view and replaces both deltas).
     ``compact_every`` folds BOTH families' deltas in-epoch with
     ``exclude=`` the current epoch, same contract as each twin alone.
+    ``retrain_balance`` adds the drift-repair knob: when the index's
+    cell-occupancy skew exceeds it, the epoch ends with
+    :meth:`~..signature_store.SignatureStore.ivf_maybe_retrain`
+    (``exclude=`` the current epoch, so the replay contract holds —
+    the retrain re-assigns the live epoch delta under the new
+    quantizer instead of folding it).
     """
     from .. import pipelines as P
 
@@ -519,6 +526,11 @@ def corpus_ingest_micro_batch(
         store.ivf_compact(
             corpus, n_centroids=n_centroids, iters=iters, exclude=name
         )
+    if retrain_balance is not None:
+        store.ivf_maybe_retrain(
+            corpus, n_centroids=n_centroids, iters=iters,
+            max_balance=retrain_balance, exclude=name,
+        )
 
 
 def start_corpus_ingest(
@@ -535,6 +547,7 @@ def start_corpus_ingest(
     iters: int = 3,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    retrain_balance: float | None = None,
 ):
     """The end-to-end continuous training-data pipeline: an append
     stream of ``(id, text, embedding)`` rows → ``foreachBatch`` →
@@ -551,7 +564,7 @@ def start_corpus_ingest(
             batch_df, epoch_id, store, corpus, output_path,
             id_col=id_col, text_col=text_col, vec_col=vec_col,
             threshold=threshold, n_centroids=n_centroids, iters=iters,
-            compact_every=compact_every,
+            compact_every=compact_every, retrain_balance=retrain_balance,
         )
 
     writer = stream_df.writeStream.foreachBatch(_run).option(

@@ -290,3 +290,130 @@ def test_validate_ivf_green_then_catches_planted_faults(
     assert not report["ok"]
     assert any("more than one row" in e for e in report["errors"])
     assert any("nearest cell" in e for e in report["errors"])
+
+
+def test_retrain_rebalances_drifted_cells_and_keeps_ledger(
+    spark, emb, queries, ivf_store
+):
+    """Appends assign against frozen centroids, so a drifted batch
+    piles into few cells; ivf_retrain re-trains the quantizer FROM
+    THE INDEX'S OWN VECTORS, folds the deltas, spreads the hot mass
+    across cells, keeps every id exactly once, stays probe-correct,
+    and carries the replay ledger (folded batch names refused after
+    the rebuild). ivf_maybe_retrain only fires past max_balance."""
+    import numpy as np
+
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    n_before = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+
+    # a tight alien cluster far from the corpus: one dominant axis
+    # the corpus doesn't use, tiny jitter
+    rng = np.random.default_rng(11)
+    drifted = []
+    for i in range(120):
+        v = rng.normal(scale=0.01, size=dim)
+        v[dim - 1] += 10.0
+        v /= np.linalg.norm(v)
+        drifted.append((91000 + i, [float(x) for x in v]))
+    batch = spark.createDataFrame(
+        drifted, "vec_id long, embedding array<float>"
+    )
+    store.ivf_append(batch, "emb", "drift-day", n_centroids=8, iters=2)
+
+    before = store.ivf_cell_stats("emb", n_centroids=8, iters=2)
+    assert before["total"] == n_before + 120
+    # the whole alien cluster shares a nearest centroid -> hot cell
+    hot = max(before["cells"].values())
+    assert hot >= 120
+
+    # under-threshold guard: a sky-high max_balance is a no-op
+    assert store.ivf_maybe_retrain(
+        "emb", n_centroids=8, iters=2, max_balance=1e9
+    ) == -1
+
+    folded = store.ivf_maybe_retrain(
+        "emb", n_centroids=8, iters=2, max_balance=1.5
+    )
+    assert folded == 1  # the drift-day delta folded into the rebuild
+
+    after = store.ivf_cell_stats("emb", n_centroids=8, iters=2)
+    assert after["total"] == before["total"]  # every row survived
+    assert after["balance"] < before["balance"]  # skew repaired
+    # the alien mass now holds its own cells instead of riding one
+    assert max(after["cells"].values()) < hot
+
+    idx = store.ivf_index(None, "emb", n_centroids=8, iters=2)
+    ids = [r["id"] for r in idx.select("id").collect()]
+    assert len(ids) == len(set(ids))  # no id doubled by the rebuild
+    assert store._delta_paths(
+        store.ivf_index_path("emb", n_centroids=8, iters=2)
+    ) == []
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+    # probe correctness after the rebuild: a drifted query's top-1 is
+    # a drifted neighbor (its own cell now exists and prunes correctly)
+    q = spark.createDataFrame(
+        [(0, drifted[0][1])], "query_id long, embedding array<float>"
+    )
+    top = cosine_ann_ivf_indexed(
+        store, "emb", q, k=1, n_centroids=8, kmeans_iters=2, nprobe=1
+    ).first()
+    assert top["neighbor_id"] >= 91000
+
+    # the replay ledger rode into the rebuilt base
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(batch, "emb", "drift-day", n_centroids=8, iters=2)
+
+
+def test_retrain_exclude_keeps_epoch_replayable(spark, emb, ivf_store):
+    """ivf_retrain(exclude=epoch) is the in-epoch form: the excluded
+    delta survives the rebuild re-assigned under the NEW quantizer
+    (stale cells would dodge pruning), its name stays un-ledgered so
+    an at-least-once replay can wholesale-replace it, and everything
+    fscks green before and after that replay."""
+    import numpy as np
+
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(3)
+
+    def mk(base_id, n, axis):
+        out = []
+        for i in range(n):
+            v = rng.normal(scale=0.01, size=dim)
+            v[axis] += 10.0
+            v /= np.linalg.norm(v)
+            out.append((base_id + i, [float(x) for x in v]))
+        return out
+
+    older = spark.createDataFrame(
+        mk(92000, 60, dim - 1), "vec_id long, embedding array<float>"
+    )
+    store.ivf_append(older, "emb", "epoch-0", n_centroids=8, iters=2)
+    current = spark.createDataFrame(
+        mk(93000, 8, dim - 2), "vec_id long, embedding array<float>"
+    )
+    store.ivf_append(current, "emb", "epoch-1", n_centroids=8, iters=2)
+    total = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+
+    # only epoch-0 folds; epoch-1 stays a live delta
+    assert store.ivf_retrain("emb", n_centroids=8, iters=2,
+                             exclude="epoch-1") == 1
+    path = store.ivf_index_path("emb", n_centroids=8, iters=2)
+    live = [d.rsplit("/", 1)[-1] for d in store._delta_paths(path)]
+    assert live == ["epoch-1"]
+    assert store._folded_names(path) == {"epoch-0"}
+    assert store.ivf_index(None, "emb", n_centroids=8, iters=2).count() == total
+    # the surviving delta was re-assigned under the new quantizer —
+    # the fsck's nearest-centroid check covers base AND deltas
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+    # at-least-once replay of the excluded epoch still goes through
+    # (wholesale replace, assigned against the current centroids)
+    store.ivf_append(current, "emb", "epoch-1", n_centroids=8, iters=2)
+    assert store.ivf_index(None, "emb", n_centroids=8, iters=2).count() == total
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+    # the folded epoch is refused as ever
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(older, "emb", "epoch-0", n_centroids=8, iters=2)
