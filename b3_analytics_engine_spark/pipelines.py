@@ -327,6 +327,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     max_bucket: int | None = -1,
     commit_batch: str | None = None,
+    defer_commit: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch of documents against an existing corpus
     snapshot — the daily-increment workflow a 100 TB pipeline actually
@@ -362,6 +363,12 @@ def incremental_dedup(
     as an O(batch) delta (``SignatureStore.append_batch``), so the
     next batch deduplicates against corpus+this one. Ids must be
     unique across corpus ∪ batch (the store's keying contract).
+    ``defer_commit=True`` keeps ``commit_batch``'s replay semantics
+    (the corpus reads exclude that batch name) but SKIPS the append —
+    for callers that cut the survivor set further (e.g. a semantic
+    tier over the persisted vector index) and commit the final set
+    themselves under the same name.
+
     Re-running with the SAME ``commit_batch`` name is idempotent
     end-to-end: the corpus reads exclude that batch's own delta (a
     prior attempt's commit is invisible to the re-run, so the batch
@@ -482,9 +489,156 @@ def incremental_dedup(
         # stream calls this per epoch and must not accumulate persisted
         # frames (the caller unpersists survivors when done with it).
         survivors = survivors.transform(materialize)
-        store.append_batch(survivors, corpus, commit_batch, id_col, text_col)
+        if not defer_commit:
+            store.append_batch(
+                survivors, corpus, commit_batch, id_col, text_col
+            )
+        else:
+            # no append to bake the cache — force it, so the interior
+            # caches can be released without a later full recompute
+            survivors.count()
         kept.unpersist()
         batch_posts.unpersist()
+    return survivors
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    store,
+    corpus: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    n_centroids: int = 16,
+    iters: int = 3,
+    commit_batch: str | None = None,
+    defer_commit: bool = False,
+) -> DataFrame:
+    """SemDeDup for the daily increment — the EMBEDDING tier of the
+    incremental family beside :func:`incremental_dedup` (MinHash):
+    drop a new batch's rows whose vectors semantically duplicate the
+    PERSISTED corpus (cosine ≥ ``threshold`` against any indexed
+    vector sharing their IVF cell) or each other (within-batch, same
+    cell), with ONE connected-components pass and the corpus-wins
+    rule — exactly :func:`..operators.similarity.semantic_dedup`'s
+    semantics with the corpus side served from the
+    :class:`~.signature_store.SignatureStore` IVF index instead of a
+    per-call re-cluster.
+
+    100 TB shape: the corpus is never re-scanned or re-clustered —
+    the batch assigns against the frozen quantizer (one Arrow
+    matmul over the SMALL side), occupies at most
+    min(|batch|, n_centroids) cells, and the corpus probe reads ONLY
+    those cell directories (partition pruning is the inverted-file
+    read). Per-batch cost is O(batch × occupied-cell mass),
+    independent of corpus size. The batch side of the cross join is
+    explicitly broadcast (bounded per epoch by construction).
+
+    Approximation contract (same as ``semantic_dedup``): only
+    same-cell pairs are candidates. Exact duplicates always share a
+    nearest centroid under the index's frozen quantizer; boundary
+    near-misses can escape, and heavy drift degrades cell quality
+    until :meth:`~.signature_store.SignatureStore.ivf_retrain`
+    repairs it for future batches.
+
+    NULL-``vec_col`` rows pass through untouched (the contract NULL
+    text has in :func:`incremental_dedup`); ids must be unique across
+    corpus ∪ batch (the store's keying contract). ``commit_batch``
+    appends the survivors' vectors as an O(batch) index delta; the
+    corpus reads exclude that batch name, so at-least-once replay is
+    idempotent (``defer_commit`` as in :func:`incremental_dedup`).
+    """
+    from .operators.common import materialize
+    from .operators.dedup import connected_components
+    from .operators.similarity import _dbl, cosine, ivf_assignments
+
+    C = store.ivf_centroids(
+        None, corpus, n_centroids=n_centroids, iters=iters
+    )
+    has_vec = F.col(vec_col).isNotNull()
+    null_rows = batch.filter(~has_vec)
+    # consumed by assign + both pair joins + the returned frame
+    vec_rows = batch.filter(has_vec).transform(materialize)
+
+    b = ivf_assignments(
+        vec_rows.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+        C, "id", "_v", nprobe=1,
+    ).join(
+        vec_rows.select(
+            F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")
+        ),
+        "id",
+    )  # the batch's own (id, cell, v) inverted file — O(batch)
+
+    # within-batch: same-cell pairs only (SemDeDup's candidate rule)
+    within = (
+        b.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        .join(
+            b.select(
+                "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+            ),
+            "cell",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # cross: the persisted index pruned to the batch's occupied cells
+    # (bounded driver collect: ≤ n_centroids ints — the probe set)
+    occupied = sorted(
+        r["cell"] for r in b.select("cell").distinct().collect()
+    )
+    idx = store.ivf_index(
+        None, corpus, n_centroids=n_centroids, iters=iters,
+        exclude_batch=commit_batch,
+    ).filter(F.col("cell").isin(occupied))
+    cross = (
+        idx.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        .join(
+            F.broadcast(
+                b.select(
+                    "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+                )
+            ),
+            "cell",
+        )
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    comp = connected_components(within.unionByName(cross))
+    lab = comp.join(
+        b.select(F.col("id").alias("node"), F.lit(True).alias("is_batch")),
+        "node",
+        "left",
+    )
+    verdicts = lab.groupBy("component").agg(
+        F.max(F.col("is_batch").isNull()).alias("has_corpus"),
+        F.min(F.when(F.col("is_batch"), F.col("node"))).alias("min_batch"),
+    )
+    drop = (
+        lab.filter(F.col("is_batch"))
+        .join(verdicts, "component")
+        .filter(F.col("has_corpus") | (F.col("node") != F.col("min_batch")))
+        .select(F.col("node").alias(id_col))
+    )
+    survivors = vec_rows.join(drop, id_col, "left_anti").unionByName(
+        null_rows
+    )
+    if commit_batch is not None:
+        survivors = survivors.transform(materialize)
+        if not defer_commit:
+            store.ivf_append(
+                survivors.filter(has_vec), corpus, commit_batch,
+                id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, iters=iters,
+            )
+        else:
+            # no append to bake the cache — force it before dropping
+            # the interior cache (same hygiene as incremental_dedup)
+            survivors.count()
+        vec_rows.unpersist()
     return survivors
 
 

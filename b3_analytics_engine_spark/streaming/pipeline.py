@@ -462,6 +462,7 @@ def corpus_ingest_micro_batch(
     text_col: str = "text",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    semantic_threshold: float | None = None,
     n_centroids: int = 16,
     iters: int = 3,
     compact_every: int | None = None,
@@ -490,6 +491,16 @@ def corpus_ingest_micro_batch(
     (``exclude=`` the current epoch, so the replay contract holds —
     the retrain re-assigns the live epoch delta under the new
     quantizer instead of folding it).
+
+    ``semantic_threshold`` inserts the EMBEDDING dedup tier between
+    the text tiers and publication: MinHash survivors additionally
+    pass :func:`~..pipelines.incremental_semantic_dedup` against the
+    persisted IVF index (cosine ≥ threshold vs corpus or vs each
+    other → dropped, corpus wins). Both tiers run with
+    ``defer_commit`` and the FINAL survivor set commits once to the
+    lake, the text artifacts, and the vector index — the three
+    surfaces can never disagree about corpus membership, which is
+    the invariant a mixed text+vector pipeline actually needs.
     """
     from .. import pipelines as P
 
@@ -504,22 +515,53 @@ def corpus_ingest_micro_batch(
         text_col=text_col,
         threshold=threshold,
         commit_batch=name,
+        defer_commit=semantic_threshold is not None,
     )
+    if semantic_threshold is not None:
+        # the embedding tier cuts the MinHash survivors further; both
+        # tiers deferred their commits, so only the FINAL set is ever
+        # published anywhere
+        from ..operators.common import materialize
+
+        sem = P.incremental_semantic_dedup(
+            batch_df.select(id_col, vec_col).join(
+                survivors.select(id_col), id_col, "left_semi"
+            ),
+            store,
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=semantic_threshold,
+            n_centroids=n_centroids,
+            iters=iters,
+            commit_batch=name,
+            defer_commit=True,
+        )
+        final = survivors.join(
+            sem.select(id_col), id_col, "left_semi"
+        ).transform(materialize)
+    else:
+        final = survivors
     (
-        survivors.withColumn("_epoch", F.lit(int(epoch_id)))
+        final.withColumn("_epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_epoch")
         .parquet(output_path)
     )
+    if semantic_threshold is not None:
+        store.append_batch(final, corpus, name, id_col, text_col)
     vecs = batch_df.select(id_col, vec_col).join(
-        survivors.select(id_col), id_col, "left_semi"
-    )
+        final.select(id_col), id_col, "left_semi"
+    ).filter(F.col(vec_col).isNotNull())
     store.ivf_append(
         vecs, corpus, name,
         id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, iters=iters,
     )
+    if semantic_threshold is not None:
+        final.unpersist()
+        sem.unpersist()
     survivors.unpersist()
     if compact_every and int(epoch_id) % compact_every == compact_every - 1:
         store.compact(corpus, exclude=name)
@@ -543,6 +585,7 @@ def start_corpus_ingest(
     text_col: str = "text",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    semantic_threshold: float | None = None,
     n_centroids: int = 16,
     iters: int = 3,
     trigger: dict | None = None,
@@ -563,7 +606,8 @@ def start_corpus_ingest(
         corpus_ingest_micro_batch(
             batch_df, epoch_id, store, corpus, output_path,
             id_col=id_col, text_col=text_col, vec_col=vec_col,
-            threshold=threshold, n_centroids=n_centroids, iters=iters,
+            threshold=threshold, semantic_threshold=semantic_threshold,
+            n_centroids=n_centroids, iters=iters,
             compact_every=compact_every, retrain_balance=retrain_balance,
         )
 

@@ -566,3 +566,162 @@ def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_store_dir,
     assert top["neighbor_id"] == 200
     assert store.validate("c")["ok"]
     assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
+
+
+# ---------------------------------------------- embedding tier
+
+
+def _sem_store(spark, dirpath, corpus_rows, vec):
+    """Dedup bases + a 2-cell IVF index over the corpus embeddings —
+    the precondition every semantic-tier test starts from."""
+    corpus = _df(spark, corpus_rows)
+    store = SignatureStore(spark, dirpath)
+    store.fingerprints(corpus, "c")
+    store.signatures(corpus, "c")
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i, _ in corpus_rows],
+        "doc_id long, embedding array<double>",
+    )
+    store.ivf_index(
+        emb, "c", id_col="doc_id", vec_col="embedding",
+        n_centroids=2, iters=2,
+    )
+    return store
+
+
+def _vec(seed, dim=16):
+    import numpy as np
+
+    v = np.asarray(np.random.default_rng(seed).normal(size=dim))
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def test_incremental_semantic_dedup_contract(
+    spark, tmp_path, corpus_store_dir, corpus_rows
+):
+    """Batch vectors that duplicate the INDEXED corpus (exact or
+    cosine-near) drop with corpus-wins; within-batch semantic dups
+    keep the min id through one CC pass (a chain through a corpus
+    match drags the whole component down); NULL-embedding rows pass
+    through; survivors keep their rows verbatim."""
+    import numpy as np
+
+    store = _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+
+    near0 = np.asarray(_vec(0)) + 0.001 * np.asarray(_vec(77))
+    near0 = [float(x) for x in near0 / np.linalg.norm(near0)]
+    batch = spark.createDataFrame(
+        [
+            (200, _vec(0)),    # exact copy of corpus doc 0 — drops
+            (201, near0),      # cos≈0.9999 to BOTH corpus-0 and 200 — drops
+            (202, _vec(555)),  # genuinely new — keeps
+            (203, _vec(555)),  # exact within-batch dup of 202 — drops
+            (204, None),       # NULL embedding — passes through
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    got = P.incremental_semantic_dedup(
+        batch, store, "c", id_col="doc_id", vec_col="embedding",
+        threshold=0.999, n_centroids=2, iters=2,
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [202, 204]
+    # survivors are the original rows verbatim
+    want = {(202, tuple(_vec(555))), (204, None)}
+    assert {
+        (r["doc_id"], tuple(r["embedding"]) if r["embedding"] else None)
+        for r in got.collect()
+    } == want
+
+
+def test_incremental_semantic_dedup_commit_and_replay(
+    spark, tmp_path, corpus_store_dir, corpus_rows
+):
+    """commit_batch appends exactly the survivors' vectors as an
+    index delta; an at-least-once replay of the same (batch, name)
+    returns the same survivors and leaves the index unchanged; a
+    SECOND batch then drops against the committed first batch."""
+    store = _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+    batch = spark.createDataFrame(
+        [(200, _vec(555)), (201, None)],
+        "doc_id long, embedding array<double>",
+    )
+    for _ in range(2):  # first run + replay
+        got = P.incremental_semantic_dedup(
+            batch, store, "c", id_col="doc_id", vec_col="embedding",
+            threshold=0.999, n_centroids=2, iters=2, commit_batch="b1",
+        )
+        assert sorted(r["doc_id"] for r in got.collect()) == [200, 201]
+        ids = sorted(
+            r["id"]
+            for r in store.ivf_index(None, "c", n_centroids=2, iters=2)
+            .select("id")
+            .collect()
+        )
+        assert ids == [0, 1, 2, 200]  # NULL row never enters the index
+
+    # day 2: an exact vector copy of committed 200 now drops
+    batch2 = spark.createDataFrame(
+        [(300, _vec(555)), (301, _vec(556))],
+        "doc_id long, embedding array<double>",
+    )
+    got2 = P.incremental_semantic_dedup(
+        batch2, store, "c", id_col="doc_id", vec_col="embedding",
+        threshold=0.999, n_centroids=2, iters=2,
+    )
+    assert sorted(r["doc_id"] for r in got2.collect()) == [301]
+
+
+def test_corpus_ingest_semantic_tier_end_to_end(
+    spark, tmp_path, corpus_store_dir, corpus_rows
+):
+    """The 4-tier composed epoch (exact → MinHash → semantic →
+    publish): a text near-dup drops at the MinHash tier, a DIFFERENT
+    text with a corpus-duplicate embedding drops at the semantic
+    tier, and the FINAL survivor set alone reaches the lake, the
+    text artifacts, and the vector index — all three surfaces agree.
+    Replaying the epoch is byte-identical."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        corpus_ingest_micro_batch,
+    )
+
+    store = SignatureStore(spark, corpus_store_dir, owner="ingest")
+    _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+
+    batch = spark.createDataFrame(
+        [
+            # exact text copy of corpus doc 0 — exact tier
+            (200, corpus_rows[0][1], _vec(200)),
+            # new text, embedding = corpus doc 1's — semantic tier
+            (201, "wholly novel prose regarding deep sea pressure "
+                  "adaptation in hadal snailfish populations", _vec(1)),
+            # survives every tier
+            (202, "independent essay on the craft of dry stone "
+                  "walling across upland sheep country", _vec(777)),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out = str(tmp_path / "lake")
+    for _ in range(2):  # first run + at-least-once replay
+        corpus_ingest_micro_batch(
+            batch, 0, store, "c", out,
+            threshold=0.5, semantic_threshold=0.999,
+            n_centroids=2, iters=2,
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [(0, 202)]
+        # text artifacts: corpus + the one final survivor
+        assert sorted(
+            r["id"]
+            for r in store.fingerprints(None, "c").select("id").collect()
+        ) == [0, 1, 2, 202]
+        # vector index: same membership — the surfaces agree
+        assert sorted(
+            r["id"]
+            for r in store.ivf_index(None, "c", n_centroids=2, iters=2)
+            .select("id")
+            .collect()
+        ) == [0, 1, 2, 202]
+    assert store.validate("c")["ok"]
+    assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
