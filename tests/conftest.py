@@ -67,6 +67,7 @@ def registry_plan_audit(spark):
                 "joins": join_kinds(df),
                 "global_windows": global_windows(df),
                 "scans": parquet_scan_counts(df),
+                "schema": df.schema,
             }
         finally:
             spark.catalog.clearCache()

@@ -199,10 +199,10 @@ def test_commit_batch_feeds_next_batch(spark, corpus_store, corpus_rows, batch_r
     assert store.fingerprints(None, "c").count() == 7
 
 
-def test_refresh_clears_deltas(spark, tmp_path, corpus_rows, batch_rows):
+def test_refresh_clears_deltas(spark, corpus_store, corpus_rows, batch_rows):
     corpus = _df(spark, corpus_rows)
     batch = _df(spark, batch_rows)
-    store = SignatureStore(spark, str(tmp_path / "store"))
+    store = corpus_store
     P.incremental_dedup(
         batch, store, "c", corpus_df=corpus, commit_batch="b1"
     )

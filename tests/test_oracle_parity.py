@@ -125,25 +125,23 @@ def test_all_declared_queries_run(spark):
         df.limit(5).collect()
 
 
-def test_no_complex_output_columns(spark):
+def test_no_complex_output_columns(registry_plan_audit):
     # DRIVER CONTRACT: the external checker canonicalizes each result
     # frame with pandas sort_values over every column, which raises
     # TypeError on unhashable cells — so a registered query whose
     # output schema contains ArrayType/MapType/StructType is a
     # guaranteed driver red regardless of the values being correct
-    # (round 5's feature_hashing). Building the DataFrame is lazy, so
-    # scanning all 151 schemas costs seconds, not a run per query.
+    # (round 5's feature_hashing). Schemas ride the shared
+    # registry_plan_audit pass instead of re-analyzing all 151 plans.
     from pyspark.sql import types as T
 
-    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR
-
     offenders = []
-    for spec in registry().values():
-        for f in spec.fn(spark, SMOKE_SF_DIR).schema.fields:
+    for name, audit in registry_plan_audit.items():
+        for f in audit["schema"].fields:
             if isinstance(
                 f.dataType, (T.ArrayType, T.MapType, T.StructType)
             ):
-                offenders.append((spec.name, f.name, str(f.dataType)))
+                offenders.append((name, f.name, str(f.dataType)))
     assert not offenders, (
         "complex-typed output columns break the driver's pandas "
         f"canonicalizer: {offenders}"
