@@ -417,3 +417,24 @@ def test_retrain_exclude_keeps_epoch_replayable(spark, emb, ivf_store):
     # the folded epoch is refused as ever
     with pytest.raises(ValueError, match="folded"):
         store.ivf_append(older, "emb", "epoch-0", n_centroids=8, iters=2)
+
+
+def test_index_rescales_cell_count_from_its_own_rows(spark, emb, ivf_store):
+    """The scaling contract says cell count grows with the corpus —
+    and the index stores (cell, id, v) with v already double, so a
+    RESCALE into a bigger quantizer is just ivf_index(live_view) at
+    the new n_centroids: no source-lake re-read, new path, old index
+    untouched. The rescaled index must hold exactly the same ids and
+    fsck green under its own params."""
+    store = ivf_store
+    live = store.ivf_index(None, "emb", n_centroids=8, iters=2)
+    want = sorted(r["id"] for r in live.select("id").collect())
+
+    rescaled = store.ivf_index(
+        live.select("id", "v"), "emb-16",
+        id_col="id", vec_col="v", n_centroids=16, iters=2,
+    )
+    assert sorted(r["id"] for r in rescaled.select("id").collect()) == want
+    assert store.validate_ivf("emb-16", n_centroids=16, iters=2)["ok"]
+    # the original index is untouched and still green
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
