@@ -996,10 +996,14 @@ class SignatureStore:
         if partition_by is None:
             merged = self.spark.read.parquet(path, *deltas)
         else:
-            # per-root reads (each root is its own partitioned table)
+            # per-root reads (each root is its own partitioned table);
+            # explicit base schema because a delta may be EMPTY (an
+            # epoch where everything deduped away)
             merged = self.spark.read.parquet(path)
             for d in deltas:
-                merged = merged.unionByName(self.spark.read.parquet(d))
+                merged = merged.unionByName(
+                    self.spark.read.schema(merged.schema).parquet(d)
+                )
         if reagg is not None:
             merged = reagg(merged)
         tmp = path.rstrip("/") + "__staging"
@@ -1161,10 +1165,16 @@ class SignatureStore:
         # partition discovery — and the pruning a probe's
         # ``cell IN (...)`` filter relies on — works per scan; a
         # multi-path read would try to infer one partition scheme
-        # across roots of different depths
+        # across roots of different depths. Deltas read with the
+        # base's EXPLICIT schema: an epoch where every row deduped
+        # away commits an EMPTY delta (the replay contract still
+        # needs the wholesale-replace target), and an empty dir has
+        # nothing to infer a schema from.
         out = self.spark.read.parquet(path)
         for d in self._delta_paths(path, exclude=exclude_batch):
-            out = out.unionByName(self.spark.read.parquet(d))
+            out = out.unionByName(
+                self.spark.read.schema(out.schema).parquet(d)
+            )
         return out.select("cell", "id", "v")
 
     @_with_lease
@@ -1360,9 +1370,13 @@ class SignatureStore:
                 # re-assign the still-live delta under the NEW
                 # quantizer (its cells are stale otherwise); staged,
                 # then swapped in place under the same batch name so
-                # the replay contract is untouched
+                # the replay contract is untouched. Explicit schema:
+                # the excluded delta may be EMPTY (an epoch where
+                # everything deduped away).
                 rows = self._ivf_rows(
-                    self.spark.read.parquet(dst).select("id", "v"),
+                    self.spark.read.schema(
+                        self.spark.read.parquet(ipath).schema
+                    ).parquet(dst).select("id", "v"),
                     C, "id", "v",
                 )
                 tmp2 = dst.rstrip("/") + "__staging"

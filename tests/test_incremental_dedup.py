@@ -725,3 +725,129 @@ def test_corpus_ingest_semantic_tier_end_to_end(
         ) == [0, 1, 2, 202]
     assert store.validate("c")["ok"]
     assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
+
+
+@pytest.mark.soak
+def test_corpus_ingest_soak_semantic_retrain_compaction(
+    spark, tmp_path, corpus_store_dir, corpus_rows
+):
+    """Five epochs through the REAL writeStream shell with every
+    maintenance knob on (semantic_threshold, compact_every=2,
+    retrain_balance=1.5) and a drifting embedding distribution: after
+    the soak, lake / text artifacts / vector index agree on corpus
+    membership exactly, both fscks are green, and a probe batch of
+    exact text and vector copies of earlier survivors drops on the
+    matching tier."""
+    import time as _time
+
+    import numpy as np
+
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        start_corpus_ingest,
+    )
+
+    store = SignatureStore(spark, corpus_store_dir, owner="soak-ingest")
+    _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+
+    def drift_vec(e, i, dim=16):
+        # epochs drift along one axis — later epochs pile into the
+        # same region, eventually tripping the retrain threshold.
+        # noise scale 0.4 keeps same-region cosines ≈0.91, well under
+        # the 0.999 dup threshold: only the EXACT planted copies dup
+        v = np.asarray(
+            np.random.default_rng(1000 * e + i).normal(scale=0.4, size=dim)
+        )
+        v[dim - 1] += 5.0 + e
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    def utext(e, i):
+        return " ".join(f"soak{e}doc{i}tok{k}" for k in range(12))
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, embedding array<double>"
+    expected_new = {}
+    for e in range(5):
+        rows = [
+            # two genuinely new docs per epoch
+            (10_000 * (e + 1) + 1, utext(e, 1), drift_vec(e, 1)),
+            (10_000 * (e + 1) + 2, utext(e, 2), drift_vec(e, 2)),
+            # exact TEXT copy of the previous epoch's first survivor
+            # (vector fresh) -> MinHash tier drops it
+            (10_000 * (e + 1) + 3,
+             utext(e - 1, 1) if e else corpus_rows[0][1],
+             drift_vec(e, 3)),
+            # new text, exact VECTOR copy of the previous epoch's
+            # second survivor -> semantic tier drops it
+            (10_000 * (e + 1) + 4,
+             f"fresh unseen prose for epoch {e} about terraced "
+             f"orchards and the patience of espaliered pears",
+             drift_vec(e - 1, 2) if e else _vec(1)),
+        ]
+        expected_new[e] = [10_000 * (e + 1) + 1, 10_000 * (e + 1) + 2]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/day{e}.parquet"
+        )
+        _time.sleep(1.1)  # file source orders micro-batches by mtime
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = start_corpus_ingest(
+        stream, store, "c",
+        output_path=str(tmp_path / "lake"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        semantic_threshold=0.999,
+        n_centroids=2, iters=2,
+        compact_every=2,
+        retrain_balance=1.5,
+    )
+    q.awaitTermination(300)
+
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    per_epoch = {
+        e: sorted(
+            r["doc_id"] for r in lake.filter(F.col("_epoch") == e).collect()
+        )
+        for e in range(5)
+    }
+    assert per_epoch == expected_new
+
+    lake_ids = sorted(r["doc_id"] for r in lake.collect())
+    fp_ids = sorted(
+        r["id"]
+        for r in store.fingerprints(None, "c").select("id").collect()
+        if r["id"] >= 10_000
+    )
+    idx_ids = sorted(
+        r["id"]
+        for r in store.ivf_index(None, "c", n_centroids=2, iters=2)
+        .select("id")
+        .collect()
+        if r["id"] >= 10_000
+    )
+    assert lake_ids == fp_ids == idx_ids  # the three surfaces agree
+    assert store.validate("c")["ok"]
+    assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
+
+    # probe: copies of accumulated survivors drop on the right tier
+    probe = spark.createDataFrame(
+        [
+            (99_001, utext(4, 1), _vec(909)),        # text dup -> MinHash
+            (99_002, "never seen words about lighthouse keepers "
+                     "and their winter logbooks", drift_vec(4, 2)),  # vector dup
+        ],
+        schema,
+    )
+    text_surv = P.incremental_dedup(
+        probe.select("doc_id", "text"), store, "c", threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in text_surv.collect()) == [99_002]
+    sem_surv = P.incremental_semantic_dedup(
+        probe.select("doc_id", "embedding"), store, "c",
+        id_col="doc_id", vec_col="embedding",
+        threshold=0.999, n_centroids=2, iters=2,
+    )
+    assert sorted(r["doc_id"] for r in sem_surv.collect()) == [99_001]

@@ -438,3 +438,35 @@ def test_index_rescales_cell_count_from_its_own_rows(spark, emb, ivf_store):
     assert store.validate_ivf("emb-16", n_centroids=16, iters=2)["ok"]
     # the original index is untouched and still green
     assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+
+def test_empty_epoch_append_keeps_index_readable(spark, emb, queries, ivf_store):
+    """An epoch where EVERY row deduped away still commits its
+    (empty) delta — the at-least-once replay contract needs the
+    wholesale-replace target — and every index consumer must stay
+    correct over it: reads, cell stats, probes, compaction, retrain.
+    (Found by the ingest soak: an empty delta directory has no footer
+    to infer a schema from, so per-root reads need the base's.)"""
+    store = ivf_store
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    n = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    store.ivf_append(empty, "emb", "quiet-day", n_centroids=8, iters=2)
+
+    assert store.ivf_index(None, "emb", n_centroids=8, iters=2).count() == n
+    stats = store.ivf_cell_stats("emb", n_centroids=8, iters=2)
+    assert stats["total"] == n
+    top = cosine_ann_ivf_indexed(
+        store, "emb", queries, k=1,
+        n_centroids=8, kmeans_iters=2, nprobe=2,
+    )
+    assert top.count() > 0
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+    # retrain with the empty delta excluded (in-epoch form), then
+    # compaction folds it away cleanly
+    assert store.ivf_retrain("emb", n_centroids=8, iters=2,
+                             exclude="quiet-day") == 0
+    assert store.ivf_index(None, "emb", n_centroids=8, iters=2).count() == n
+    assert store.ivf_compact("emb", n_centroids=8, iters=2) == 1
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
