@@ -851,3 +851,33 @@ def test_corpus_ingest_soak_semantic_retrain_compaction(
         threshold=0.999, n_centroids=2, iters=2,
     )
     assert sorted(r["doc_id"] for r in sem_surv.collect()) == [99_001]
+
+
+def test_empty_epoch_commit_keeps_text_artifacts_readable(
+    spark, corpus_store, corpus_rows
+):
+    """The text twin of the vector index's empty-epoch contract: a
+    batch that dedups away ENTIRELY still commits its (empty) deltas
+    under the epoch name — replay needs the replace target — and
+    every reader, the next batch's dedup, compaction, and the fsck
+    stay correct over them."""
+    store = corpus_store
+    # every row is an exact copy of corpus content -> zero survivors
+    batch = _df(spark, [(500, _CORPUS_ROWS[0][1]), (501, _CORPUS_ROWS[1][1])])
+    got = P.incremental_dedup(
+        batch, store, "c", threshold=0.5, commit_batch="quiet-day"
+    )
+    assert got.count() == 0
+    assert store.fingerprints(None, "c").count() == 3  # base only
+
+    # a later batch dedups correctly across the empty delta
+    nxt = P.incremental_dedup(
+        _df(spark, [(600, DOC_D), (601, _CORPUS_ROWS[2][1])]),
+        store, "c", threshold=0.5, commit_batch="day-2",
+    )
+    assert sorted(r["doc_id"] for r in nxt.collect()) == [600]
+    assert store.compact("c") == 2  # both deltas fold, empty included
+    assert sorted(
+        r["id"] for r in store.fingerprints(None, "c").select("id").collect()
+    ) == [0, 1, 2, 600]
+    assert store.validate("c")["ok"]
