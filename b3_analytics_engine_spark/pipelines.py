@@ -530,9 +530,13 @@ def incremental_semantic_dedup(
     matmul over the SMALL side), occupies at most
     min(|batch|, n_centroids) cells, and the corpus probe reads ONLY
     those cell directories (partition pruning is the inverted-file
-    read). Per-batch cost is O(batch × occupied-cell mass),
-    independent of corpus size. The batch side of the cross join is
-    explicitly broadcast (bounded per epoch by construction).
+    read; the ``isin`` → PartitionFilters contract is pinned by
+    ``tests/test_ivf_index.py::test_probe_prunes_to_probed_cells`` —
+    the probe here executes inside the connected-components edge
+    collect, so it cannot be re-asserted from the survivors' plan).
+    Per-batch cost is O(batch × occupied-cell mass), independent of
+    corpus size. The batch side of the cross join is explicitly
+    broadcast (bounded per epoch by construction).
 
     Approximation contract (same as ``semantic_dedup``): only
     same-cell pairs are candidates. Exact duplicates always share a
