@@ -881,3 +881,63 @@ def test_empty_epoch_commit_keeps_text_artifacts_readable(
         r["id"] for r in store.fingerprints(None, "c").select("id").collect()
     ) == [0, 1, 2, 600]
     assert store.validate("c")["ok"]
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_incremental_semantic_matches_union_semantic_dedup(
+    spark, tmp_path, seed
+):
+    """The union-equivalence claim, randomized: over a random corpus
+    and a batch of exact corpus copies + an exact within-batch pair +
+    unique vectors, incremental_semantic_dedup(batch, store) must
+    keep exactly the batch ids semantic_dedup(corpus ∪ batch) keeps —
+    exact duplicates share a nearest centroid under ANY quantizer, so
+    the two clusterings (frozen index vs per-call union) cannot
+    disagree on them."""
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(seed)
+
+    def rv():
+        v = rng.normal(size=16)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    corpus_rows = [(i, rv()) for i in range(20)]
+    schema = "doc_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    copies = rng.choice(20, size=3, replace=False)
+    uniq = [rv() for _ in range(4)]
+    batch_rows = (
+        [(100 + int(c), corpus_rows[int(c)][1]) for c in copies]  # corpus copies
+        + [(200, uniq[0]), (201, uniq[0])]                        # exact batch pair
+        + [(210 + k, uniq[1 + k]) for k in range(3)]              # unique
+    )
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    store.ivf_index(
+        corpus, "c", id_col="doc_id", vec_col="embedding",
+        n_centroids=4, iters=2,
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in P.incremental_semantic_dedup(
+            batch, store, "c", id_col="doc_id", vec_col="embedding",
+            threshold=0.999, n_centroids=4, iters=2,
+        ).collect()
+    )
+    union = corpus.unionByName(batch)
+    want = sorted(
+        r["doc_id"]
+        for r in semantic_dedup(
+            union, threshold=0.999, id_col="doc_id",
+            vec_col="embedding", n_clusters=4, kmeans_iters=2,
+        ).collect()
+        if r["keep"] and r["doc_id"] >= 100
+    )
+    assert got == want
+    # and the expected structure: copies dropped, one of the pair
+    # kept, uniques kept
+    assert got == [200, 210, 211, 212]
