@@ -1402,8 +1402,11 @@ class SignatureStore:
         (``ivf_cell_stats``'s ``balance``) exceeds ``max_balance``.
         Returns -1 without mutating when under threshold, else
         ``ivf_retrain``'s fold count. The stats read costs one narrow
-        index scan, no lease; ``exclude`` is the in-epoch replay
-        contract, forwarded to the retrain."""
+        index scan (cell is a partition column, so the scan reads
+        listings + footers, not vectors), no lease; if epochs are
+        tiny relative to the index, schedule this on the compaction
+        cadence rather than every epoch. ``exclude`` is the in-epoch
+        replay contract, forwarded to the retrain."""
         stats = self.ivf_cell_stats(corpus, n_centroids, iters)
         if stats["balance"] <= max_balance:
             return -1
