@@ -10,22 +10,64 @@ import json
 import bench
 
 
-def test_history_loader_reads_driver_wrapper_artifacts():
-    """The committed BENCH_r*.json files are driver wrappers whose
-    timings live in a (possibly mid-line-truncated) `tail` string —
-    the loader must still recover per-query floors and latest values.
-    r10's outlier values must be present as `prev` so this round's
-    gate sees them."""
+def _write_wrapper(path, tail):
+    """A driver wrapper artifact: timings only inside the `tail`
+    stdout capture (the committed BENCH_r*.json shape)."""
+    with open(path, "w") as fh:
+        json.dump({"n": 1, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail}, fh)
+
+
+def test_history_loader_reads_driver_wrapper_artifacts(tmp_path):
+    """Synthetic wrapper artifacts in a tmpdir, mirroring the loader's
+    documented failure modes: timings buried in `tail`, a tail that
+    starts MID-LINE (r5's did), a non-headline key that must be
+    filtered, and a later round that supersedes an earlier one (floor
+    keeps the min, prev keeps the latest — including a later SPIKE, so
+    prev can exceed floor)."""
+    q1, q2 = sorted(bench.HEADLINE)[:2]
+    # r1: full JSON line in the tail; q2 at its steady state
+    _write_wrapper(
+        tmp_path / "BENCH_r01.json",
+        '{"queries": {"%s": 0.50, "%s": 0.30, "control_sec": 9.9, '
+        '"not_a_headline_query": 1.0}}' % (q1, q2),
+    )
+    # r2: tail truncated mid-line (no leading '{'), q1 improved,
+    # q2 spiked — prev must carry the spike, floor must not
+    _write_wrapper(
+        tmp_path / "BENCH_r02.json",
+        'ies": {"%s": 0.40, "%s": 0.90}}\nsummary: done' % (q1, q2),
+    )
+    # an unparseable artifact must be skipped, not crash the loader
+    (tmp_path / "BENCH_r03.json").write_text("not json at all")
+    floors, prev = bench.load_bench_history(repo=str(tmp_path))
+    assert set(floors) == set(prev) == {q1, q2}  # headline-filtered
+    assert floors[q1] == 0.40 and prev[q1] == 0.40
+    assert floors[q2] == 0.30 and prev[q2] == 0.90  # spike in prev only
+
+
+def test_history_loader_accepts_raw_local_artifact(tmp_path):
+    """A locally-saved raw {"queries": {...}} artifact (no wrapper) is
+    also accepted."""
+    q1 = sorted(bench.HEADLINE)[0]
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {q1: 0.25, "control_sec": 1.0}})
+    )
+    floors, prev = bench.load_bench_history(repo=str(tmp_path))
+    assert floors == {q1: 0.25} and prev == {q1: 0.25}
+
+
+def test_live_history_shape():
+    """Artifact-state-independent checks against the committed
+    BENCH_r*.json files: the loader finds broad headline coverage and
+    every floor is <= its latest value. No assertion pins any specific
+    round's timings — those change every time the driver lands a new
+    artifact."""
     floors, prev = bench.load_bench_history()
     assert len(floors) >= 70  # most of the headline set has history
     assert set(floors) <= set(bench.HEADLINE)  # no control_sec etc.
-    for q in ("ohlc_bars", "png_decode_stats", "pricing_summary"):
-        assert q in floors and q in prev
-        assert 0 < floors[q] <= prev[q] * 1.0001
-    # r10 artifact is the latest recording of ohlc_bars -> prev is its
-    # (adjudicated-noise) 0.999, while the floor stays the true steady
-    # state — the min() of the two bounds keeps the gate tight
-    assert prev["ohlc_bars"] > 2 * floors["ohlc_bars"]
+    assert set(floors) == set(prev)
+    for q, f in floors.items():
+        assert 0 < f <= prev[q] * 1.0001
 
 
 def test_spike_is_retimed_and_recorded():
