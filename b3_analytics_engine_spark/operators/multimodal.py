@@ -2524,9 +2524,12 @@ def encode_h264_annexb(
 # the contract ffprobe gives a curation pipeline.
 
 
-def _probe_png_header(payload: bytes) -> tuple[int, int]:
+def _probe_png_header(payload: bytes) -> tuple[int, int, int]:
     """Chunk walk of :func:`_parse_png` (CRC-verified, IHDR
-    constraints, IDAT/IEND presence) without inflating the raster."""
+    constraints, IDAT/IEND presence) without inflating the raster.
+    Returns ``(width, height, nchannels)`` so the probe reports the
+    same channel layout the full decode would (gray=1, RGB=3,
+    RGBA=4)."""
     import struct
     import zlib
 
@@ -2556,7 +2559,7 @@ def _probe_png_header(payload: bytes) -> tuple[int, int]:
                 raise ValueError("unsupported compression/filter/interlace")
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            ihdr = (w, h)
+            ihdr = (w, h, {0: 1, 2: 3, 6: 4}[color])
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -2570,12 +2573,13 @@ def _probe_png_header(payload: bytes) -> tuple[int, int]:
     return ihdr
 
 
-def _probe_jpeg_header(payload: bytes) -> tuple[int, int]:
+def _probe_jpeg_header(payload: bytes) -> tuple[int, int, int]:
     """Marker walk of :func:`_parse_jpeg` (segment grammar validated
     through to EOI, entropy-coded scans skipped by byte-stuffing
     rules) without building Huffman tables or decoding a single MCU.
     Accepts baseline AND progressive (dims sit in the same SOF
-    fields)."""
+    fields). Returns ``(width, height, ncomp)`` so the probe reports
+    the same component count the full decode would (gray=1, YCbCr=3)."""
     import struct
 
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -2615,7 +2619,7 @@ def _probe_jpeg_header(payload: bytes) -> tuple[int, int]:
                 raise ValueError(f"unsupported component count {ncomp}")
             if w == 0 or h == 0:
                 raise ValueError("zero image dimension")
-            sof = (w, h)
+            sof = (w, h, ncomp)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker {marker:#x}")
@@ -2711,11 +2715,11 @@ def _probe_one(payload: bytes) -> tuple:
     # drop — full pixel decode (and its stronger payload validation)
     # belongs to the *_decode_stats operators
     if payload[:8] == _PNG_MAGIC:
-        pw, ph = _probe_png_header(payload)
-        return ("png", pw, ph, None, None, None, None, 1, 1, "rgb24")
+        pw, ph, nc = _probe_png_header(payload)
+        return ("png", pw, ph, None, None, None, None, 1, 1, f"rgb{nc * 8}")
     if payload[:2] == b"\xff\xd8":
-        pw, ph = _probe_jpeg_header(payload)
-        return ("jpeg", pw, ph, None, None, None, None, 1, 1, "ycbcr3")
+        pw, ph, nc = _probe_jpeg_header(payload)
+        return ("jpeg", pw, ph, None, None, None, None, 1, 1, f"ycbcr{nc}")
     if payload[:2] == b"BM":
         pw, ph = _probe_bmp_header(payload)
         return ("bmp", pw, ph, None, None, None, None, 1, 1, "bgr24")

@@ -551,6 +551,13 @@ def incremental_semantic_dedup(
     appends the survivors' vectors as an O(batch) index delta; the
     corpus reads exclude that batch name, so at-least-once replay is
     idempotent (``defer_commit`` as in :func:`incremental_dedup`).
+
+    Cache ownership: the returned survivors frame is materialized and
+    forced on EVERY path (the cell-probe collect and the CC edge pass
+    make this function mostly eager anyway), and all interior caches
+    are released before returning — a long-running stream calls this
+    per epoch and must not accumulate persisted frames. The caller
+    unpersists survivors when done with it.
     """
     from .operators.common import materialize
     from .operators.dedup import connected_components
@@ -572,7 +579,11 @@ def incremental_semantic_dedup(
             F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("v")
         ),
         "id",
-    )  # the batch's own (id, cell, v) inverted file — O(batch)
+    ).transform(materialize)
+    # ^ the batch's own (id, cell, v) inverted file — O(batch), cached
+    # once for its four consumers (within-pairs self-join, occupied-
+    # cell collect, cross-join broadcast side, CC label join) instead
+    # of re-running the assignment matmul per consumer
 
     # within-batch: same-cell pairs only (SemDeDup's candidate rule)
     within = (
@@ -584,7 +595,10 @@ def incremental_semantic_dedup(
             "cell",
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        # round(6) before thresholding — semantic_dedup's boundary
+        # rule, so an exact-boundary pair classifies identically in
+        # the batch and incremental tiers
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -607,7 +621,7 @@ def incremental_semantic_dedup(
             ),
             "cell",
         )
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -627,22 +641,24 @@ def incremental_semantic_dedup(
         .filter(F.col("has_corpus") | (F.col("node") != F.col("min_batch")))
         .select(F.col("node").alias(id_col))
     )
-    survivors = vec_rows.join(drop, id_col, "left_anti").unionByName(
-        null_rows
+    survivors = (
+        vec_rows.join(drop, id_col, "left_anti")
+        .unionByName(null_rows)
+        .transform(materialize)
     )
-    if commit_batch is not None:
-        survivors = survivors.transform(materialize)
-        if not defer_commit:
-            store.ivf_append(
-                survivors.filter(has_vec), corpus, commit_batch,
-                id_col=id_col, vec_col=vec_col,
-                n_centroids=n_centroids, iters=iters,
-            )
-        else:
-            # no append to bake the cache — force it before dropping
-            # the interior cache (same hygiene as incremental_dedup)
-            survivors.count()
-        vec_rows.unpersist()
+    if commit_batch is not None and not defer_commit:
+        # the append's first write bakes survivors into its cache
+        store.ivf_append(
+            survivors.filter(has_vec), corpus, commit_batch,
+            id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, iters=iters,
+        )
+    else:
+        # no append to bake the cache — force it before dropping the
+        # interior caches (same hygiene as incremental_dedup)
+        survivors.count()
+    b.unpersist()
+    vec_rows.unpersist()
     return survivors
 
 

@@ -425,7 +425,7 @@ def test_probe_png_is_header_only_but_structurally_strict():
 
     blob = _crafted_png_bad_deflate()
     # structure valid -> probe accepts with dims; full decode rejects
-    assert _probe_png_header(blob) == (4, 4)
+    assert _probe_png_header(blob) == (4, 4, 3)
     with pytest.raises(ValueError, match="inflated size"):
         _parse_png(blob)
     # structural corruption still fails the probe: flip one IDAT byte
@@ -446,7 +446,7 @@ def test_probe_jpeg_is_header_only_but_structurally_strict():
     )
 
     good = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3))
-    assert _probe_jpeg_header(good) == (8, 8)
+    assert _probe_jpeg_header(good) == (8, 8, 3)
     # corrupt the entropy-coded scan: zero a byte mid-ECS while
     # keeping segment structure + EOI — probe accepts, decoder rejects
     sos = good.find(b"\xff\xda")
@@ -455,12 +455,52 @@ def test_probe_jpeg_is_header_only_but_structurally_strict():
     for j in range(ecs, min(ecs + 4, len(bad_ecs) - 2)):
         bad_ecs[j] = 0x55
     bad_ecs = bytes(bad_ecs)
-    assert _probe_jpeg_header(bad_ecs) == (8, 8)
+    assert _probe_jpeg_header(bad_ecs) == (8, 8, 3)
     with pytest.raises(ValueError):
         _parse_jpeg(bad_ecs)
     # structural corruption still fails the probe: no EOI
     with pytest.raises(ValueError, match="missing EOI|truncated"):
         _probe_jpeg_header(good[:-2])
+
+
+def test_probe_profile_reports_source_channel_layout():
+    """The probe's `profile` field describes the BLOB's channel
+    layout (what ffprobe reports), not the decoder's RGB output
+    contract: gray PNG -> rgb8, truecolor -> rgb24, RGBA -> rgb32;
+    gray JPEG -> ycbcr1, color -> ycbcr3. The probes already parse
+    IHDR color type / SOF component count — this pins that they
+    surface it instead of discarding it (r11 advice)."""
+    import struct
+    import zlib
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _probe_one,
+        encode_jpeg_baseline,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(color, nch):
+        w = h = 2
+        raw = b"".join(b"\x00" + bytes(w * nch) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    assert _probe_one(png(0, 1))[-1] == "rgb8"   # grayscale
+    assert _probe_one(png(2, 3))[-1] == "rgb24"  # truecolor
+    assert _probe_one(png(6, 4))[-1] == "rgb32"  # RGBA
+    gray = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3), gray=True)
+    color = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3))
+    assert _probe_one(gray)[-1] == "ycbcr1"
+    assert _probe_one(color)[-1] == "ycbcr3"
 
 
 def test_probe_spark_batch_header_only_paths(spark):
