@@ -41,6 +41,7 @@ the production entry point, like the hot-bucket cap defaults in
 from __future__ import annotations
 
 import os
+import re
 import struct
 import uuid
 from contextlib import contextmanager
@@ -112,8 +113,11 @@ class SignatureStore:
     proceeds; give independent jobs independent owners (the default —
     a fresh random token per instance) and the second one is refused.
     ``break_lock(corpus)`` is the manual override for a lease whose
-    holder is known dead. Readers never take the lease (artifact reads
-    are atomic-swap consistent). Exclusive-create is atomic on HDFS
+    holder is known dead. Readers never take the lease: each SINGLE
+    artifact read is atomic-swap consistent, but an operation that
+    swaps TWO coupled artifacts (:meth:`ivf_retrain`: centroids +
+    index) has a brief cross-artifact window for live readers — see
+    its docstring. Exclusive-create is atomic on HDFS
     and local filesystems; on S3-family stores, front this with a real
     conditional-put lock service if two writers are a possibility.
 
@@ -587,6 +591,46 @@ class SignatureStore:
             f"portable={int(portable)}",
         )
 
+    def _simhash_variants(self, corpus: str) -> list[tuple[int, bool]]:
+        """Discover every materialized SimHash variant for ``corpus``
+        by listing ``simhash_signatures/<corpus>/nbits=*/portable=*``
+        — maintenance entry points (:meth:`refresh_all`,
+        :meth:`compact`, :meth:`maybe_compact`) iterate THIS instead
+        of assuming ``nbits=64``, so a corpus whose simhash was built
+        at any other width never silently keeps a stale base through
+        a refresh or escapes the compaction delta watch. Listing
+        only — no data is read. Incomplete (crashed-write) variants
+        are skipped, like every other read."""
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path
+        croot = hp(os.path.join(self.root, "simhash_signatures", corpus))
+        if not fs.exists(croot):
+            return []
+        out = []
+        for nb_st in fs.listStatus(croot):
+            nb_name = nb_st.getPath().getName()
+            # strict name match: delta trees live as SIBLING dirs
+            # (e.g. ``portable=0__delta``) and must not parse as
+            # variants
+            if not (
+                nb_st.isDirectory()
+                and re.fullmatch(r"nbits=\d+", nb_name)
+            ):
+                continue
+            for p_st in fs.listStatus(nb_st.getPath()):
+                p_name = p_st.getPath().getName()
+                if not (
+                    p_st.isDirectory()
+                    and re.fullmatch(r"portable=[01]", p_name)
+                ):
+                    continue
+                nbits = int(nb_name.split("=", 1)[1])
+                portable = bool(int(p_name.split("=", 1)[1]))
+                if self._is_complete(self.simhash_path(corpus, nbits,
+                                                       portable)):
+                    out.append((nbits, portable))
+        return sorted(out)
+
     def simhash_census(
         self,
         df: DataFrame,
@@ -713,15 +757,17 @@ class SignatureStore:
         # simhash is token-level (its own derivation root): an existing
         # base left un-refreshed would silently keep the OLD corpus
         # view while every shingle-derived artifact moved on — exactly
-        # the skew refresh_all exists to prevent
-        if self._is_complete(self.simhash_path(corpus, 64, portable)):
-            self.simhash(df, corpus, id_col, text_col, 64, portable,
+        # the skew refresh_all exists to prevent. Variants are
+        # DISCOVERED (every materialized nbits/portable combination),
+        # not assumed to be the nbits=64 default
+        for nbits, sh_portable in self._simhash_variants(corpus):
+            self.simhash(df, corpus, id_col, text_col, nbits, sh_portable,
                          refresh=True)
             if self._is_complete(
-                self.simhash_census_path(corpus, 64, portable)
+                self.simhash_census_path(corpus, nbits, sh_portable)
             ):
                 self.simhash_census(
-                    df, corpus, id_col, text_col, 64, portable,
+                    df, corpus, id_col, text_col, nbits, sh_portable,
                     refresh=True,
                 )
 
@@ -848,9 +894,12 @@ class SignatureStore:
             self.signatures_path(corpus, n, portable, num_hashes, seed),
             self.sizes_path(corpus, n, portable),
             self.band_census_path(corpus, n, portable, num_hashes, seed),
-            self.simhash_path(corpus, 64, portable),
-            self.simhash_census_path(corpus, 64, portable),
         ]
+        for nbits, sh_portable in self._simhash_variants(corpus):
+            paths.append(self.simhash_path(corpus, nbits, sh_portable))
+            paths.append(
+                self.simhash_census_path(corpus, nbits, sh_portable)
+            )
         live = max(
             (
                 len(self._delta_paths(p, exclude=exclude))
@@ -928,10 +977,19 @@ class SignatureStore:
                 None, corpus, n=n, portable=portable,
                 num_hashes=num_hashes, seed=seed,
             )
-        if self._is_complete(self.simhash_census_path(corpus, 64, portable)):
-            self.simhash_census(None, corpus, nbits=64, portable=portable)
+        simhash_variants = self._simhash_variants(corpus)
+        for nbits, sh_portable in simhash_variants:
+            if self._is_complete(
+                self.simhash_census_path(corpus, nbits, sh_portable)
+            ):
+                self.simhash_census(
+                    None, corpus, nbits=nbits, portable=sh_portable
+                )
         # derived censuses re-aggregate on fold; everything else is an
         # id-disjoint plain union
+        census_reagg = lambda m: m.groupBy("chunk", "cv").agg(  # noqa: E731
+            F.sum("cnt").alias("cnt")
+        )
         targets = [
             (self.fingerprints_path(corpus), None),
             (self.postings_path(corpus, n, portable), None),
@@ -946,14 +1004,17 @@ class SignatureStore:
                     F.sum("cnt").alias("cnt")
                 ),
             ),
-            (self.simhash_path(corpus, 64, portable), None),
-            (
-                self.simhash_census_path(corpus, 64, portable),
-                lambda m: m.groupBy("chunk", "cv").agg(
-                    F.sum("cnt").alias("cnt")
-                ),
-            ),
         ]
+        for nbits, sh_portable in simhash_variants:
+            targets.append(
+                (self.simhash_path(corpus, nbits, sh_portable), None)
+            )
+            targets.append(
+                (
+                    self.simhash_census_path(corpus, nbits, sh_portable),
+                    census_reagg,
+                )
+            )
         folded = 0
         for path, reagg in targets:
             folded = max(folded, self._compact_one(path, exclude, reagg))
@@ -1312,7 +1373,18 @@ class SignatureStore:
         rows assigned under the OLD quantizer with NEW centroids
         persisted — :meth:`validate_ivf` flags the misassignment, and
         the recovery is to re-run ``ivf_retrain`` (every write is a
-        wholesale replace, so the re-run is idempotent)."""
+        wholesale replace, so the re-run is idempotent).
+
+        Live-reader window: readers never take the lease, so a probe
+        that loads centroids and the index while the two swaps are in
+        flight can pair the NEW quantizer with the OLD cell layout
+        (or, having cached old centroids, the old quantizer with the
+        new layout) — a transient, silent recall dip for exactly the
+        queries in flight during the swap, self-healing on the next
+        read. Swap order cannot remove the window (either order pairs
+        one stale artifact with one fresh one); a deployment that
+        cannot tolerate it should schedule retrains in the same
+        maintenance slot as :meth:`compact`, when no probes run."""
         import numpy as np
 
         from .operators.similarity import kmeans_centroids
@@ -1485,16 +1557,19 @@ class SignatureStore:
         # they CANNOT be backfilled later (token-level, derived from
         # text the store does not keep), so build the simhash base
         # before the first commit if the workflow consumes it;
-        # validate() flags the id-set gap otherwise
-        shp = self.simhash_path(corpus, 64, portable)
-        if self._is_complete(shp):
+        # validate() flags the id-set gap otherwise. Every
+        # materialized nbits/portable variant rides, not just the
+        # nbits=64 default — an un-appended variant would silently
+        # diverge from the corpus on the very next cross probe.
+        for nbits, sh_portable in self._simhash_variants(corpus):
+            shp = self.simhash_path(corpus, nbits, sh_portable)
             sh = simhash_signatures(
-                survivors, id_col, text_col, 64, portable
+                survivors, id_col, text_col, nbits, sh_portable
             ).persist()
             self._append_delta(sh, shp, batch)
-            shcp = self.simhash_census_path(corpus, 64, portable)
+            shcp = self.simhash_census_path(corpus, nbits, sh_portable)
             if self._is_complete(shcp):
-                chunk_bits = 16
+                chunk_bits = nbits // 4  # simhash_census's convention
                 chunk_mask = (1 << chunk_bits) - 1
                 self._append_delta(
                     sh.select(

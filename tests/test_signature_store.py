@@ -682,6 +682,44 @@ def test_refresh_all_includes_simhash_family(
     assert not store2._is_complete(store2.simhash_path("docs"))
 
 
+def test_refresh_all_and_compact_cover_nondefault_simhash_nbits(
+    spark, docs, tmp_path
+):
+    """The simhash family is maintained by DISCOVERY, not by assuming
+    the nbits=64 default: a corpus whose simhash was built at nbits=32
+    must still be refreshed by refresh_all and watched/folded by
+    maybe_compact/compact (r11 advice — the old hardcoded 64 silently
+    kept a stale 32-bit base through both)."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    d = docs.select("doc_id", "text").limit(30)
+    store.fingerprints(d, "docs")
+    store.signatures(d, "docs")
+    store.simhash(d, "docs", nbits=32)
+    assert store._simhash_variants("docs") == [(32, False)]
+    extra = spark.createDataFrame(
+        [(910001, "a fresh doc about tidal marsh sediment")],
+        "doc_id long, text string",
+    )
+    store.append_batch(extra, "docs", "b1")
+    bigger = d.unionByName(extra)
+    store.refresh_all(bigger, "docs")
+    n = bigger.count()
+    assert store.simhash(None, "docs", nbits=32).count() == n
+    # compact folds the 32-bit family's deltas too
+    store.append_batch(
+        spark.createDataFrame(
+            [(910002, "another fresh doc about glacial till")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b2",
+    )
+    assert store._delta_paths(store.simhash_path("docs", 32)) != []
+    store.compact("docs")
+    assert store._delta_paths(store.simhash_path("docs", 32)) == []
+    assert store.simhash(None, "docs", nbits=32).count() == n + 1
+
+
 def test_folded_ledger_survives_later_compactions(spark, docs, docs_store):
     """The _folded marker set must be a persistent ledger: a batch
     folded TWO compactions ago is still refused on re-commit — without
