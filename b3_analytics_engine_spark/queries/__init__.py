@@ -48,45 +48,46 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-11 front window (round 10 went 50/50
-# green; exactly the rotation the r10 verdict prescribed):
-# (a) union_dedup_keeplast — newest external green round 7, three
-# rounds stale, the single oldest evidence anywhere (displaced from
-# the r10 window as the strongest-evidence member of the r7 cohort;
-# the r10 verdict named it round-11 front of line);
-# (b) 49 of the round-8-newest cohort, weakest-evidence-first
+# external evidence. Round-12 front window (round 11 went 50/50
+# green; exactly the rotation the r11 verdict prescribed):
+# (a) time_range_window — newest external green round 8, three rounds
+# stale, the single oldest evidence anywhere (the r11 verdict named
+# it round-12 front of line);
+# (b) 49 of the round-9-newest cohort, weakest-evidence-first
 # (fewest external greens, then registration order) as computed by
 # tools/rotation_report.py.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r7 — 3 rounds stale (1)
-    "union_dedup_keeplast",
-    # (b) newest external green r8, weakest-evidence-first (49)
-    "acf_per_key", "anomaly_mad", "audio_decode_stats",
-    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
-    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
-    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
-    "event_transitions", "fuzzy_levenshtein_pairs",
-    "image_decode_stats", "image_resize_stats", "k_anonymity",
-    "key_skew_audit", "ks_drift", "mixture_rebalance",
-    "negative_sampling", "ngram_novelty", "ohlc_bars", "oov_rate",
-    "pmi_collocations", "png_decode_stats", "psi_drift",
-    "scd2_history", "semantic_dedup", "source_overlap",
-    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
-    "char_entropy", "duplicated_spans", "embedding_neardup",
-    "min_cost_supplier", "regional_revenue", "tumbling_window_agg",
-    "corr_matrix", "cosine_topk", "cube_revenue", "dedup_minhash_lsh",
-    "dedup_simhash", "incident_window_join", "repetition_ratio",
-    "rollup_revenue", "warehouse_metrics", "funnel_conversion",
+    # (a) newest external green r8 — 3 rounds stale (1)
+    "time_range_window",
+    # (b) newest external green r9, weakest-evidence-first (49)
+    "benford_audit", "dataset_split", "feature_hashing",
+    "gini_per_key", "percentile_normalize", "reservoir_per_group",
+    "table_profile", "video_frame_stats", "approx_aggregates",
+    "cast_coerce_nulls", "cosine_ann_ivf", "cosine_ann_lsh",
+    "customer_order_histogram", "disjunctive_join_filter",
+    "dominant_suppliers", "dormant_customers",
+    "embedding_neardup_exact", "ewma_per_key", "forecast_revenue",
+    "heavy_hitters", "importance_resample", "important_parts",
+    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
+    "json_payload_parse", "label_centroids", "large_volume_customer",
+    "market_share", "multi_key_sort_limit", "nation_trade_volume",
+    "null_handling", "order_priority_check", "parts_supplier_stats",
+    "pii_flag", "pricing_summary", "product_profit",
+    "promotion_effect", "returned_item_customers", "scalar_functions",
+    "distinct_sorted_keys", "exact_percentiles", "group_share",
+    "ranking_suite", "set_operations", "text_stats", "top1_by_metric",
+    "tz_convert", "unpivot_measures",
 )
-# Outside this window: the round-9 and round-10 cohorts (checked one
-# and zero rounds ago — the freshest evidence possible) plus the few
-# r8-cohort members with the strongest green counts that 50 slots
-# could not hold. After this round no query's newest external green
-# is older than round 9 (≤2 rounds stale) — inside the 3-round
-# staleness ceiling the rotation cycle is designed to hold. All
-# registered queries are re-checked by tests/test_oracle_parity.py
-# every run, and tests/test_scan_audit.py pins every query's physical
-# scan counts.
+# Outside this window: the round-10 and round-11 cohorts (checked one
+# and zero rounds ago — the freshest evidence possible) plus the one
+# r9-cohort member the 50 slots could not hold (value_histogram, the
+# strongest-evidence r9 member — 4 external greens; round-13 front of
+# line if not displaced). After this round no
+# query's newest external green is older than round 10 (≤2 rounds
+# stale) — inside the 3-round staleness ceiling the rotation cycle is
+# designed to hold. All registered queries are re-checked by
+# tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
+# pins every query's physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:
