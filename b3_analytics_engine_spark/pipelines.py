@@ -317,6 +317,75 @@ def decontaminate_fuzzy(
     )
 
 
+def decontaminate_fuzzy_cross(
+    train_df: DataFrame | None,
+    eval_df: DataFrame | None,
+    store,
+    train_corpus: str,
+    eval_corpus: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.12,
+    max_bucket: int | None = -1,
+) -> DataFrame:
+    """Fuzzy decontamination with BOTH splits served from persisted
+    :class:`~.signature_store.SignatureStore` artifacts — the shape a
+    recurring decontamination job runs. :func:`decontaminate_fuzzy`
+    takes one mixed frame, so a training corpus with a store still
+    re-tokenizes the eval suite on every call (and a store cannot
+    even be used unless the eval docs pollute the training corpus's
+    artifacts). Here the eval suite — small and STATIC, the ideal
+    artifact — is keyed under its own corpus name: its postings and
+    signatures are built exactly once (the store's lazy read-through)
+    and every later call on a grown training corpus pays two narrow
+    eval-artifact scans instead of an O(eval) re-tokenize + re-hash.
+
+    The eval suite rides the A (broadcast) side of
+    :func:`~.operators.dedup.minhash_lsh_pairs_cross`; the training
+    corpus streams from its artifacts on the B side with its sizes and
+    hot-bucket census served delta-aware, so the per-call corpus cost
+    is scan + explode + broadcast-probe — O(eval)-shaped, not
+    O(corpus)-shuffle-shaped. Ids must be disjoint across the two
+    corpora (the cross operator's contract). ``train_df`` /
+    ``eval_df`` are only needed to build missing bases on first use —
+    pass None against a pre-built store.
+
+    Returns (``id_col``, n_fuzzy_matches, max_jaccard) per
+    contaminated TRAINING document — same schema as
+    :func:`decontaminate_fuzzy`, and pair-identical to it on a mixed
+    frame when caps are off (pinned by
+    ``tests/test_decontaminate.py``; with a cap on, this form caps
+    only training-side buckets while the mixed form caps both sides).
+    """
+    from .operators import dedup as D
+
+    cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
+    eval_posts = store.postings(eval_df, eval_corpus, id_col, text_col)
+    eval_sig = store.signatures(eval_df, eval_corpus, id_col, text_col)
+    train_posts = store.postings(train_df, train_corpus, id_col, text_col)
+    train_sig = store.signatures(train_df, train_corpus, id_col, text_col)
+    train_sizes = store.sizes(train_df, train_corpus, id_col, text_col)
+    hot = (
+        store.band_census(train_df, train_corpus, id_col, text_col)
+        .filter(F.col("cnt") > cap)
+        if cap is not None
+        else None
+    )
+    cross = D.minhash_lsh_pairs_cross(
+        eval_posts, eval_sig, train_posts, train_sig,
+        threshold=threshold, max_band_bucket=cap,
+        b_sizes=train_sizes, b_hot_buckets=hot,
+    )
+    return (
+        cross.select(F.col("id_b").alias(id_col), "jaccard")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     store,

@@ -85,6 +85,91 @@ class StoreLockedError(RuntimeError):
     crashed job that will not come back — ``break_lock(corpus)``."""
 
 
+class HadoopLeaseBackend:
+    """Default lease backend: an owner-stamped lock file taken by
+    ATOMIC exclusive create. On ``file://`` that is POSIX
+    ``O_CREAT|O_EXCL`` directly (Hadoop local
+    ``create(overwrite=false)`` is check-then-act — pinned by the
+    threaded race test); on HDFS-family filesystems it is
+    ``create(path, overwrite=false)`` (atomic under the NameNode's
+    namespace lock).
+
+    This class is the SEAM for stores on backends without an atomic
+    create-or-rename primitive: plain S3 cannot host this lease, but
+    S3 conditional PUT (``If-None-Match: *``) can — implement these
+    three methods over it and pass the instance as
+    ``SignatureStore(..., lease_backend=...)``; no call site changes.
+    The protocol each method must honor:
+
+    - ``try_create(lock_path, owner)`` — atomically create the lock
+      stamped with ``owner``; return True if THIS call created it,
+      False if it already existed. Two racers must never both get
+      True.
+    - ``read_owner(lock_path)`` — the stamped owner token, or None if
+      the lock is absent or its stamp is half-written (callers treat
+      None as contended-or-racing and retry once).
+    - ``delete(lock_path)`` — remove the lock (release/break).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _local_path(self, lock_path: str) -> str | None:
+        """OS path when the root lives on the local filesystem, else
+        None (remote scheme)."""
+        _, fs, _ = _hadoop_fs(self.spark, self.root)
+        if fs.getScheme() != "file":
+            return None
+        for prefix in ("file://", "file:"):
+            if lock_path.startswith(prefix):
+                return lock_path[len(prefix):]
+        return lock_path
+
+    def try_create(self, lock_path: str, owner: str) -> bool:
+        local = self._local_path(lock_path)
+        if local is not None:
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            # stamp in java.io.DataOutput#writeUTF layout so
+            # read_owner's readUTF stays the one reader
+            data = owner.encode("utf-8")
+            with os.fdopen(fd, "wb") as out:
+                out.write(struct.pack(">H", len(data)) + data)
+            return True
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(lock_path)
+        try:
+            out = fs.create(hp, False)  # exclusive create (atomic on HDFS)
+        except Exception:
+            return False
+        out.writeUTF(owner)
+        out.close()
+        return True
+
+    def read_owner(self, lock_path: str) -> str | None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(lock_path)
+        if not fs.exists(hp):
+            return None
+        inp = fs.open(hp)
+        try:
+            return inp.readUTF()
+        except Exception:
+            return None
+        finally:
+            inp.close()
+
+    def delete(self, lock_path: str) -> None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path(lock_path)
+        if fs.exists(hp):
+            fs.delete(hp, False)
+
+
 class SignatureStore:
     """Read-through Parquet cache for MinHash-family artifacts.
 
@@ -118,8 +203,11 @@ class SignatureStore:
     swaps TWO coupled artifacts (:meth:`ivf_retrain`: centroids +
     index) has a brief cross-artifact window for live readers — see
     its docstring. Exclusive-create is atomic on HDFS
-    and local filesystems; on S3-family stores, front this with a real
-    conditional-put lock service if two writers are a possibility.
+    and local filesystems (the default :class:`HadoopLeaseBackend`);
+    plain S3 has no such primitive — implement the three-method
+    backend protocol over S3 conditional PUT (``If-None-Match: *``)
+    and pass it as ``lease_backend=`` if two writers are a
+    possibility.
 
     First-time base creation (the lazy read-through builds) and
     derived-delta backfill (:meth:`_sync_deltas`) take the lease too,
@@ -130,11 +218,18 @@ class SignatureStore:
     reads of complete artifacts never touch the lease.
     """
 
-    def __init__(self, spark: SparkSession, root: str, owner: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        owner: str | None = None,
+        lease_backend=None,
+    ):
         self.spark = spark
         self.root = root
         self.owner = owner or uuid.uuid4().hex
         self._lease_depth: dict[str, int] = {}
+        self._lease = lease_backend or HadoopLeaseBackend(spark, root)
 
     # ------------------------------------------------------ write lease
     def _lock_file(self, corpus: str) -> str:
@@ -144,29 +239,7 @@ class SignatureStore:
         """The owner token in the corpus lock file, or None if unheld
         (or if the stamp is half-written — a racer between create and
         stamp — which callers treat as contended)."""
-        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
-        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
-        if not fs.exists(hp):
-            return None
-        inp = fs.open(hp)
-        try:
-            return inp.readUTF()
-        except Exception:
-            return None
-        finally:
-            inp.close()
-
-    def _local_lock_path(self, corpus: str) -> str | None:
-        """OS path of the lock file when the store root lives on the
-        local filesystem, else None (remote scheme)."""
-        _, fs, _ = _hadoop_fs(self.spark, self.root)
-        if fs.getScheme() != "file":
-            return None
-        lock = self._lock_file(corpus)
-        for prefix in ("file://", "file:"):
-            if lock.startswith(prefix):
-                return lock[len(prefix):]
-        return lock
+        return self._lease.read_owner(self._lock_file(corpus))
 
     @contextmanager
     def lock(self, corpus: str):
@@ -188,87 +261,37 @@ class SignatureStore:
                 self._release(corpus)
 
     def _acquire(self, corpus: str) -> None:
-        """Take the corpus write lease via EXCLUSIVE CREATE — the
-        primitive that makes a second concurrent writer fail loudly.
-
-        Exclusive create must be ATOMIC, or two racing writers can
-        both think they won. Hadoop's ``create(path, overwrite=false)``
-        IS atomic on HDFS (checked under the NameNode's namespace
-        lock) but check-then-act on the LOCAL filesystem — so on
-        ``file://`` the lease is taken with POSIX ``O_CREAT|O_EXCL``
-        directly (atomic at the kernel level; pinned by the
-        threaded-race test). Object stores without an atomic
-        create-or-rename primitive (plain S3) cannot host this lease:
-        give the store a consistent FS root, or front mutations with
-        an external lock service."""
-        local = self._local_lock_path(corpus)
-        if local is not None:
-            os.makedirs(os.path.dirname(local), exist_ok=True)
-            for attempt in (1, 2):
-                try:
-                    fd = os.open(
-                        local, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                    )
-                except FileExistsError:
-                    holder = self._lock_owner(corpus)
-                    if holder == self.owner:
-                        return  # adopt our own lease (reentrant / crash recovery)
-                    if holder is None and attempt == 1:
-                        continue  # raced a release / half-written stamp: one retry
-                    if holder is None:
-                        raise StoreLockedError(
-                            f"corpus {corpus!r} lease at "
-                            f"{self._lock_file(corpus)} is contended; "
-                            "retry, or break_lock() if the holder is dead"
-                        )
-                    raise StoreLockedError(
-                        f"corpus {corpus!r} is write-locked by owner "
-                        f"{holder!r} (lease {self._lock_file(corpus)}); a "
-                        "second concurrent writer would interleave "
-                        "append/compact unanalyzed — wait for it, or "
-                        "break_lock() if that job is dead"
-                    )
-                else:
-                    # stamp in java.io.DataOutput#writeUTF layout so
-                    # _lock_owner's readUTF stays the one reader
-                    data = self.owner.encode("utf-8")
-                    with os.fdopen(fd, "wb") as out:
-                        out.write(struct.pack(">H", len(data)) + data)
-                    return
-        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
-        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
-        try:
-            out = fs.create(hp, False)  # exclusive create (atomic on HDFS)
-        except Exception:
-            holder = self._lock_owner(corpus)
-            if holder is None:
-                # raced a release (or an unreadable stamp): one retry
-                try:
-                    out = fs.create(hp, False)
-                except Exception as e2:
-                    raise StoreLockedError(
-                        f"corpus {corpus!r} lease at "
-                        f"{self._lock_file(corpus)} is contended; retry, "
-                        "or break_lock() if the holder is dead"
-                    ) from e2
-            elif holder == self.owner:
+        """Take the corpus write lease via the backend's ATOMIC
+        exclusive create — the primitive that makes a second
+        concurrent writer fail loudly (two racing writers must never
+        both win; see :class:`HadoopLeaseBackend` for the default
+        implementation and the S3 story). The protocol on a failed
+        create: adopt our own stamp (reentrant / crash recovery),
+        retry ONCE on an absent-or-half-written stamp (we may have
+        raced a release), else raise :class:`StoreLockedError`."""
+        lock = self._lock_file(corpus)
+        for attempt in (1, 2):
+            if self._lease.try_create(lock, self.owner):
+                return
+            holder = self._lease.read_owner(lock)
+            if holder == self.owner:
                 return  # adopt our own lease (reentrant / crash recovery)
-            else:
+            if holder is None:
+                if attempt == 1:
+                    continue  # raced a release / half-written stamp
                 raise StoreLockedError(
-                    f"corpus {corpus!r} is write-locked by owner "
-                    f"{holder!r} (lease {self._lock_file(corpus)}); a "
-                    "second concurrent writer would interleave "
-                    "append/compact unanalyzed — wait for it, or "
-                    "break_lock() if that job is dead"
+                    f"corpus {corpus!r} lease at {lock} is contended; "
+                    "retry, or break_lock() if the holder is dead"
                 )
-        out.writeUTF(self.owner)
-        out.close()
+            raise StoreLockedError(
+                f"corpus {corpus!r} is write-locked by owner "
+                f"{holder!r} (lease {lock}); a second concurrent writer "
+                "would interleave append/compact unanalyzed — wait for "
+                "it, or break_lock() if that job is dead"
+            )
 
     def _release(self, corpus: str) -> None:
-        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
-        hp = jvm.org.apache.hadoop.fs.Path(self._lock_file(corpus))
-        if fs.exists(hp):
-            fs.delete(hp, False)
+        self._lease.delete(self._lock_file(corpus))
 
     def break_lock(self, corpus: str) -> None:
         """Force-release a lease whose holder is known dead. The

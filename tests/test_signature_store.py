@@ -176,6 +176,41 @@ def test_decontaminate_fuzzy_pipeline_matches_registered_shape(
     assert _sorted_rows(via_store) == _sorted_rows(via_text)
 
 
+def test_decontaminate_fuzzy_cross_reads_both_sides_from_artifacts(
+    spark, docs, tmp_path
+):
+    """decontaminate_fuzzy_cross must (a) match the mixed-frame form
+    pair-for-pair with caps off, (b) serve the eval suite from its own
+    persisted artifacts — the second call passes None frames and every
+    input file is a store parquet, no re-tokenize of either side."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+    got = P.decontaminate_fuzzy_cross(
+        train_df, eval_df, store, "train", "evalset",
+        threshold=0.12, max_bucket=None,
+    )
+    want = P.decontaminate_fuzzy(
+        docs, lambda c: c % 10 == 0, threshold=0.12, max_bucket=None
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # second call on the pre-built store: no frames needed, and both
+    # sides' inputs are store artifacts (eval built ONCE, then a scan)
+    again = P.decontaminate_fuzzy_cross(
+        None, None, store, "train", "evalset",
+        threshold=0.12, max_bucket=None,
+    )
+    assert _sorted_rows(again) == _sorted_rows(want)
+    inputs = again.inputFiles()
+    assert inputs and all(str(tmp_path / "store") in f for f in inputs)
+    # capped form still runs (train-side-only cap) and stays a subset
+    capped = P.decontaminate_fuzzy_cross(
+        None, None, store, "train", "evalset", threshold=0.12,
+    )
+    got_rows = {r["doc_id"] for r in got.collect()}
+    assert {r["doc_id"] for r in capped.collect()} <= got_rows
+
+
 def test_store_guardrails(spark, docs, tmp_path):
     store = SignatureStore(spark, str(tmp_path / "store"))
     with pytest.raises(ValueError, match="minhash"):
@@ -968,3 +1003,57 @@ def test_lease_admits_one_writer_under_thread_race(spark, docs_store_dir):
     assert len(ids) == len(set(ids)), "a racing append double-committed"
     assert {i for i in ids if i >= 910000} == {910000 + i for i in ok}
     assert store.validate("docs")["ok"]
+
+
+def test_lease_backend_seam(spark, docs, tmp_path):
+    """Lease acquisition is pluggable: a backend implementing
+    try_create/read_owner/delete (the shape an S3 conditional-put
+    backend would take) is honored by every mutating entry point —
+    a second store sharing the backend is refused while the first
+    holds, admitted after release, and a same-owner store adopts."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    class DictLeaseBackend:
+        # in-memory stand-in for a conditional-put service
+        def __init__(self):
+            self.locks = {}
+            self.creates = 0
+
+        def try_create(self, lock_path, owner):
+            if lock_path in self.locks:
+                return False
+            self.locks[lock_path] = owner
+            self.creates += 1
+            return True
+
+        def read_owner(self, lock_path):
+            return self.locks.get(lock_path)
+
+        def delete(self, lock_path):
+            self.locks.pop(lock_path, None)
+
+    backend = DictLeaseBackend()
+    root = str(tmp_path / "store")
+    s1 = SignatureStore(spark, root, owner="job-a", lease_backend=backend)
+    d = docs.select("doc_id", "text").limit(20)
+    with s1.lock("docs"):
+        assert backend.creates == 1 and backend.read_owner(
+            s1._lock_file("docs")
+        ) == "job-a"
+        s2 = SignatureStore(
+            spark, root, owner="job-b", lease_backend=backend
+        )
+        with pytest.raises(StoreLockedError, match="job-a"):
+            with s2.lock("docs"):
+                pass
+        # same-owner adoption (crash recovery) goes through the seam
+        s1_twin = SignatureStore(
+            spark, root, owner="job-a", lease_backend=backend
+        )
+        with s1_twin.lock("docs"):
+            pass  # adopt, not create
+        assert backend.creates == 1
+    assert backend.read_owner(s1._lock_file("docs")) is None  # released
+    # a real mutation under the custom backend
+    s1.fingerprints(d, "docs")
+    assert backend.creates == 2 and not backend.locks
