@@ -286,6 +286,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     iters: int = 5,
     max_train: int = 65536,
+    seeding: str = "first",
 ) -> "np.ndarray":
     """Deterministic k-means (spherical Lloyd) for IVF cell centroids.
 
@@ -299,11 +300,24 @@ def kmeans_centroids(
     would cost 2 jobs per iteration for no centroid-quality gain — cell
     quality needs a representative sample, not every vector.
 
-    Deterministic: sample membership is ``xxhash64(id) % mod``, seeds
-    are the first ``n_centroids`` sample vectors by id, iteration is
-    driver-local numpy. Empty cells keep their previous centroid. If
-    the sample has fewer than ``n_centroids`` vectors, that many cells
-    are produced instead.
+    Deterministic: sample membership is ``xxhash64(id) % mod``,
+    iteration is driver-local numpy. Empty cells keep their previous
+    centroid. If the sample has fewer than ``n_centroids`` vectors,
+    that many cells are produced instead.
+
+    ``seeding``: ``"first"`` (default, and what every REGISTERED ANN
+    query uses — do not change without re-verifying their hashes)
+    takes the first ``n_centroids`` sample vectors by id; on a
+    drifted distribution every seed then starts in the low-id (base)
+    region, which is what bounded :meth:`~...signature_store.
+    SignatureStore.ivf_retrain`'s repair depth in the r11 drift A/B.
+    ``"spread"`` is the deterministic k-means++ analogue — a
+    farthest-first traversal over the normalized sample (seed 0 = the
+    first sample vector by id; each next seed = the sample point with
+    the smallest maximum cosine to the seeds chosen so far, argmin
+    tie-broken by index) — O(sample × n_centroids) driver flops, used
+    by the drift-repair path so retrains can place cells wherever the
+    CURRENT distribution lives.
     """
     v = corpus.select(
         F.col(id_col).alias("_id"), _dbl(F.col(vec_col)).alias("_v")
@@ -319,7 +333,19 @@ def kmeans_centroids(
     rows.sort(key=lambda r: r["_id"])
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = X[: min(n_centroids, len(X))].copy()
+    k = min(n_centroids, len(X))
+    if seeding == "spread" and k > 1:
+        seed_idx = [0]
+        best = Xn @ Xn[0]  # max cosine to the chosen seed set
+        for _ in range(1, k):
+            nxt = int(np.argmin(best))
+            seed_idx.append(nxt)
+            best = np.maximum(best, Xn @ Xn[nxt])
+        C = X[seed_idx].copy()
+    elif seeding in ("first", "spread"):
+        C = X[:k].copy()
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         cells = np.argmax(Xn @ Cn.T, axis=1)

@@ -1431,9 +1431,14 @@ class SignatureStore:
             exclude_batch=exclude,
         )
         # new quantizer from the index's own vectors: bounded
-        # hash-sample + driver Lloyd, collected BEFORE any swap
+        # hash-sample + driver Lloyd, collected BEFORE any swap.
+        # Farthest-first seeding: the whole point of a retrain is that
+        # the distribution MOVED, so seeds must be able to land where
+        # it lives now — first-ids seeding starts every centroid in
+        # the base region and bounded repair depth in the r11 A/B
         C = kmeans_centroids(
-            live, n_centroids, id_col="id", vec_col="v", iters=iters
+            live, n_centroids, id_col="id", vec_col="v", iters=iters,
+            seeding="spread",
         )
         # full reassignment, staged from the still-live old view; the
         # staging job completes before either artifact swaps

@@ -40,10 +40,19 @@ def _mega_corpus(spark, n_cluster: int, n_unique: int = 5):
 
 
 def test_minhash_cap_bounds_candidates(spark):
+    # shingle/hash ONCE, shared by the capped and uncapped runs (the
+    # cap behavior under test is the banding, not the shingling —
+    # r11 verdict task #3, gate work reduction)
+    from b3_analytics_engine_spark.operators.common import materialize
+
     docs = _mega_corpus(spark, 120)
-    uncapped = D.minhash_lsh_pairs(docs, threshold=0.5).count()
+    posts = D.hashed_postings(docs, "doc_id", "text").transform(materialize)
+    sig = D._signatures_from_hashed(posts, 64, 42).transform(materialize)
+    uncapped = D.minhash_lsh_pairs(
+        docs, threshold=0.5, posts=posts, sig=sig
+    ).count()
     capped = D.minhash_lsh_pairs(
-        docs, threshold=0.5, max_band_bucket=16
+        docs, threshold=0.5, max_band_bucket=16, posts=posts, sig=sig
     ).count()
     # identical docs -> identical signatures -> one (band, bh) bucket
     # per band holding all 120 -> quadratic uncapped, dropped capped
@@ -56,19 +65,27 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # drop_hot_buckets: shingles held by more docs than the cap are
     # dropped before the self-join; identical docs share ALL shingles
     # so the capped run yields no pairs, the uncapped run is quadratic
+    from b3_analytics_engine_spark.operators.common import materialize
+
     docs = _mega_corpus(spark, 60)
-    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.5).count()
+    posts = D.hashed_postings(docs, "doc_id", "text").transform(materialize)
+    uncapped = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, posts=posts
+    ).count()
     capped = D.ngram_jaccard_pairs(
-        docs, threshold=0.5, max_shingle_df=16
+        docs, threshold=0.5, max_shingle_df=16, posts=posts
     ).count()
     assert uncapped == 60 * 59 // 2
     assert capped <= 60 * 16  # sub-quadratic bound (here: 0)
 
 
 def test_simhash_cap_bounds_candidates(spark):
+    from b3_analytics_engine_spark.operators.common import materialize
+
     docs = _mega_corpus(spark, 120)
-    uncapped = D.simhash_pairs(docs).count()
-    capped = D.simhash_pairs(docs, max_chunk_bucket=16).count()
+    sig = D.simhash_signatures(docs, "doc_id", "text").transform(materialize)
+    uncapped = D.simhash_pairs(docs, sig=sig).count()
+    capped = D.simhash_pairs(docs, max_chunk_bucket=16, sig=sig).count()
     assert uncapped == 120 * 119 // 2
     assert capped <= 120 * 16
 

@@ -470,3 +470,54 @@ def test_empty_epoch_append_keeps_index_readable(spark, emb, queries, ivf_store)
     assert store.ivf_index(None, "emb", n_centroids=8, iters=2).count() == n
     assert store.ivf_compact("emb", n_centroids=8, iters=2) == 1
     assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+
+def test_spread_seeding_reaches_drifted_region(spark):
+    """seeding="spread" (farthest-first over the sample) must place
+    seeds in BOTH modes of a bimodal sample whose low ids all live in
+    one region — the exact geometry that bounded ivf_retrain's repair
+    depth under the default first-ids seeding — and end with a better
+    cell balance after the same Lloyd iterations. Default stays
+    "first": the registered ANN queries' frames must not move."""
+    import numpy as np
+
+    from b3_analytics_engine_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):  # low ids: region A (first axis)
+        v = rng.normal(scale=0.05, size=dim)
+        v[0] += 5.0
+        rows.append((i, [float(x) for x in v]))
+    for i in range(200):  # high ids: region B (last axis)
+        v = rng.normal(scale=0.05, size=dim)
+        v[dim - 1] += 5.0
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def balance(C):
+        X = np.asarray([r[1] for r in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        counts = np.bincount(cells, minlength=len(C))
+        occupied = counts[counts > 0]
+        return counts.max() / max(occupied.mean(), 1e-12)
+
+    first = kmeans_centroids(df, 4, iters=2, seeding="first")
+    spread = kmeans_centroids(df, 4, iters=2, seeding="spread")
+    # first-ids seeding starts all 4 seeds inside region A; spread's
+    # second seed lands in region B by construction
+    assert balance(spread) <= balance(first)
+    Cn = spread / np.linalg.norm(spread, axis=1, keepdims=True)
+    assert Cn[:, 0].max() > 0.9 and Cn[:, dim - 1].max() > 0.9
+    # determinism: same input, same centroids
+    again = kmeans_centroids(df, 4, iters=2, seeding="spread")
+    assert np.allclose(spread, again)
+    with pytest.raises(ValueError, match="seeding"):
+        kmeans_centroids(df, 4, seeding="nope")

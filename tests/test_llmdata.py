@@ -81,15 +81,27 @@ def test_hot_band_bucket_caps(spark):
     ]
     docs = spark.createDataFrame(cluster + near)
 
-    kw = dict(num_hashes=64, bands=16, n=3, threshold=0.5)
+    # shingle/hash once, shared by the capped and uncapped runs (the
+    # cap under test is the banding, not the shingling)
+    from b3_analytics_engine_spark.operators.common import materialize
+
+    posts = D.hashed_postings(docs, "doc_id", "text").transform(materialize)
+    sig = D._signatures_from_hashed(posts, 64, 42).transform(materialize)
+    kw = dict(num_hashes=64, bands=16, n=3, threshold=0.5,
+              posts=posts, sig=sig)
     uncapped = _pairs(D.minhash_lsh_pairs(docs, **kw))
     capped = _pairs(D.minhash_lsh_pairs(docs, max_band_bucket=50, **kw))
     assert (100, 101) in uncapped and (0, 1) in uncapped
     assert (100, 101) in capped  # small bucket survives
     assert all(a >= 100 for a, _ in capped)  # cluster pairs suppressed
 
-    un_sh = _pairs(D.simhash_pairs(docs, max_hamming=0))
-    cap_sh = _pairs(D.simhash_pairs(docs, max_hamming=0, max_chunk_bucket=50))
+    sh_sig = D.simhash_signatures(docs, "doc_id", "text").transform(
+        materialize
+    )
+    un_sh = _pairs(D.simhash_pairs(docs, max_hamming=0, sig=sh_sig))
+    cap_sh = _pairs(
+        D.simhash_pairs(docs, max_hamming=0, max_chunk_bucket=50, sig=sh_sig)
+    )
     assert (100, 101) in un_sh and (0, 1) in un_sh
     assert (100, 101) in cap_sh
     assert all(a >= 100 for a, _ in cap_sh)

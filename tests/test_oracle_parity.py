@@ -21,7 +21,7 @@ import math
 import pytest
 
 from b3_analytics_engine_spark.queries import registry
-from b3_analytics_engine_spark.tables import ORACLE_SF_DIR
+from b3_analytics_engine_spark.tables import ORACLE_SF_DIR, SMOKE_SF_DIR
 
 
 def _norm_cell(v):
@@ -51,10 +51,33 @@ def _normalize(rows, colnames):
 
 ORACLE_SPECS = [s for s in registry().values() if s.oracle is not None]
 
+# The sweep's HEAVY TAIL runs its differential at sf0.001 instead of
+# sf0.01 (r11 verdict task #3 — the default gate must cut WORK, not
+# parallelism, to fit 15 min; these are every query that measured
+# ≥ 2 s at sf0.01 on this box, ~75 s of the sweep's ~165 s). The
+# parity contract is unchanged — same query, same oracle SQL, same
+# value comparison, smaller fixture — and the sf0.01 differential for
+# these queries is still proven every round by `tools/driver_sim.py
+# --all` (plus the external driver itself) and by the opt-in
+# `-m scale_sweep` tier's sf0.001+sf0.1 pass.
+HEAVY_TAIL_SMOKE = {
+    "decontaminate_fuzzy", "time_range_window", "semantic_dedup",
+    "corpus_curation", "cosine_ann_ivf", "embedding_neardup_exact",
+    "dedup_minhash_lsh", "feature_hashing", "dedup_simhash",
+    "cosine_ann_lsh", "decontaminate", "video_frame_stats",
+    "unpivot_measures", "ngram_jaccard_pairs", "trade_pagerank",
+    "sequence_packing", "dup_cluster_keep", "approx_aggregates",
+    "table_profile", "source_overlap",
+}
+
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
-def test_query_matches_oracle(spec, spark, duck_oracle):
-    sdf = spec.fn(spark, ORACLE_SF_DIR)
+def test_query_matches_oracle(spec, spark, duck_oracle, duck_smoke):
+    if spec.name in HEAVY_TAIL_SMOKE:
+        sf_dir, duck = SMOKE_SF_DIR, duck_smoke
+    else:
+        sf_dir, duck = ORACLE_SF_DIR, duck_oracle
+    sdf = spec.fn(spark, sf_dir)
     spark_cols = sdf.columns
     try:
         spark_rows = [tuple(r) for r in sdf.collect()]
@@ -64,7 +87,7 @@ def test_query_matches_oracle(spec, spark, duck_oracle):
         # cache entries (the same hygiene bench.py's _unpersist_all does)
         spark.catalog.clearCache()
 
-    res = duck_oracle.sql(spec.oracle)
+    res = duck.sql(spec.oracle)
     duck_cols = res.columns
     duck_rows = res.fetchall()
 
@@ -116,13 +139,29 @@ def test_entry_smoke_contract(spark):
 
 def test_all_declared_queries_run(spark):
     # every registry entry (oracle or not) must at least execute and
-    # return a stable schema at smoke scale
-    from b3_analytics_engine_spark.tables import SMOKE_SF_DIR
+    # return a stable schema at smoke scale. Executions are submitted
+    # from a small thread pool: Spark job submission is thread-safe,
+    # each sf0.001 query occupies a handful of tasks, and local[32]
+    # has far more slots than any single query uses — serial
+    # submission measured 81 s, threaded ~4x less, identical contract
+    # (every query still executes; the first failure surfaces with
+    # its query name). The queries the oracle sweep now runs at smoke
+    # scale (HEAVY_TAIL_SMOKE) already fully executed there, so they
+    # are not re-run.
+    from concurrent.futures import ThreadPoolExecutor
 
-    for spec in registry().values():
+    def run(spec):
         df = spec.fn(spark, SMOKE_SF_DIR)
         assert df.columns, f"{spec.name} returned no columns"
         df.limit(5).collect()
+        return spec.name
+
+    todo = [
+        s for s in registry().values() if s.name not in HEAVY_TAIL_SMOKE
+    ]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        done = list(ex.map(run, todo))
+    assert len(done) == len(todo)
 
 
 def test_no_complex_output_columns(registry_plan_audit):
