@@ -16,6 +16,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import local_df
+
 from b3_analytics_engine_spark import pipelines as P
 from b3_analytics_engine_spark.operators import dedup as D
 from b3_analytics_engine_spark.operators import similarity as S
@@ -36,7 +38,7 @@ def _mega_corpus(spark, n_cluster: int, n_unique: int = 5):
                         f"quartz{j} oblong{j} marmalade{j}")
         for j in range(n_unique)
     ]
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    return local_df(spark, rows, "doc_id long, text string")
 
 
 def test_minhash_cap_bounds_candidates(spark):
@@ -95,7 +97,7 @@ def test_embedding_cap_bounds_candidates(spark):
     vec = [1.0] + [0.0] * 63
     rows = [(i, vec) for i in range(n)]
     rows += [(n + j, [float(k == j + 1) for k in range(64)]) for j in range(5)]
-    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    embs = local_df(spark, rows, "vec_id long, embedding array<double>")
     uncapped = S.embedding_neardup_pairs(embs, threshold=0.99).count()
     capped = S.embedding_neardup_pairs(
         embs, threshold=0.99, max_bucket=16
@@ -134,7 +136,7 @@ def test_corpus_dedup_end_to_end(spark):
                  f"such as nimbus{j} parallax{j} crucible{j}")
         for j in range(5)
     ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = local_df(spark, rows, "doc_id long, text string")
     kept = P.corpus_dedup(docs, "minhash", threshold=0.5)
     ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     assert ids == [0, 13, 14, 15, 16, 17]
@@ -167,7 +169,7 @@ def test_corpus_dedup_null_text_passes_through(spark):
     rows = [(0, BASE), (1, BASE)]  # one real duplicate pair
     rows += [(10, None), (11, None), (12, None)]  # distinct docs, text lost
     rows += [(20, "a totally unrelated document about quasar physics")]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = local_df(spark, rows, "doc_id long, text string")
     kept = P.corpus_dedup(docs, "minhash", threshold=0.5)
     ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     assert ids == [0, 10, 11, 12, 20]

@@ -16,6 +16,8 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import local_df
+
 from b3_analytics_engine_spark import pipelines as P
 from b3_analytics_engine_spark.operators import dedup as D
 from b3_analytics_engine_spark.signature_store import SignatureStore
@@ -35,7 +37,7 @@ DOC_F = (
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    return local_df(spark, rows, "doc_id long, text string")
 
 
 # already dedup-clean: three mutually unrelated documents
@@ -82,6 +84,25 @@ def corpus_store_dir(tmp_path, _prebuilt_corpus_store):
 @pytest.fixture()
 def corpus_store(spark, corpus_store_dir):
     return SignatureStore(spark, corpus_store_dir)
+
+
+# semantic-tier precondition (dedup bases + the 2-cell IVF index over
+# the corpus embeddings), built once per module and copied per test —
+# same copytree pattern as _prebuilt_corpus_store (the per-test IVF
+# k-means + index write costs ~3 s apiece otherwise)
+@pytest.fixture(scope="module")
+def _prebuilt_sem_store(spark, tmp_path_factory, _prebuilt_corpus_store):
+    root = str(tmp_path_factory.mktemp("prebuilt-sem") / "store")
+    shutil.copytree(_prebuilt_corpus_store, root)
+    _sem_store(spark, root, _CORPUS_ROWS, _vec)
+    return root
+
+
+@pytest.fixture()
+def sem_store_dir(tmp_path, _prebuilt_sem_store):
+    dst = str(tmp_path / "store")
+    shutil.copytree(_prebuilt_sem_store, dst)
+    return dst
 
 
 @pytest.fixture()
@@ -521,7 +542,7 @@ def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_store_dir,
         v = np.asarray(np.random.default_rng(seed).normal(size=16))
         return [float(x) for x in v / np.linalg.norm(v)]
 
-    corpus_emb = spark.createDataFrame(
+    corpus_emb = local_df(spark, 
         [(i, vec(i)) for i, _ in corpus_rows],
         "doc_id long, embedding array<double>",
     )
@@ -531,7 +552,7 @@ def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_store_dir,
         n_centroids=2, iters=2,
     )
 
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [
             (200, DOC_D, vec(200)),       # new content — survives
             (201, DOC_D, vec(201)),       # exact dup of 200 — dropped
@@ -557,7 +578,7 @@ def test_corpus_ingest_composes_dedup_and_ivf(spark, tmp_path, corpus_store_dir,
         )
         assert idx_ids == [0, 1, 2, 200]
     # the survivor's vector probes as its own exact-match top-1
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [(0, vec(200))], "query_id long, embedding array<double>"
     )
     top = cosine_ann_ivf_indexed(
@@ -578,7 +599,7 @@ def _sem_store(spark, dirpath, corpus_rows, vec):
     store = SignatureStore(spark, dirpath)
     store.fingerprints(corpus, "c")
     store.signatures(corpus, "c")
-    emb = spark.createDataFrame(
+    emb = local_df(spark, 
         [(i, vec(i)) for i, _ in corpus_rows],
         "doc_id long, embedding array<double>",
     )
@@ -596,9 +617,7 @@ def _vec(seed, dim=16):
     return [float(x) for x in v / np.linalg.norm(v)]
 
 
-def test_incremental_semantic_dedup_contract(
-    spark, tmp_path, corpus_store_dir, corpus_rows
-):
+def test_incremental_semantic_dedup_contract(spark, sem_store_dir):
     """Batch vectors that duplicate the INDEXED corpus (exact or
     cosine-near) drop with corpus-wins; within-batch semantic dups
     keep the min id through one CC pass (a chain through a corpus
@@ -606,11 +625,11 @@ def test_incremental_semantic_dedup_contract(
     through; survivors keep their rows verbatim."""
     import numpy as np
 
-    store = _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+    store = SignatureStore(spark, sem_store_dir)
 
     near0 = np.asarray(_vec(0)) + 0.001 * np.asarray(_vec(77))
     near0 = [float(x) for x in near0 / np.linalg.norm(near0)]
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [
             (200, _vec(0)),    # exact copy of corpus doc 0 — drops
             (201, near0),      # cos≈0.9999 to BOTH corpus-0 and 200 — drops
@@ -634,14 +653,14 @@ def test_incremental_semantic_dedup_contract(
 
 
 def test_incremental_semantic_dedup_commit_and_replay(
-    spark, tmp_path, corpus_store_dir, corpus_rows
+    spark, sem_store_dir
 ):
     """commit_batch appends exactly the survivors' vectors as an
     index delta; an at-least-once replay of the same (batch, name)
     returns the same survivors and leaves the index unchanged; a
     SECOND batch then drops against the committed first batch."""
-    store = _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
-    batch = spark.createDataFrame(
+    store = SignatureStore(spark, sem_store_dir)
+    batch = local_df(spark, 
         [(200, _vec(555)), (201, None)],
         "doc_id long, embedding array<double>",
     )
@@ -660,7 +679,7 @@ def test_incremental_semantic_dedup_commit_and_replay(
         assert ids == [0, 1, 2, 200]  # NULL row never enters the index
 
     # day 2: an exact vector copy of committed 200 now drops
-    batch2 = spark.createDataFrame(
+    batch2 = local_df(spark, 
         [(300, _vec(555)), (301, _vec(556))],
         "doc_id long, embedding array<double>",
     )
@@ -672,7 +691,7 @@ def test_incremental_semantic_dedup_commit_and_replay(
 
 
 def test_corpus_ingest_semantic_tier_end_to_end(
-    spark, tmp_path, corpus_store_dir, corpus_rows
+    spark, tmp_path, sem_store_dir, corpus_rows
 ):
     """The 4-tier composed epoch (exact → MinHash → semantic →
     publish): a text near-dup drops at the MinHash tier, a DIFFERENT
@@ -684,10 +703,9 @@ def test_corpus_ingest_semantic_tier_end_to_end(
         corpus_ingest_micro_batch,
     )
 
-    store = SignatureStore(spark, corpus_store_dir, owner="ingest")
-    _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+    store = SignatureStore(spark, sem_store_dir, owner="ingest")
 
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [
             # exact text copy of corpus doc 0 — exact tier
             (200, corpus_rows[0][1], _vec(200)),
@@ -729,7 +747,7 @@ def test_corpus_ingest_semantic_tier_end_to_end(
 
 @pytest.mark.soak
 def test_corpus_ingest_soak_semantic_retrain_compaction(
-    spark, tmp_path, corpus_store_dir, corpus_rows
+    spark, tmp_path, sem_store_dir, corpus_rows
 ):
     """Five epochs through the REAL writeStream shell with every
     maintenance knob on (semantic_threshold, compact_every=2,
@@ -746,8 +764,7 @@ def test_corpus_ingest_soak_semantic_retrain_compaction(
         start_corpus_ingest,
     )
 
-    store = SignatureStore(spark, corpus_store_dir, owner="soak-ingest")
-    _sem_store(spark, corpus_store_dir, corpus_rows, _vec)
+    store = SignatureStore(spark, sem_store_dir, owner="soak-ingest")
 
     def drift_vec(e, i, dim=16):
         # epochs drift along one axis — later epochs pile into the
@@ -784,7 +801,7 @@ def test_corpus_ingest_soak_semantic_retrain_compaction(
              drift_vec(e - 1, 2) if e else _vec(1)),
         ]
         expected_new[e] = [10_000 * (e + 1) + 1, 10_000 * (e + 1) + 2]
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        local_df(spark, rows, schema).coalesce(1).write.parquet(
             f"{src}/day{e}.parquet"
         )
         _time.sleep(1.1)  # file source orders micro-batches by mtime
@@ -833,7 +850,7 @@ def test_corpus_ingest_soak_semantic_retrain_compaction(
     assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
 
     # probe: copies of accumulated survivors drop on the right tier
-    probe = spark.createDataFrame(
+    probe = local_df(spark, 
         [
             (99_001, utext(4, 1), _vec(909)),        # text dup -> MinHash
             (99_002, "never seen words about lighthouse keepers "
@@ -906,7 +923,7 @@ def test_incremental_semantic_matches_union_semantic_dedup(
 
     corpus_rows = [(i, rv()) for i in range(20)]
     schema = "doc_id long, embedding array<double>"
-    corpus = spark.createDataFrame(corpus_rows, schema)
+    corpus = local_df(spark, corpus_rows, schema)
     copies = rng.choice(20, size=3, replace=False)
     uniq = [rv() for _ in range(4)]
     batch_rows = (
@@ -914,7 +931,7 @@ def test_incremental_semantic_matches_union_semantic_dedup(
         + [(200, uniq[0]), (201, uniq[0])]                        # exact batch pair
         + [(210 + k, uniq[1 + k]) for k in range(3)]              # unique
     )
-    batch = spark.createDataFrame(batch_rows, schema)
+    batch = local_df(spark, batch_rows, schema)
 
     store = SignatureStore(spark, str(tmp_path / "store"))
     store.ivf_index(

@@ -21,6 +21,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import local_df
+
 from b3_analytics_engine_spark.operators.similarity import (
     cosine_ann_ivf,
     cosine_ann_ivf_indexed,
@@ -134,7 +136,7 @@ def test_append_searchable_excludable_compactable(
     # a new vector that is an exact copy of query 0's embedding: it
     # must become that query's top-1 neighbor once appended
     q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    new = spark.createDataFrame(
+    new = local_df(spark, 
         [(90001, [float(x) for x in q0]),
          (90002, [float(x) for x in np.roll(np.asarray(q0), 3)])],
         "vec_id long, embedding array<float>",
@@ -204,11 +206,11 @@ def test_streaming_ivf_append_end_to_end_with_replay(
     day2 = [(90002, [float(x) for x in np.roll(np.asarray(q0), 3)])]
     src = str(tmp_path / "src")
     schema = "vec_id long, embedding array<float>"
-    spark.createDataFrame(day1, schema).coalesce(1).write.parquet(
+    local_df(spark, day1, schema).coalesce(1).write.parquet(
         f"{src}/d1.parquet"
     )
     _time.sleep(1.2)  # file-source orders micro-batches by mod time
-    spark.createDataFrame(day2, schema).coalesce(1).write.parquet(
+    local_df(spark, day2, schema).coalesce(1).write.parquet(
         f"{src}/d2.parquet"
     )
 
@@ -243,7 +245,7 @@ def test_streaming_ivf_append_end_to_end_with_replay(
     # identical observable state (the folded epoch can no longer
     # replay by the exclude=current contract)
     ivf_append_micro_batch(
-        spark.createDataFrame(day2, schema), 1, store, "emb",
+        local_df(spark, day2, schema), 1, store, "emb",
         n_centroids=8, iters=2, compact_every=2,
     )
     again = cosine_ann_ivf_indexed(store, "emb", queries, k=5, **PARAMS)
@@ -264,7 +266,7 @@ def test_validate_ivf_green_then_catches_planted_faults(
     store.ivf_index(emb, "emb", n_centroids=8, iters=2)
     q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     store.ivf_append(
-        spark.createDataFrame(
+        local_df(spark, 
             [(90001, [float(x) for x in np.roll(np.asarray(q0), 5)])],
             "vec_id long, embedding array<float>",
         ),
@@ -280,7 +282,7 @@ def test_validate_ivf_green_then_catches_planted_faults(
     ).first()
     wrong_cell = (row["cell"] + 1) % 8
     store._append_delta(
-        spark.createDataFrame(
+        local_df(spark, 
             [(wrong_cell, 90001, row["v"])], "cell int, id long, v array<double>"
         ),
         store.ivf_index_path("emb", n_centroids=8, iters=2),
@@ -316,7 +318,7 @@ def test_retrain_rebalances_drifted_cells_and_keeps_ledger(
         v[dim - 1] += 10.0
         v /= np.linalg.norm(v)
         drifted.append((91000 + i, [float(x) for x in v]))
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         drifted, "vec_id long, embedding array<float>"
     )
     store.ivf_append(batch, "emb", "drift-day", n_centroids=8, iters=2)
@@ -353,7 +355,7 @@ def test_retrain_rebalances_drifted_cells_and_keeps_ledger(
 
     # probe correctness after the rebuild: a drifted query's top-1 is
     # a drifted neighbor (its own cell now exists and prunes correctly)
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [(0, drifted[0][1])], "query_id long, embedding array<float>"
     )
     top = cosine_ann_ivf_indexed(
@@ -387,11 +389,11 @@ def test_retrain_exclude_keeps_epoch_replayable(spark, emb, ivf_store):
             out.append((base_id + i, [float(x) for x in v]))
         return out
 
-    older = spark.createDataFrame(
+    older = local_df(spark, 
         mk(92000, 60, dim - 1), "vec_id long, embedding array<float>"
     )
     store.ivf_append(older, "emb", "epoch-0", n_centroids=8, iters=2)
-    current = spark.createDataFrame(
+    current = local_df(spark, 
         mk(93000, 8, dim - 2), "vec_id long, embedding array<float>"
     )
     store.ivf_append(current, "emb", "epoch-1", n_centroids=8, iters=2)
@@ -448,7 +450,7 @@ def test_empty_epoch_append_keeps_index_readable(spark, emb, queries, ivf_store)
     (Found by the ingest soak: an empty delta directory has no footer
     to infer a schema from, so per-root reads need the base's.)"""
     store = ivf_store
-    empty = spark.createDataFrame(
+    empty = local_df(spark, 
         [], "vec_id long, embedding array<float>"
     )
     n = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
@@ -496,7 +498,7 @@ def test_spread_seeding_reaches_drifted_region(spark):
         v = rng.normal(scale=0.05, size=dim)
         v[dim - 1] += 5.0
         rows.append((1000 + i, [float(x) for x in v]))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = local_df(spark, rows, "vec_id long, embedding array<float>")
 
     def balance(C):
         X = np.asarray([r[1] for r in rows])

@@ -12,6 +12,8 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import local_df
+
 from b3_analytics_engine_spark import pipelines as P
 from b3_analytics_engine_spark.operators import dedup as D
 from b3_analytics_engine_spark.signature_store import SignatureStore
@@ -151,7 +153,7 @@ def test_corpus_dedup_with_store_matches_without(spark, tmp_path):
                  f"such as nimbus{j} parallax{j} crucible{j}")
         for j in range(4)
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_df(spark, rows, "doc_id long, text string")
     store = SignatureStore(spark, str(tmp_path / "store"))
     with_store = P.corpus_dedup(
         df, "minhash", threshold=0.5, store=store, corpus="toy"
@@ -235,7 +237,7 @@ def test_sizes_artifact_row_identical_and_delta_synced(spark, docs, docs_store):
     inputs = store.sizes(None, "docs").inputFiles()
     assert inputs and all("doc_sizes" in f for f in inputs)
 
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a wholly new document about glacier melt rates"),
          (900002, None)],
         "doc_id long, text string",
@@ -258,7 +260,7 @@ def test_band_census_artifact_matches_scratch_and_backfills(
     commit; and a delta committed BEFORE the census artifact existed
     is backfilled from the signatures delta (_sync_deltas)."""
     store = docs_store
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a wholly new document about glacier melt rates")],
         "doc_id long, text string",
     )
@@ -289,7 +291,7 @@ def test_band_census_artifact_matches_scratch_and_backfills(
 
     # a SECOND commit rides along (no backfill needed): delete nothing,
     # commit b2, census must include it immediately
-    batch2 = spark.createDataFrame(
+    batch2 = local_df(spark, 
         [(900002, "another new document, este sobre ciclos de carbono")],
         "doc_id long, text string",
     )
@@ -352,7 +354,7 @@ def test_compact_folds_deltas_row_identically(spark, docs, docs_store):
          "carbon cycling of peat bogs across seasons"]
     ):
         store.append_batch(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(900001 + i, txt)], "doc_id long, text string"
             ),
             "docs",
@@ -400,7 +402,7 @@ def test_compact_exclude_preserves_replayability(spark, docs, docs_store):
     store = docs_store
     for i in range(3):
         store.append_batch(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(900001 + i, f"unique new document number {i} about "
                               f"topic{i} and subject{i}")],
                 "doc_id long, text string",
@@ -426,7 +428,7 @@ def test_compact_exclude_preserves_replayability(spark, docs, docs_store):
     # re-committing a folded name is refused loudly
     with pytest.raises(ValueError, match="folded"):
         store.append_batch(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(900099, "anything")], "doc_id long, text string"
             ),
             "docs",
@@ -434,7 +436,7 @@ def test_compact_exclude_preserves_replayability(spark, docs, docs_store):
         )
     # re-committing the EXCLUDED (still-live) name stays legal: replace
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900003, "unique new document number 2 about topic2 "
                       "and subject2")],
             "doc_id long, text string",
@@ -454,7 +456,7 @@ def test_compact_marker_makes_gc_crash_invisible(
     import shutil
 
     store = docs_store
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a unique document about tidal marsh sediments")],
         "doc_id long, text string",
     )
@@ -484,7 +486,7 @@ def test_compact_backfills_derived_before_folding_source(
     backfill can derive from."""
     store = docs_store
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique document about alpine lichen growth")],
             "doc_id long, text string",
         ),
@@ -523,7 +525,7 @@ def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, docs_store):
     store.sizes(docs, "docs")
     store.band_census(docs, "docs")
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies")],
             "doc_id long, text string",
         ),
@@ -531,7 +533,7 @@ def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, docs_store):
         "b1",
     )
     bigger = docs.select("doc_id", "text").unionByName(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies"),
              (900002, "another unique doc about abyssal vents")],
             "doc_id long, text string",
@@ -553,7 +555,7 @@ def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, docs_store):
     # the refreshed snapshot accepts the old batch name again (no
     # folded marker, no delta)
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900003, "yet another unique doc about brine pools")],
             "doc_id long, text string",
         ),
@@ -617,7 +619,7 @@ def test_simhash_delta_ride_along_and_validate_gap(
     id-set gap when the simhash base was built only AFTER commits."""
     store = docs_simhash_store
     n0 = store.simhash(None, "docs").count()
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a singular document about volcanic soil chemistry")],
         "doc_id long, text string",
     )
@@ -650,7 +652,7 @@ def test_compact_folds_simhash_family(spark, docs, docs_simhash_store):
     re-aggregated."""
     store = docs_simhash_store
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a singular document about volcanic soil chemistry")],
             "doc_id long, text string",
         ),
@@ -679,7 +681,7 @@ def test_refresh_all_includes_simhash_family(
     artifact moved on, skewing simhash_pairs_cross consumers."""
     store = docs_simhash_store
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies")],
             "doc_id long, text string",
         ),
@@ -687,7 +689,7 @@ def test_refresh_all_includes_simhash_family(
         "b1",
     )
     bigger = docs.select("doc_id", "text").unionByName(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies"),
              (900002, "another unique doc about abyssal vents")],
             "doc_id long, text string",
@@ -731,7 +733,7 @@ def test_refresh_all_and_compact_cover_nondefault_simhash_nbits(
     store.signatures(d, "docs")
     store.simhash(d, "docs", nbits=32)
     assert store._simhash_variants("docs") == [(32, False)]
-    extra = spark.createDataFrame(
+    extra = local_df(spark, 
         [(910001, "a fresh doc about tidal marsh sediment")],
         "doc_id long, text string",
     )
@@ -742,7 +744,7 @@ def test_refresh_all_and_compact_cover_nondefault_simhash_nbits(
     assert store.simhash(None, "docs", nbits=32).count() == n
     # compact folds the 32-bit family's deltas too
     store.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(910002, "another fresh doc about glacial till")],
             "doc_id long, text string",
         ),
@@ -764,7 +766,7 @@ def test_folded_ledger_survives_later_compactions(spark, docs, docs_store):
 
     def _commit(name, txt):
         store.append_batch(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(hash(name) % 1000 + 900001, txt)],
                 "doc_id long, text string",
             ),
@@ -805,7 +807,7 @@ def test_second_writer_fails_loudly_append_vs_compact(
     root = docs_store_dir
     a = SignatureStore(spark, root, owner="job-a")
     b = SignatureStore(spark, root, owner="job-b")
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a unique doc about kelp forest canopies")],
         "doc_id long, text string",
     )
@@ -841,7 +843,7 @@ def test_lease_adoption_is_the_crash_recovery_path(
 
     restarted = SignatureStore(spark, root, owner="stream-ckpt-7")
     restarted.append_batch(  # adopts the stale lease and replays
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies")],
             "doc_id long, text string",
         ),
@@ -870,7 +872,7 @@ def test_lease_released_after_normal_mutation(spark, docs, docs_store_dir):
     root = docs_store_dir
     a = SignatureStore(spark, root, owner="x")
     b = SignatureStore(spark, root, owner="y")
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(900001, "a unique doc about kelp forest canopies")],
         "doc_id long, text string",
     )
@@ -925,7 +927,7 @@ def test_first_build_is_lease_guarded_double_checked(spark, docs, tmp_path):
         assert b.signatures(None, "docs").count() > 0
     # derived backfill on the read path is also lease-guarded
     a.append_batch(
-        spark.createDataFrame(
+        local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies")],
             "doc_id long, text string",
         ),
@@ -945,7 +947,7 @@ def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     store = docs_store
     for i in range(3):
         store.append_batch(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(900001 + i, f"distinct doc number {i} about topic {i}")],
                 "doc_id long, text string",
             ),
@@ -981,7 +983,7 @@ def test_lease_admits_one_writer_under_thread_race(spark, docs_store_dir):
     def attempt(i):
         s = SignatureStore(spark, docs_store_dir, owner=f"racer-{i}")
         text = " ".join(f"racer{i}token{k}" for k in range(10))
-        batch = spark.createDataFrame(
+        batch = local_df(spark, 
             [(910000 + i, text)], "doc_id long, text string"
         )
         try:
