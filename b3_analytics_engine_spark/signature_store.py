@@ -1512,6 +1512,122 @@ class SignatureStore:
             return -1
         return self.ivf_retrain(corpus, n_centroids, iters, exclude=exclude)
 
+    @_with_lease
+    def ivf_rescale(
+        self,
+        corpus: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+        new_n_centroids: int = 64,
+        exclude: str | None = None,
+    ) -> int:
+        """Rebuild the corpus's IVF family at a NEW cell count from
+        the index's own ``(cell, id, v)`` rows — the repair for the
+        limit :meth:`ivf_retrain` cannot fix: a large influx that
+        multiplied the corpus leaves per-cell occupancy at
+        O(new_total / n_centroids) no matter how well the quantizer is
+        placed, so probe cost only returns to target by growing the
+        cell count itself (the drift A/B's "retrain + rescale" story,
+        `tools/retrain_ab.py` phase 3 — previously a hand-rolled
+        sibling corpus, now first-class).
+
+        Same sourcing contract as the retrain: NO source-lake re-read,
+        centroids trained with spread seeding from a bounded hash
+        sample of the index rows. Live deltas (minus ``exclude``) fold
+        into the new base; the replay ledger (their names plus every
+        previously folded name) rides into the new family, so an
+        at-least-once re-commit of an old batch is refused AFTER the
+        rescale too. The ``exclude`` epoch's delta is re-assigned
+        under the new quantizer into the NEW family's delta root under
+        the same batch name — the in-flight epoch's wholesale-replace
+        replay lands on the family that now serves reads.
+
+        The OLD family (index, centroids, delta tree) is GC'd last:
+        readers key probes by (corpus, n_centroids, iters), so a crash
+        before the GC leaves both families intact and readable, and
+        re-running the rescale is idempotent (every write is a staged
+        wholesale replace). Callers that pinned the old cell count
+        must switch to ``new_n_centroids`` — that is the point.
+
+        Returns the number of deltas folded into the new base."""
+        import numpy as np
+
+        from .operators.similarity import kmeans_centroids
+
+        if new_n_centroids == n_centroids:
+            raise ValueError(
+                "new_n_centroids equals the current cell count; use "
+                "ivf_retrain to re-place centroids at the same scale"
+            )
+        ipath = self.ivf_index_path(corpus, n_centroids, iters)
+        cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
+        npath = self.ivf_index_path(corpus, new_n_centroids, iters)
+        ncpath = self.ivf_centroids_path(corpus, new_n_centroids, iters)
+        if not self._is_complete(ipath):
+            raise ValueError(
+                f"corpus {corpus!r} has no IVF index at {ipath}; build "
+                "it first (ivf_index with the corpus frame)"
+            )
+        jvm, fs, _ = _hadoop_fs(self.spark, ipath)
+        hp = jvm.org.apache.hadoop.fs.Path
+        deltas = self._delta_paths(ipath, exclude=exclude)
+        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        ledger = names | self._folded_names(ipath)
+
+        live = self.ivf_index(
+            None, corpus, n_centroids=n_centroids, iters=iters,
+            exclude_batch=exclude,
+        )
+        C = kmeans_centroids(
+            live, new_n_centroids, id_col="id", vec_col="v", iters=iters,
+            seeding="spread",
+        )
+        # stage the new family fully, then publish centroids → index
+        # (the same order + crash contract as ivf_retrain)
+        tmp = npath.rstrip("/") + "__rescale_staging"
+        self._ivf_rows(live.select("id", "v"), C, "id", "v").write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "cell"
+        ).parquet(tmp)
+        for nm in ledger:
+            fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        self._write_atomic(
+            self.spark.createDataFrame(
+                [
+                    (i, [float(x) for x in np.asarray(C[i])])
+                    for i in range(len(C))
+                ],
+                "cell int, v array<double>",
+            ).coalesce(1),
+            ncpath,
+        )
+        replace_directory(self.spark, tmp, npath)
+        if exclude is not None:
+            src = os.path.join(self._delta_root(ipath), exclude)
+            if fs.exists(hp(src)):
+                # the in-flight epoch moves families WITH its name so
+                # its replay wholesale-replaces where reads now happen
+                rows = self._ivf_rows(
+                    self.spark.read.schema(
+                        self.spark.read.parquet(npath).schema
+                    ).parquet(src).select("id", "v"),
+                    C, "id", "v",
+                )
+                dst = os.path.join(self._delta_root(npath), exclude)
+                tmp2 = dst.rstrip("/") + "__staging"
+                rows.coalesce(self.DELTA_MAX_FILES).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "static").partitionBy(
+                    "cell"
+                ).parquet(tmp2)
+                replace_directory(self.spark, tmp2, dst)
+        # GC the old family last — a crash above leaves both readable
+        for p in (ipath, cpath, self._delta_root(ipath)):
+            if fs.exists(hp(p)):
+                fs.delete(hp(p), True)
+        return len(names)
+
     # ------------------------------------------------ batch commit
     @_with_lease
     def append_batch(

@@ -523,3 +523,65 @@ def test_spread_seeding_reaches_drifted_region(spark):
     assert np.allclose(spread, again)
     with pytest.raises(ValueError, match="seeding"):
         kmeans_centroids(df, 4, seeding="nope")
+
+
+def test_ivf_rescale_moves_family_and_keeps_contracts(
+    spark, emb, queries, ivf_store
+):
+    """ivf_rescale rebuilds the family at a new cell count from the
+    index's own rows: every id survives exactly once, the replay
+    ledger rides (a folded batch is refused on the NEW family), the
+    excluded in-flight epoch moves families under its own name and
+    stays wholesale-replaceable, the old family is GC'd, probes work
+    at the new count, and fsck is green."""
+    store = ivf_store
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    dim = len(emb.first()["embedding"])
+
+    b1 = local_df(
+        spark,
+        [(91000 + i, [float(j == i % 4) for j in range(dim)])
+         for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    ep = local_df(
+        spark,
+        [(92000 + i, [float(j == (i + 1) % 4) for j in range(dim)])
+         for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(b1, "emb", "b1", n_centroids=8, iters=2)
+    store.ivf_append(ep, "emb", "epoch-9", n_centroids=8, iters=2)
+
+    with pytest.raises(ValueError, match="same scale|equals"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=8)
+
+    folded = store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        exclude="epoch-9",
+    )
+    assert folded == 1  # b1 folded; epoch-9 stays a live delta
+
+    # old family gone, new family serves everything exactly once
+    assert not store._is_complete(store.ivf_index_path("emb", 8, 2))
+    assert not store._is_complete(store.ivf_centroids_path("emb", 8, 2))
+    idx = store.ivf_index(None, "emb", n_centroids=32, iters=2)
+    ids = [r["id"] for r in idx.select("id").collect()]
+    assert len(ids) == len(set(ids)) == n0 + 6 + 3
+    stats = store.ivf_cell_stats("emb", 32, 2)
+    assert stats["total"] == n0 + 9 and stats["occupied"] > 8
+
+    # ledger rode into the new family: b1 re-commit refused
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(b1, "emb", "b1", n_centroids=32, iters=2)
+    # the in-flight epoch replays onto the NEW family idempotently
+    store.ivf_append(ep, "emb", "epoch-9", n_centroids=32, iters=2)
+    assert store.ivf_index(
+        None, "emb", n_centroids=32, iters=2
+    ).count() == n0 + 9
+
+    top = cosine_ann_ivf_indexed(
+        store, "emb", queries, k=1, n_centroids=32, kmeans_iters=2, nprobe=2
+    )
+    assert top.count() > 0
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]

@@ -178,23 +178,21 @@ def main() -> None:
                     f"{retrain_sec:10.3f}s  <- one-time, folds deltas"
                 )
 
-        # phase 3: the rescale path — 4x cells, rebuilt from the
-        # index's own rows (no source-lake re-read)
+        # phase 3: the rescale path — 4x cells, rebuilt in place from
+        # the index's own rows (no source-lake re-read); first-class
+        # as SignatureStore.ivf_rescale since r12 (same corpus name,
+        # ledger carried, old family GC'd)
         big = 4 * N_CELLS
-        live = store.ivf_index(None, "c", n_centroids=N_CELLS, iters=ITERS)
         t0 = time.perf_counter()
-        store.ivf_index(
-            live.select("id", "v"), "c-rescaled",
-            id_col="id", vec_col="v", n_centroids=big, iters=ITERS,
+        store.ivf_rescale(
+            "c", n_centroids=N_CELLS, iters=ITERS, new_n_centroids=big
         )
         rescale_sec = time.perf_counter() - t0
         _unpersist_all(spark)
-        probe("c-rescaled", big).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm
+        probe("c", big).write.format("noop").mode("overwrite").save()  # warm
         _unpersist_all(spark)
-        rows, stats = rows_scanned("c-rescaled", big)
-        sec = min(timed_probe("c-rescaled", big) for _ in range(N))
+        rows, stats = rows_scanned("c", big)
+        sec = min(timed_probe("c", big) for _ in range(N))
         print(
             f"{'rescaled 4x':>14s} {stats['balance']:8.2f} {rows:11d} "
             f"{sec:10.3f}s  (rescale build {rescale_sec:.3f}s)"
