@@ -429,9 +429,9 @@ def cosine_ann_ivf_indexed(
     k: int = 5,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
-    kmeans_iters: int = 3,
+    kmeans_iters: int | None = 3,
     exclude_batch: str | None = None,
 ) -> DataFrame:
     """IVF ANN against a PERSISTED index — the production twin of
@@ -447,9 +447,14 @@ def cosine_ann_ivf_indexed(
     daily embedding batches enter via O(batch) ``ivf_append`` deltas
     with no retrain. Row-identical to :func:`cosine_ann_ivf` on the
     same corpus/params (same deterministic training — pinned by
-    ``tests/test_ivf_index.py``)."""
+    ``tests/test_ivf_index.py``). ``n_centroids=None`` follows the
+    store's active-family marker, so a probe service keeps working
+    across an ``ivf_rescale`` without redeploying."""
     from pyspark.sql import Window
 
+    n_centroids, kmeans_iters = store.ivf_resolve(
+        corpus, n_centroids, kmeans_iters
+    )
     C = store.ivf_centroids(
         None, corpus, n_centroids=n_centroids, iters=kmeans_iters
     )

@@ -1133,6 +1133,57 @@ class SignatureStore:
             f"c={n_centroids}", f"iters={iters}",
         )
 
+    def ivf_active_path(self, corpus: str) -> str:
+        return os.path.join(self.root, "ivf_active", corpus)
+
+    def ivf_set_active(self, corpus: str, n_centroids: int, iters: int) -> None:
+        """Record the corpus's ACTIVE IVF family key. The IVF artifact
+        paths key by (n_centroids, iters), so a rescale publishes a
+        SIBLING family — without a shared pointer every consumer would
+        have to learn the new cell count out of band. This one-row
+        marker (written with the same staged-atomic machinery as every
+        artifact) is that pointer: :meth:`ivf_active` resolves it, and
+        callers that pass ``n_centroids=None`` (the streaming ingest,
+        the indexed probe) follow the rescale automatically on their
+        next epoch/call. Written on first index build (if absent) and
+        bumped by :meth:`ivf_rescale` BEFORE the old family is GC'd."""
+        self._write_atomic(
+            self.spark.createDataFrame(
+                [(int(n_centroids), int(iters))],
+                "n_centroids int, iters int",
+            ).coalesce(1),
+            self.ivf_active_path(corpus),
+        )
+
+    def ivf_active(self, corpus: str) -> tuple[int, int] | None:
+        """The active (n_centroids, iters) family key, or None if no
+        marker exists (pre-marker stores keep working: every consumer
+        falls back to its explicit/default key)."""
+        path = self.ivf_active_path(corpus)
+        if not self._is_complete(path):
+            return None
+        r = self.spark.read.parquet(path).first()
+        return (int(r["n_centroids"]), int(r["iters"]))
+
+    def ivf_resolve(
+        self, corpus: str, n_centroids: int | None, iters: int | None,
+        default_n: int = 16, default_iters: int = 3,
+    ) -> tuple[int, int]:
+        """Resolve a caller's (possibly None) family key: explicit
+        values win, else the active marker, else the defaults."""
+        if n_centroids is not None and iters is not None:
+            return (n_centroids, iters)
+        active = self.ivf_active(corpus)
+        if active is not None:
+            return (
+                n_centroids if n_centroids is not None else active[0],
+                iters if iters is not None else active[1],
+            )
+        return (
+            n_centroids if n_centroids is not None else default_n,
+            iters if iters is not None else default_iters,
+        )
+
     def ivf_centroids(
         self,
         df: DataFrame,
@@ -1244,6 +1295,10 @@ class SignatureStore:
                     self._write_partitioned(
                         self._ivf_rows(df, C, id_col, vec_col), path
                     )
+                    # first family for this corpus becomes the active
+                    # key; an explicit sibling build never steals it
+                    if self.ivf_active(corpus) is None:
+                        self.ivf_set_active(corpus, n_centroids, iters)
         # per-root reads + union, NOT one multi-path read: each root
         # (base, each delta) is its own partitioned table, so Spark's
         # partition discovery — and the pruning a probe's
@@ -1495,6 +1550,8 @@ class SignatureStore:
         iters: int = 3,
         max_balance: float = 4.0,
         exclude: str | None = None,
+        rescale_balance: float | None = None,
+        rescale_factor: int = 4,
     ) -> int:
         """Threshold-triggered :meth:`ivf_retrain` — the
         self-scheduling form an embedding ingestion calls beside
@@ -1506,11 +1563,32 @@ class SignatureStore:
         listings + footers, not vectors), no lease; if epochs are
         tiny relative to the index, schedule this on the compaction
         cadence rather than every epoch. ``exclude`` is the in-epoch
-        replay contract, forwarded to the retrain."""
+        replay contract, forwarded to the retrain (and the rescale).
+
+        ``rescale_balance``: the ESCALATION threshold. A retrain
+        re-places centroids but cannot beat O(total / n_centroids)
+        per-cell occupancy once an influx has genuinely grown the
+        corpus (the drift A/B's second limit) — so if the post-retrain
+        balance is STILL above ``rescale_balance``, escalate to
+        :meth:`ivf_rescale` at ``rescale_factor`` × the cell count.
+        The rescale bumps the active-family marker, so a streaming
+        ingest running with ``n_centroids=None`` adopts the new cell
+        count on its NEXT epoch without stopping — the full
+        grow-without-downtime maintenance loop. None (default)
+        disables escalation."""
         stats = self.ivf_cell_stats(corpus, n_centroids, iters)
         if stats["balance"] <= max_balance:
             return -1
-        return self.ivf_retrain(corpus, n_centroids, iters, exclude=exclude)
+        folded = self.ivf_retrain(corpus, n_centroids, iters, exclude=exclude)
+        if rescale_balance is not None:
+            after = self.ivf_cell_stats(corpus, n_centroids, iters)
+            if after["balance"] > rescale_balance:
+                self.ivf_rescale(
+                    corpus, n_centroids, iters,
+                    new_n_centroids=n_centroids * rescale_factor,
+                    exclude=exclude,
+                )
+        return folded
 
     @_with_lease
     def ivf_rescale(
@@ -1622,7 +1700,15 @@ class SignatureStore:
                     "cell"
                 ).parquet(tmp2)
                 replace_directory(self.spark, tmp2, dst)
-        # GC the old family last — a crash above leaves both readable
+        # bump the active-family marker so n_centroids=None consumers
+        # (streaming ingest, indexed probe) follow the rescale on
+        # their next epoch/call — but only if the OLD family was the
+        # active one (an explicit sibling rescale must not steal it)
+        if self.ivf_active(corpus) in (None, (n_centroids, iters)):
+            self.ivf_set_active(corpus, new_n_centroids, iters)
+        # GC the old family last — a crash above leaves both families
+        # readable (a crash between marker and GC leaves the old one
+        # orphaned on disk, harmless to readers; delete it manually)
         for p in (ipath, cpath, self._delta_root(ipath)):
             if fs.exists(hp(p)):
                 fs.delete(hp(p), True)

@@ -378,8 +378,8 @@ def ivf_append_micro_batch(
     corpus: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    iters: int = 3,
+    n_centroids: int | None = None,
+    iters: int | None = None,
     compact_every: int | None = None,
 ) -> None:
     """``foreachBatch`` body of :func:`start_ivf_append` — one epoch of
@@ -401,6 +401,9 @@ def ivf_append_micro_batch(
     with a checkpoint-derived owner)."""
     if batch_df.isEmpty():
         return
+    # None follows the store's active-family marker (ivf_rescale
+    # adoption without stopping the stream); explicit values pin
+    n_centroids, iters = store.ivf_resolve(corpus, n_centroids, iters)
     name = f"epoch-{int(epoch_id)}"
     store.ivf_append(
         batch_df, corpus, name,
@@ -420,8 +423,8 @@ def start_ivf_append(
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    iters: int = 3,
+    n_centroids: int | None = None,
+    iters: int | None = None,
     trigger: dict | None = None,
     compact_every: int | None = None,
 ):
@@ -463,10 +466,11 @@ def corpus_ingest_micro_batch(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     semantic_threshold: float | None = None,
-    n_centroids: int = 16,
-    iters: int = 3,
+    n_centroids: int | None = None,
+    iters: int | None = None,
     compact_every: int | None = None,
     retrain_balance: float | None = None,
+    rescale_balance: float | None = None,
 ) -> None:
     """One epoch of the FULL training-data ingest — the composition of
     :func:`incremental_dedup_micro_batch` and
@@ -506,6 +510,11 @@ def corpus_ingest_micro_batch(
 
     if batch_df.isEmpty():
         return
+    # resolve the IVF family key PER EPOCH: None follows the store's
+    # active-family marker, so an ivf_rescale (manual, or the
+    # rescale_balance escalation below) is adopted on the next epoch
+    # without stopping the stream; explicit values pin a family
+    n_centroids, iters = store.ivf_resolve(corpus, n_centroids, iters)
     name = f"epoch-{int(epoch_id)}"
     survivors = P.incremental_dedup(
         batch_df.select(id_col, text_col),
@@ -572,6 +581,7 @@ def corpus_ingest_micro_batch(
         store.ivf_maybe_retrain(
             corpus, n_centroids=n_centroids, iters=iters,
             max_balance=retrain_balance, exclude=name,
+            rescale_balance=rescale_balance,
         )
 
 
@@ -586,11 +596,12 @@ def start_corpus_ingest(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     semantic_threshold: float | None = None,
-    n_centroids: int = 16,
-    iters: int = 3,
+    n_centroids: int | None = None,
+    iters: int | None = None,
     trigger: dict | None = None,
     compact_every: int | None = None,
     retrain_balance: float | None = None,
+    rescale_balance: float | None = None,
 ):
     """The end-to-end continuous training-data pipeline: an append
     stream of ``(id, text, embedding)`` rows → ``foreachBatch`` →
@@ -609,6 +620,7 @@ def start_corpus_ingest(
             threshold=threshold, semantic_threshold=semantic_threshold,
             n_centroids=n_centroids, iters=iters,
             compact_every=compact_every, retrain_balance=retrain_balance,
+            rescale_balance=rescale_balance,
         )
 
     writer = stream_df.writeStream.foreachBatch(_run).option(

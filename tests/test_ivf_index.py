@@ -585,3 +585,70 @@ def test_ivf_rescale_moves_family_and_keeps_contracts(
     )
     assert top.count() > 0
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+
+def test_active_family_marker_and_rescale_escalation(spark, emb, ivf_store):
+    """The grow-without-downtime loop: the first index build records
+    the active family key; ivf_maybe_retrain(rescale_balance=...)
+    escalates to a rescale when a retrain cannot beat the occupancy
+    floor; the marker follows the rescale, so n_centroids=None
+    consumers (the streaming append epoch, the indexed probe) adopt
+    the new cell count on their next call — no redeploy, no stream
+    stop."""
+    import numpy as np
+
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        ivf_append_micro_batch,
+    )
+
+    store = ivf_store
+    assert store.ivf_active("emb") == (8, 2)  # stamped at first build
+    assert store.ivf_resolve("emb", None, None) == (8, 2)
+    assert store.ivf_resolve("emb", 99, 1) == (99, 1)  # explicit wins
+
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(23)
+    drifted = []
+    for i in range(150):  # tight alien cluster: one dominant axis
+        v = rng.normal(scale=0.01, size=dim)
+        v[dim - 1] += 10.0
+        drifted.append((93000 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    batch = local_df(spark, drifted, "vec_id long, embedding array<float>")
+    # n_centroids=None resolves the marker -> commits into the (8,2)
+    # family
+    ivf_append_micro_batch(batch, 0, store, "emb")
+    assert store._delta_paths(store.ivf_index_path("emb", 8, 2)) != []
+
+    n_total = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    folded = store.ivf_maybe_retrain(
+        "emb", n_centroids=8, iters=2,
+        max_balance=1.2, rescale_balance=1.2, rescale_factor=4,
+    )
+    assert folded == 1  # the epoch-0 delta folded by the retrain
+    # the tight blob beat the retrain -> escalated to 4x cells, and
+    # the marker moved with it; the old family is gone
+    assert store.ivf_active("emb") == (32, 2)
+    assert not store._is_complete(store.ivf_index_path("emb", 8, 2))
+    assert store.ivf_cell_stats("emb", 32, 2)["total"] == n_total
+
+    # the next n_centroids=None epoch lands in the NEW family...
+    nb = local_df(
+        spark,
+        [(94000, [float(j == 0) for j in range(dim)])],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_append_micro_batch(nb, 1, store, "emb")
+    assert [
+        d.rsplit("/", 1)[-1]
+        for d in store._delta_paths(store.ivf_index_path("emb", 32, 2))
+    ] == ["epoch-1"]
+    # ...and a marker-following probe finds a drifted neighbor for a
+    # drifted query without being told the new cell count
+    q = local_df(
+        spark, [(0, drifted[0][1])], "query_id long, embedding array<float>"
+    )
+    top = cosine_ann_ivf_indexed(
+        store, "emb", q, k=1, n_centroids=None, kmeans_iters=None, nprobe=1
+    ).first()
+    assert top["neighbor_id"] >= 93000
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
