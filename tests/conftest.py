@@ -74,7 +74,7 @@ def registry_plan_audit(spark):
     return out
 
 
-def local_df(spark, rows, schema: str):
+def local_df(spark, rows, schema=None):
     """Arrow-path local frame for tests: plans as a JVM-only
     LocalTableScan, so every downstream action skips the per-partition
     Python worker round trip the list-of-tuples ``createDataFrame``
@@ -84,7 +84,14 @@ def local_df(spark, rows, schema: str):
     schema, same NULL semantics (pandas object columns keep None)."""
     import pandas as pd
 
-    names = [c.strip().split()[0] for c in schema.split(",")]
+    if schema is None:
+        # Row-based schema-less calls keep the plain inference path
+        # (few sites; the Arrow win is for the hot leaf batches)
+        return spark.createDataFrame(list(rows))
+    if isinstance(schema, str):
+        names = [c.strip().split()[0] for c in schema.split(",")]
+    else:  # a plain column-name list: let Spark infer types
+        names = list(schema)
     pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
     return spark.createDataFrame(pdf, schema)
 

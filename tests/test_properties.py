@@ -19,6 +19,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from conftest import local_df
+
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
@@ -42,11 +44,11 @@ rows_strategy = st.lists(
 def test_salted_join_equals_plain_join(spark, rows):
     from b3_analytics_engine_spark.operators.joins import salted_join
 
-    left = spark.createDataFrame(
+    left = local_df(spark, 
         [(k, i * 7 + j, p) for j, (k, i, p) in enumerate(rows)],
         ["k", "row_id", "v"],
     )
-    right = spark.createDataFrame(
+    right = local_df(spark, 
         [(0, "a"), (1, "b"), (2, "c")], ["k", "dim"]
     )
     plain = sorted(map(tuple, left.join(right, "k", "inner").collect()))
@@ -61,7 +63,7 @@ def test_salted_join_equals_plain_join(spark, rows):
 def test_keep_last_dedup_invariants(spark, rows):
     from b3_analytics_engine_spark.operators.aggregates import keep_last_dedup
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(k, j, p) for j, (k, _, p) in enumerate(rows)],
         ["k", "row_id", "prio"],
     )
@@ -84,7 +86,7 @@ def test_keep_last_dedup_invariants(spark, rows):
 def test_quarantine_split_is_exact_partition(spark, rows):
     from b3_analytics_engine_spark.operators.quality import quarantine_split
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(k, j, p) for j, (k, _, p) in enumerate(rows)],
         ["k", "row_id", "v"],
     )
@@ -122,7 +124,7 @@ def test_shard_assignment_is_dense_permutation(spark, ids, n_shards):
     the string form, which must not break on '-')."""
     from b3_analytics_engine_spark.operators.curation import shard_assignment
 
-    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    df = local_df(spark, [(i,) for i in ids], ["doc_id"])
     out = shard_assignment(df, n_shards=n_shards).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(ids)
     by_shard: dict[int, list[int]] = {}
@@ -155,7 +157,7 @@ def test_duplicated_spans_window_equals_agg_join(spark, texts):
     # groupBy + join-back formulation, on arbitrary corpora
     from b3_analytics_engine_spark.operators.dedup import duplicated_spans
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     win = 3
@@ -209,7 +211,7 @@ def test_repetition_ratio_one_pass_equals_postings_join(spark, texts):
     import os
     import tempfile
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     with tempfile.TemporaryDirectory() as tmp:
@@ -250,7 +252,7 @@ def test_char_entropy_window_equals_agg_join(spark, texts):
 
     from b3_analytics_engine_spark.queries.llmdata import char_entropy_q
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     with tempfile.TemporaryDirectory() as tmp:
@@ -294,7 +296,7 @@ def _tie_ladder_cases() -> list[float]:
 
 
 def _spark_cast_dec6(spark, cases: list[float]) -> dict[int, str]:
-    sdf = spark.createDataFrame(
+    sdf = local_df(spark, 
         [(i, c) for i, c in enumerate(cases)], "i int, x double"
     ).select("i", F.col("x").cast("decimal(38,6)").alias("d"))
     return {r["i"]: str(r["d"]) for r in sdf.collect()}

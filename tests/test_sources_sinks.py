@@ -23,6 +23,8 @@ from b3_analytics_engine_spark.sources.rest import (
     quotes_from_payloads,
 )
 
+from conftest import local_df
+
 
 @pytest.fixture()
 def tmpdir():
@@ -60,7 +62,7 @@ def test_yfinance_fetch_adapter(spark):
 def test_kafka_value_roundtrip(spark):
     """K5 envelope → S2 parse: to_kafka_records then parse_value must
     recover the original typed columns."""
-    src = spark.createDataFrame(
+    src = local_df(spark, 
         [Row(event_id=1, user_id=7, k=42), Row(event_id=2, user_id=8, k=None)]
     )
     envelope = to_kafka_records(src, key_col="user_id").withColumn(
@@ -83,7 +85,7 @@ def test_kafka_value_roundtrip(spark):
 
 
 def test_polling_watermark_advances(spark):
-    source = spark.createDataFrame(
+    source = local_df(spark, 
         [Row(id=i, ts=f"2024-05-01 10:0{i}:00") for i in range(5)]
     ).withColumn("ts", F.to_timestamp("ts"))
 
@@ -140,12 +142,12 @@ def test_overwrite_warehouse_replaces_only_written_partitions(spark, tmp_path):
         == "dynamic"
     )
     path = str(tmp_path / "warehouse")
-    two_days = spark.createDataFrame(
+    two_days = local_df(spark, 
         [("2024-01-01", "PETR4", 1.0), ("2024-01-02", "PETR4", 2.0)],
         "date string, symbol string, close double",
     )
     overwrite_warehouse(two_days, path, partition_cols=["date"])
-    restated = spark.createDataFrame(
+    restated = local_df(spark, 
         [("2024-01-02", "PETR4", 9.0)], "date string, symbol string, close double"
     )
     overwrite_warehouse(restated, path, partition_cols=["date"])
@@ -160,7 +162,7 @@ def test_overwrite_warehouse_replaces_only_written_partitions(spark, tmp_path):
 
 
 def test_json_zone_roundtrip(spark, tmpdir):
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [Row(symbol="PETR4", v=1.5), Row(symbol="VALE3", v=2.5)]
     )
     write_json_zone(df, f"{tmpdir}/zone", partition_cols=["symbol"])

@@ -20,6 +20,8 @@ from b3_analytics_engine_spark.schemas import FIXTURE_SCHEMAS
 from b3_analytics_engine_spark.sources.files import stream_parquet_dir
 from b3_analytics_engine_spark.tables import SMOKE_SF_DIR, load_table
 
+from conftest import local_df
+
 
 @pytest.fixture()
 def tmpdir():
@@ -180,14 +182,14 @@ def test_watermark_append_semantics(spark, tmpdir):
     from pyspark.sql import Row
 
     schema = "user_id long, ts timestamp, value double"
-    b1 = spark.createDataFrame(
+    b1 = local_df(spark, 
         [
             Row(user_id=1, ts="2024-05-01 10:05:00", value=1.0),
             Row(user_id=1, ts="2024-05-01 10:50:00", value=2.0),
             Row(user_id=1, ts="2024-05-01 11:55:00", value=3.0),
         ]
     ).withColumn("ts", F.to_timestamp("ts"))
-    b2 = spark.createDataFrame(
+    b2 = local_df(spark, 
         [
             # 09:30 is > 1h older than the watermark set by batch 1
             # (10:55) → must be dropped, its window never emitted
@@ -238,10 +240,10 @@ def test_warehouse_replay_is_noop(spark):
 
     from b3_analytics_engine_spark.streaming.pipeline import warehouse_merge
 
-    history = spark.createDataFrame(
+    history = local_df(spark, 
         [Row(symbol="A", date=1, close=10.0, volume=100.0, marketCap=1000.0)]
     )
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [Row(symbol="A", date=2, close=12.0, volume=90.0, marketCap=1000.0)]
     )
     t1 = warehouse_merge(history, batch, keys=["symbol", "date"])
