@@ -48,42 +48,42 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-12 front window (round 11 went 50/50
-# green; exactly the rotation the r11 verdict prescribed):
-# (a) time_range_window — newest external green round 8, three rounds
-# stale, the single oldest evidence anywhere (the r11 verdict named
-# it round-12 front of line);
-# (b) 49 of the round-9-newest cohort, weakest-evidence-first
+# external evidence. Round-13 front window (round 12 went 50/50
+# green; exactly the rotation the r12 verdict prescribed):
+# (a) value_histogram — newest external green round 9, the unique
+# 3-round-stale query (the r12 verdict named it round-13 front of
+# line);
+# (b) 49 of the round-10-newest cohort, weakest-evidence-first
 # (fewest external greens, then registration order) as computed by
 # tools/rotation_report.py.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r8 — 3 rounds stale (1)
-    "time_range_window",
-    # (b) newest external green r9, weakest-evidence-first (49)
-    "benford_audit", "dataset_split", "feature_hashing",
-    "gini_per_key", "percentile_normalize", "reservoir_per_group",
-    "table_profile", "video_frame_stats", "approx_aggregates",
-    "cast_coerce_nulls", "cosine_ann_ivf", "cosine_ann_lsh",
-    "customer_order_histogram", "disjunctive_join_filter",
-    "dominant_suppliers", "dormant_customers",
-    "embedding_neardup_exact", "ewma_per_key", "forecast_revenue",
-    "heavy_hitters", "importance_resample", "important_parts",
-    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
-    "json_payload_parse", "label_centroids", "large_volume_customer",
-    "market_share", "multi_key_sort_limit", "nation_trade_volume",
-    "null_handling", "order_priority_check", "parts_supplier_stats",
-    "pii_flag", "pricing_summary", "product_profit",
-    "promotion_effect", "returned_item_customers", "scalar_functions",
-    "distinct_sorted_keys", "exact_percentiles", "group_share",
-    "ranking_suite", "set_operations", "text_stats", "top1_by_metric",
-    "tz_convert", "unpivot_measures",
+    # (a) newest external green r9 — 3 rounds stale (1)
+    "value_histogram",
+    # (b) newest external green r10, weakest-evidence-first (49)
+    "lang_mismatch_audit", "filter_project", "pii_redact",
+    "quarantine_rows", "semi_anti_join", "shard_assignment",
+    "shipmode_priority", "shipping_priority", "sliding_window_agg",
+    "small_order_quantity", "sql_interface_revenue", "tfidf_topterms",
+    "time_range_filter", "time_rollup_hierarchy",
+    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
+    "chunk_documents", "corpus_curation", "data_quality_report",
+    "decontaminate", "dedup_exact", "distribution_rank",
+    "dup_cluster_keep", "incremental_agg_merge", "sequence_packing",
+    "skew_salted_join", "snapshot_diff_feed", "stratified_sample",
+    "trade_pagerank", "vocab_topk", "window_dedup",
+    "winsorized_stats", "asof_join", "cohort_retention",
+    "gap_fill_forward", "grouped_zscore", "lang_id",
+    "latest_per_key", "max_drawdown", "multimodal_features",
+    "multimodal_frame_plan", "ngram_jaccard_pairs",
+    "pivot_daily_mean", "rolling_volatility", "session_windows",
+    "snapshot_join", "text_fingerprint", "text_quality",
 )
-# Outside this window: the round-10 and round-11 cohorts (checked one
+# Outside this window: the round-11 and round-12 cohorts (checked one
 # and zero rounds ago — the freshest evidence possible) plus the one
-# r9-cohort member the 50 slots could not hold (value_histogram, the
-# strongest-evidence r9 member — 4 external greens; round-13 front of
+# r10-cohort member the 50 slots could not hold (topk_per_group, the
+# strongest-evidence r10 member — 5 external greens; round-14 front of
 # line if not displaced). After this round no
-# query's newest external green is older than round 10 (≤2 rounds
+# query's newest external green is older than round 11 (≤2 rounds
 # stale) — inside the 3-round staleness ceiling the rotation cycle is
 # designed to hold. All registered queries are re-checked by
 # tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
