@@ -354,12 +354,21 @@ def decontaminate_fuzzy_cross(
     contaminated TRAINING document — same schema as
     :func:`decontaminate_fuzzy`, and pair-identical to it on a mixed
     frame when caps are off (pinned by
-    ``tests/test_decontaminate.py``; with a cap on, this form caps
+    ``tests/test_signature_store.py::
+    test_decontaminate_fuzzy_cross_reads_both_sides_from_artifacts``;
+    with a cap on, this form caps
     only training-side buckets while the mixed form caps both sides).
     """
     from .operators import dedup as D
 
     cap = DEFAULT_MAX_BAND_BUCKET if max_bucket == -1 else max_bucket
+    if eval_df is not None:
+        # artifacts are keyed by corpus NAME only: a revised eval
+        # suite passed under the same name must fail loud here, not
+        # silently decontaminate against the OLD suite's signatures
+        # (train_df is exempt: the training corpus legitimately grows
+        # past its first-build frame via append_batch deltas)
+        store.assert_fresh(eval_df, eval_corpus, id_col, text_col)
     eval_posts = store.postings(eval_df, eval_corpus, id_col, text_col)
     eval_sig = store.signatures(eval_df, eval_corpus, id_col, text_col)
     train_posts = store.postings(train_df, train_corpus, id_col, text_col)

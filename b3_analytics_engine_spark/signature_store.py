@@ -40,6 +40,7 @@ the production entry point, like the hot-bucket cap defaults in
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import struct
@@ -742,6 +743,71 @@ class SignatureStore:
                     )
         return self._read(path, exclude_batch)
 
+    @staticmethod
+    def _content_stamp(pairs: DataFrame) -> str:
+        """Order-insensitive content hash of an ``(id, fp)`` frame:
+        row count + bit-XOR of per-row ``xxhash64(id, fp)``. XOR is
+        commutative (no ordering assumption) and never overflows
+        (ANSI-safe where a SUM of hashes would throw); the count
+        disambiguates the duplicate-pair cancellation XOR alone would
+        miss. One narrow scan, two longs back to the driver."""
+        row = (
+            pairs.select(F.xxhash64("id", "fp").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor("h").alias("x"),
+            )
+            .first()
+        )
+        x = row["x"] if row["x"] is not None else 0
+        return f"{row['n']}:{x & 0xFFFFFFFFFFFFFFFF:016x}"
+
+    def assert_fresh(
+        self,
+        df: DataFrame,
+        corpus: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Loud staleness check: raise unless the persisted
+        fingerprint artifact for ``corpus`` describes EXACTLY ``df``'s
+        (id, content) set. Artifacts are keyed by corpus NAME only, so
+        a caller that changed its frame under the same name (the eval
+        suite of :func:`..pipelines.decontaminate_fuzzy_cross` is the
+        canonical case: small, "static" — until someone revises the
+        benchmark) would otherwise silently get answers computed from
+        the OLD content. No stamp file is stored: the fingerprint
+        artifact (md5 per normalized text, already part of every
+        corpus) IS the content stamp, so the check also covers stores
+        built before this method existed. Cost: one narrow artifact
+        scan + one ``df`` fingerprint pass — run it when handing a
+        frame to a store-backed reader, skip it when passing None
+        (explicitly trusting the artifacts). If the corpus has no
+        fingerprint artifact yet (e.g. only postings/signatures were
+        built for it), the first call BUILDS it from ``df`` — that is
+        the "stamp at build time" half of the contract; every later
+        call verifies against it."""
+        path = self.fingerprints_path(corpus)
+        if not self._is_complete(path):
+            self.fingerprints(df, corpus, id_col, text_col)
+            return
+        expected = self._content_stamp(
+            df.select(
+                F.col(id_col).alias("id"),
+                fingerprint(text_col).alias("fp"),
+            )
+        )
+        actual = self._content_stamp(self.fingerprints(None, corpus))
+        if expected != actual:
+            raise ValueError(
+                f"corpus {corpus!r} artifacts are stale: the persisted "
+                f"fingerprints (stamp {actual}) do not match the frame "
+                f"passed for it (stamp {expected}). The store keys "
+                "artifacts by corpus name only — rebuild with "
+                f"refresh_all(df, {corpus!r}) or register the revised "
+                "content under a new corpus name."
+            )
+
     @_with_lease
     def refresh_all(
         self,
@@ -1184,6 +1250,33 @@ class SignatureStore:
             iters if iters is not None else default_iters,
         )
 
+    def ivf_families(self, corpus: str) -> list[tuple[int, int]]:
+        """Every COMPLETED IVF family key for the corpus, discovered
+        from the artifact layout (``c=<n>/iters=<i>`` directories
+        whose index bears ``_SUCCESS``). Used by the first-build
+        active-marker stamp: on a pre-marker store (family built
+        before the marker existed) the stamp must NOT let a later
+        explicit sibling build steal the active key from the
+        original family — "first family becomes active" means first
+        ON DISK, not first to run under marker-aware code."""
+        base = os.path.join(self.root, "ivf_index", corpus)
+        jvm, fs, _ = _hadoop_fs(self.spark, base)
+        hp = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(hp(base)):
+            return []
+        fams = []
+        for st in fs.listStatus(hp(base)):
+            nm = st.getPath().getName()
+            if not (st.isDirectory() and nm.startswith("c=")):
+                continue
+            for st2 in fs.listStatus(st.getPath()):
+                nm2 = st2.getPath().getName()
+                if not (st2.isDirectory() and nm2.startswith("iters=")):
+                    continue
+                if self._is_complete(st2.getPath().toString()):
+                    fams.append((int(nm[2:]), int(nm2[6:])))
+        return sorted(fams)
+
     def ivf_centroids(
         self,
         df: DataFrame,
@@ -1296,8 +1389,17 @@ class SignatureStore:
                         self._ivf_rows(df, C, id_col, vec_col), path
                     )
                     # first family for this corpus becomes the active
-                    # key; an explicit sibling build never steals it
-                    if self.ivf_active(corpus) is None:
+                    # key; an explicit sibling build never steals it.
+                    # "First" is checked ON DISK (ivf_families), not
+                    # just by marker absence: a pre-marker store has
+                    # families but no marker, and stamping a sibling
+                    # build there would silently redirect
+                    # n_centroids=None consumers away from the
+                    # original family.
+                    if self.ivf_active(corpus) is None and all(
+                        fam == (n_centroids, iters)
+                        for fam in self.ivf_families(corpus)
+                    ):
                         self.ivf_set_active(corpus, n_centroids, iters)
         # per-root reads + union, NOT one multi-path read: each root
         # (base, each delta) is its own partitioned table, so Spark's
@@ -1552,31 +1654,61 @@ class SignatureStore:
         exclude: str | None = None,
         rescale_balance: float | None = None,
         rescale_factor: int = 4,
+        rescale_occupancy: float | None = None,
     ) -> int:
         """Threshold-triggered :meth:`ivf_retrain` — the
         self-scheduling form an embedding ingestion calls beside
         :meth:`maybe_compact`: retrain only when the occupancy skew
         (``ivf_cell_stats``'s ``balance``) exceeds ``max_balance``.
-        Returns -1 without mutating when under threshold, else
-        ``ivf_retrain``'s fold count. The stats read costs one narrow
-        index scan (cell is a partition column, so the scan reads
-        listings + footers, not vectors), no lease; if epochs are
-        tiny relative to the index, schedule this on the compaction
-        cadence rather than every epoch. ``exclude`` is the in-epoch
-        replay contract, forwarded to the retrain (and the rescale).
+        Returns -1 without mutating when under threshold, else the
+        fold count of the repair performed (the retrain's, or the
+        rescale's when growth escalates straight past it). The stats
+        read costs one narrow index scan (cell is a partition column,
+        so the scan reads listings + footers, not vectors), no lease;
+        if epochs are tiny relative to the index, schedule this on
+        the compaction cadence rather than every epoch. ``exclude``
+        is the in-epoch replay contract, forwarded to the retrain
+        (and the rescale).
 
-        ``rescale_balance``: the ESCALATION threshold. A retrain
-        re-places centroids but cannot beat O(total / n_centroids)
-        per-cell occupancy once an influx has genuinely grown the
-        corpus (the drift A/B's second limit) — so if the post-retrain
-        balance is STILL above ``rescale_balance``, escalate to
+        ``rescale_balance``: the SKEW escalation threshold. A retrain
+        re-places centroids, so if the post-retrain balance is STILL
+        above this, the skew is structural — escalate to
         :meth:`ivf_rescale` at ``rescale_factor`` × the cell count.
-        The rescale bumps the active-family marker, so a streaming
-        ingest running with ``n_centroids=None`` adopts the new cell
-        count on its NEXT epoch without stopping — the full
+
+        ``rescale_occupancy``: the GROWTH escalation threshold — the
+        mean rows-per-occupied-cell target. Balance is
+        scale-invariant: uniform corpus growth leaves it near 1.0
+        while every probe's per-cell scan cost climbs at
+        O(total / n_centroids), so a balance gate alone never fires
+        on pure growth. When mean occupancy exceeds this target the
+        loop escalates DIRECTLY to a rescale (no retrain first — no
+        centroid placement can reduce mean occupancy), sized
+        ``max(rescale_factor × n_centroids, total / target)`` so one
+        rescale brings occupancy back under target even after a
+        large influx.
+
+        Either escalation bumps the active-family marker, so a
+        streaming ingest running with ``n_centroids=None`` adopts the
+        new cell count on its NEXT epoch without stopping — the full
         grow-without-downtime maintenance loop. None (default)
-        disables escalation."""
+        disables each."""
         stats = self.ivf_cell_stats(corpus, n_centroids, iters)
+        occupancy = (
+            stats["total"] / stats["occupied"] if stats["occupied"] else 0.0
+        )
+        if rescale_occupancy is not None and occupancy > rescale_occupancy:
+            new_n = int(max(
+                n_centroids * rescale_factor,
+                math.ceil(stats["total"] / rescale_occupancy),
+            ))
+            if new_n > n_centroids:
+                return self.ivf_rescale(
+                    corpus, n_centroids, iters,
+                    new_n_centroids=new_n, exclude=exclude,
+                )
+            # occupancy is high but the corpus fits the current cell
+            # count (many EMPTY cells => skew, not growth): fall
+            # through to the retrain/balance path below
         if stats["balance"] <= max_balance:
             return -1
         folded = self.ivf_retrain(corpus, n_centroids, iters, exclude=exclude)
@@ -1620,6 +1752,13 @@ class SignatureStore:
         the same batch name — the in-flight epoch's wholesale-replace
         replay lands on the family that now serves reads.
 
+        The target key must be FREE (or hold only a crashed prior run
+        of this same rescale, identified by a ``_rescaled_from``
+        provenance marker inside the base): an independent completed
+        sibling family there raises, because replacing its base while
+        its delta tree survives would merge stale deltas into every
+        read of the rebuilt family.
+
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
         before the GC leaves both families intact and readable, and
@@ -1648,6 +1787,26 @@ class SignatureStore:
             )
         jvm, fs, _ = _hadoop_fs(self.spark, ipath)
         hp = jvm.org.apache.hadoop.fs.Path
+        # an INDEPENDENT completed family already living at the target
+        # key must not be wholesale-replaced: its live delta tree
+        # would survive the base swap and union into every read of
+        # the rebuilt family (duplicate ids / misassigned cells). A
+        # `_rescaled_from_<n>-<iters>` marker (published inside the
+        # base by the staging swap below) identifies a family THIS
+        # rescale produced, so re-running after a crash between
+        # publish and old-family GC stays idempotent.
+        rescale_marker = f"_rescaled_from_{n_centroids}-{iters}"
+        if self._is_complete(npath) and not fs.exists(
+            hp(os.path.join(npath, rescale_marker))
+        ):
+            raise ValueError(
+                f"corpus {corpus!r} already has an independent IVF "
+                f"family at n_centroids={new_n_centroids}, "
+                f"iters={iters} ({npath}); rescaling onto it would "
+                "merge its live delta tree into the rebuilt base — "
+                "delete that family first or pick a different cell "
+                "count"
+            )
         deltas = self._delta_paths(ipath, exclude=exclude)
         names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
         ledger = names | self._folded_names(ipath)
@@ -1670,6 +1829,9 @@ class SignatureStore:
         ).parquet(tmp)
         for nm in ledger:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        # provenance marker rides the swap: marks the family as this
+        # rescale's own product (see the sibling guard above)
+        fs.create(hp(os.path.join(tmp, rescale_marker)), True).close()
         self._write_atomic(
             self.spark.createDataFrame(
                 [
@@ -1680,6 +1842,13 @@ class SignatureStore:
             ).coalesce(1),
             ncpath,
         )
+        # a crashed PRIOR run of this same rescale may have published
+        # the base and an exclude-epoch delta already; its delta tree
+        # is stale relative to the base we are about to publish and
+        # must not union into reads of the rebuilt family
+        ndroot = self._delta_root(npath)
+        if fs.exists(hp(ndroot)):
+            fs.delete(hp(ndroot), True)
         replace_directory(self.spark, tmp, npath)
         if exclude is not None:
             src = os.path.join(self._delta_root(ipath), exclude)

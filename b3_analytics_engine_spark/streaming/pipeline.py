@@ -471,6 +471,7 @@ def corpus_ingest_micro_batch(
     compact_every: int | None = None,
     retrain_balance: float | None = None,
     rescale_balance: float | None = None,
+    rescale_occupancy: float | None = None,
 ) -> None:
     """One epoch of the FULL training-data ingest — the composition of
     :func:`incremental_dedup_micro_batch` and
@@ -494,7 +495,13 @@ def corpus_ingest_micro_batch(
     :meth:`~..signature_store.SignatureStore.ivf_maybe_retrain`
     (``exclude=`` the current epoch, so the replay contract holds —
     the retrain re-assigns the live epoch delta under the new
-    quantizer instead of folding it).
+    quantizer instead of folding it). ``rescale_balance`` /
+    ``rescale_occupancy`` forward the two escalation thresholds
+    (structural skew after a retrain; mean per-cell occupancy growth)
+    — when either fires, the maintenance call rebuilds the family at
+    a larger cell count and bumps the active marker, which the NEXT
+    epoch's ``n_centroids=None`` resolution adopts without stopping
+    the stream.
 
     ``semantic_threshold`` inserts the EMBEDDING dedup tier between
     the text tiers and publication: MinHash survivors additionally
@@ -577,11 +584,17 @@ def corpus_ingest_micro_batch(
         store.ivf_compact(
             corpus, n_centroids=n_centroids, iters=iters, exclude=name
         )
-    if retrain_balance is not None:
+    if retrain_balance is not None or rescale_occupancy is not None:
         store.ivf_maybe_retrain(
             corpus, n_centroids=n_centroids, iters=iters,
-            max_balance=retrain_balance, exclude=name,
+            # occupancy-only maintenance disables the skew path
+            max_balance=(
+                retrain_balance if retrain_balance is not None
+                else float("inf")
+            ),
+            exclude=name,
             rescale_balance=rescale_balance,
+            rescale_occupancy=rescale_occupancy,
         )
 
 
@@ -602,6 +615,7 @@ def start_corpus_ingest(
     compact_every: int | None = None,
     retrain_balance: float | None = None,
     rescale_balance: float | None = None,
+    rescale_occupancy: float | None = None,
 ):
     """The end-to-end continuous training-data pipeline: an append
     stream of ``(id, text, embedding)`` rows → ``foreachBatch`` →
@@ -621,6 +635,7 @@ def start_corpus_ingest(
             n_centroids=n_centroids, iters=iters,
             compact_every=compact_every, retrain_balance=retrain_balance,
             rescale_balance=rescale_balance,
+            rescale_occupancy=rescale_occupancy,
         )
 
     writer = stream_df.writeStream.foreachBatch(_run).option(

@@ -89,7 +89,12 @@ def local_df(spark, rows, schema=None):
         # (few sites; the Arrow win is for the hot leaf batches)
         return spark.createDataFrame(list(rows))
     if isinstance(schema, str):
-        names = [c.strip().split()[0] for c in schema.split(",")]
+        # spark-native DDL parse: a naive split(",") would mis-parse
+        # comma-bearing types (decimal(38,6), map<string,int>, ...)
+        # into phantom columns
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = _parse_datatype_string(schema).fieldNames()
     else:  # a plain column-name list: let Spark infer types
         names = list(schema)
     pdf = pd.DataFrame(list(rows), columns=names, dtype=object)

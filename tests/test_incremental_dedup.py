@@ -958,3 +958,125 @@ def test_incremental_semantic_matches_union_semantic_dedup(
     # and the expected structure: copies dropped, one of the pair
     # kept, uniques kept
     assert got == [200, 210, 211, 212]
+
+
+@pytest.mark.soak
+def test_corpus_ingest_soak_rescale_mid_stream(
+    spark, tmp_path, sem_store_dir, corpus_rows
+):
+    """The full grow-without-downtime story end-to-end: a running
+    composed ingest (n_centroids=None — marker-following) with
+    occupancy-gated maintenance grows the corpus until
+    ivf_maybe_retrain escalates to an in-place ivf_rescale MID-STREAM,
+    the active-family marker flips, and the remaining epochs keep
+    committing into the NEW family without the stream stopping.
+    Invariants across the rescale boundary: every survivor id lands
+    in the final active index exactly once (zero dropped, zero
+    duplicated), the replay ledger rides (a pre-rescale epoch replay
+    is refused on the new family), lake / text artifacts / vector
+    index agree on membership, and both fscks are green."""
+    import time as _time
+
+    import numpy as np
+
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        start_corpus_ingest,
+    )
+
+    store = SignatureStore(spark, sem_store_dir, owner="rescale-soak")
+    assert store.ivf_active("c") == (2, 2)  # the family the stream starts on
+
+    def soak_vec(e, i, dim=16):
+        v = np.asarray(
+            np.random.default_rng(7_000 + 100 * e + i).normal(size=dim)
+        )
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    def utext(e, i):
+        return " ".join(f"grow{e}doc{i}tok{k}" for k in range(12))
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, embedding array<double>"
+    expected_new = {}
+    for e in range(6):
+        rows = [
+            (10_000 * (e + 1) + i, utext(e, i), soak_vec(e, i))
+            for i in range(1, 9)  # eight genuinely new docs per epoch
+        ] + [
+            # exact text copy of corpus doc 0 -> exact tier drops it
+            (10_000 * (e + 1) + 9, corpus_rows[0][1], soak_vec(e, 9)),
+        ]
+        expected_new[e] = [10_000 * (e + 1) + i for i in range(1, 9)]
+        local_df(spark, rows, schema).coalesce(1).write.parquet(
+            f"{src}/day{e}.parquet"
+        )
+        _time.sleep(1.1)  # file source orders micro-batches by mtime
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    # corpus starts at 3 rows in 2 cells; each epoch adds 8 — mean
+    # occupancy crosses 12.0 at epoch 2 (27 rows / <=2 cells), so the
+    # occupancy gate escalates straight to a rescale (retrain_balance
+    # stays None: this is the occupancy-only maintenance path) to 8
+    # cells, trained from the 19 live rows outside the in-flight
+    # epoch, with three epochs still to commit AFTER the boundary
+    q = start_corpus_ingest(
+        stream, store, "c",
+        output_path=str(tmp_path / "lake"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        semantic_threshold=0.999,
+        n_centroids=None, iters=None,  # follow the active marker
+        rescale_occupancy=12.0,
+    )
+    q.awaitTermination(300)
+
+    # the marker flipped mid-stream and the original family is gone
+    active = store.ivf_active("c")
+    assert active is not None and active[0] >= 8 and active[1] == 2
+    assert not store._is_complete(store.ivf_index_path("c", 2, 2))
+
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    per_epoch = {
+        e: sorted(
+            r["doc_id"] for r in lake.filter(F.col("_epoch") == e).collect()
+        )
+        for e in range(6)
+    }
+    assert per_epoch == expected_new
+
+    # zero dropped / zero duplicated ids across the rescale boundary:
+    # the final active index holds the corpus plus every survivor,
+    # each exactly once, and all three surfaces agree
+    survivors = sorted(r["doc_id"] for r in lake.collect())
+    idx_ids = [
+        r["id"]
+        for r in store.ivf_index(
+            None, "c", n_centroids=active[0], iters=active[1]
+        ).select("id").collect()
+    ]
+    assert len(idx_ids) == len(set(idx_ids))
+    assert sorted(idx_ids) == [0, 1, 2] + survivors
+    fp_ids = sorted(
+        r["id"] for r in store.fingerprints(None, "c").select("id").collect()
+    )
+    assert fp_ids == [0, 1, 2] + survivors
+
+    # the replay ledger rode the rescale: a pre-boundary epoch's
+    # at-least-once re-commit is refused on the NEW family
+    replay = local_df(
+        spark, [(10_001, soak_vec(0, 1))],
+        "doc_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(
+            replay, "c", "epoch-0",
+            id_col="doc_id", vec_col="embedding",
+            n_centroids=active[0], iters=active[1],
+        )
+
+    assert store.validate("c")["ok"]
+    assert store.validate_ivf("c", n_centroids=active[0], iters=active[1])["ok"]

@@ -652,3 +652,137 @@ def test_active_family_marker_and_rescale_escalation(spark, emb, ivf_store):
     ).first()
     assert top["neighbor_id"] >= 93000
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+
+def test_occupancy_escalation_fires_on_pure_growth(spark, emb, ivf_store):
+    """Balance is scale-invariant: doubling the corpus uniformly
+    leaves max/mean near 1.0 while every probe's per-cell cost
+    doubles. ivf_maybe_retrain(rescale_occupancy=...) must escalate
+    to a rescale on mean occupancy alone — with the skew gate unable
+    to fire (max_balance sky-high) — sized so one rescale brings
+    occupancy back under target."""
+    store = ivf_store
+    base = store.ivf_index(None, "emb", n_centroids=8, iters=2)
+    n0 = base.count()
+
+    # uniform growth: the corpus's own vectors under fresh ids, so
+    # per-cell shares (and therefore balance) are preserved exactly
+    growth = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    store.ivf_append(growth, "emb", "growth-day", n_centroids=8, iters=2)
+    stats = store.ivf_cell_stats("emb", 8, 2)
+    assert stats["total"] == 2 * n0
+
+    # under-target guard: occupancy below target is a no-op even
+    # though the corpus grew
+    assert store.ivf_maybe_retrain(
+        "emb", n_centroids=8, iters=2,
+        max_balance=1e9, rescale_occupancy=1e9,
+    ) == -1
+
+    occupancy = stats["total"] / stats["occupied"]
+    folded = store.ivf_maybe_retrain(
+        "emb", n_centroids=8, iters=2,
+        max_balance=1e9,  # the skew gate can never fire
+        rescale_occupancy=occupancy / 2,
+        rescale_factor=4,
+    )
+    assert folded == 1  # the growth delta folded by the rescale
+
+    # escalated straight to a rescale: marker moved, old family gone,
+    # every id exactly once, occupancy back under target
+    assert store.ivf_active("emb") == (32, 2)
+    assert not store._is_complete(store.ivf_index_path("emb", 8, 2))
+    after = store.ivf_cell_stats("emb", 32, 2)
+    assert after["total"] == 2 * n0
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == 2 * n0
+    assert after["total"] / after["occupied"] <= occupancy / 2 * 1.5
+
+
+def test_rescale_refuses_independent_sibling_family(spark, emb, ivf_store):
+    """An independent completed family already living at the rescale
+    target key must raise: wholesale-replacing its base would leave
+    its live delta tree to union into every read of the rebuilt
+    family (duplicate ids / misassigned cells)."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    store.ivf_index(emb, "emb", n_centroids=32, iters=2)
+    sib_delta = local_df(
+        spark,
+        [(95000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(sib_delta, "emb", "sib-b1", n_centroids=32, iters=2)
+    n_sib = store.ivf_index(None, "emb", n_centroids=32, iters=2).count()
+
+    with pytest.raises(ValueError, match="independent"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+
+    # the sibling family (base AND delta) is untouched
+    assert store.ivf_index(
+        None, "emb", n_centroids=32, iters=2
+    ).count() == n_sib
+    assert store._is_complete(store.ivf_index_path("emb", 8, 2))
+
+
+def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
+    spark, emb, ivf_store
+):
+    """A family the rescale itself produced (identified by the
+    `_rescaled_from` provenance marker) may be wholesale-replaced by
+    re-running the same rescale — the crash-recovery contract — and
+    any delta tree left by the crashed attempt is cleared, never
+    unioned into reads of the rebuilt base."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+
+    # simulate the crashed-attempt state: the new family exists with
+    # a stray delta, and the source family is back on disk
+    stale = local_df(
+        spark,
+        [(96000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(stale, "emb", "stale-ep", n_centroids=32, iters=2)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    # exactly the source family's rows: stale delta ids dropped, no
+    # duplicates, nothing lost
+    assert len(ids) == len(set(ids)) == n0
+    assert not any(i >= 96000 for i in ids)
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+
+def test_premarker_store_sibling_build_does_not_steal_active(
+    spark, emb, ivf_store, ivf_store_dir
+):
+    """On a pre-marker store (family built before the active marker
+    existed) an explicit sibling build must NOT stamp itself active:
+    'first family becomes active' is checked on disk, so legacy
+    n_centroids=None consumers keep falling back to their defaults
+    instead of being silently redirected to the sibling."""
+    import shutil
+
+    store = ivf_store
+    shutil.rmtree(os.path.join(ivf_store_dir, "ivf_active", "emb"))
+    assert store.ivf_active("emb") is None
+
+    store.ivf_index(emb, "emb", n_centroids=4, iters=2)
+    assert store.ivf_families("emb") == [(4, 2), (8, 2)]
+    assert store.ivf_active("emb") is None  # not stolen
+    # resolution falls back to the caller defaults, not the sibling
+    assert store.ivf_resolve("emb", None, None) == (16, 3)

@@ -213,6 +213,65 @@ def test_decontaminate_fuzzy_cross_reads_both_sides_from_artifacts(
     assert {r["doc_id"] for r in capped.collect()} <= got_rows
 
 
+def test_cross_decontamination_fails_loud_on_revised_eval_suite(
+    spark, docs, tmp_path
+):
+    """Artifacts are keyed by corpus name only, so a REVISED eval
+    suite passed under the same name must raise (stale-artifact
+    guard) instead of silently decontaminating against the old
+    suite's signatures. The unchanged frame passes in any row order
+    (the stamp is order-insensitive), None frames skip the check
+    (explicit trust in the artifacts), and the first use STAMPS the
+    corpus (builds its fingerprint artifact from the frame)."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+
+    baseline = P.decontaminate_fuzzy_cross(
+        train_df, eval_df, store, "train", "evalset",
+        threshold=0.12, max_bucket=None,
+    ).count()
+
+    # the same suite re-passed (shuffled) still verifies
+    P.decontaminate_fuzzy_cross(
+        train_df, eval_df.orderBy(F.desc("doc_id")), store,
+        "train", "evalset", threshold=0.12, max_bucket=None,
+    )
+    # and None frames keep working against the pre-built store
+    assert P.decontaminate_fuzzy_cross(
+        None, None, store, "train", "evalset",
+        threshold=0.12, max_bucket=None,
+    ).count() == baseline
+
+    some_id = eval_df.select(F.min("doc_id")).first()[0]
+    revised_text = eval_df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == some_id, F.lit("a freshly revised question")
+        ).otherwise(F.col("text")),
+    )
+    with pytest.raises(ValueError, match="stale"):
+        P.decontaminate_fuzzy_cross(
+            train_df, revised_text, store, "train", "evalset",
+            threshold=0.12, max_bucket=None,
+        )
+    grown = eval_df.select("doc_id", "text").unionByName(
+        local_df(
+            spark, [(999999, "a brand new benchmark question")],
+            "doc_id long, text string",
+        ).select("doc_id", "text")
+    )
+    with pytest.raises(ValueError, match="stale"):
+        P.decontaminate_fuzzy_cross(
+            train_df, grown, store, "train", "evalset",
+            threshold=0.12, max_bucket=None,
+        )
+    # direct store-level check too: assert_fresh is the reusable seam
+    store.assert_fresh(eval_df, "evalset")
+    with pytest.raises(ValueError, match="stale"):
+        store.assert_fresh(revised_text, "evalset")
+
+
 def test_store_guardrails(spark, docs, tmp_path):
     store = SignatureStore(spark, str(tmp_path / "store"))
     with pytest.raises(ValueError, match="minhash"):
@@ -825,8 +884,69 @@ def test_second_writer_fails_loudly_append_vs_compact(
     assert b.validate("docs")["ok"]
 
 
+
+class S3ConditionalPutLeaseFake:
+    """In-memory stand-in for an object store with conditional PUT
+    (``If-None-Match: *``) — the backend the lease seam exists for.
+    Semantics emulated: creates are atomic compare-and-set under the
+    service's internal serialization; GET and DELETE are strongly
+    consistent; but the FIRST read after a create serves the lagging
+    edge (returns None once, the absent-or-half-written answer a
+    replica still converging on a fresh PUT gives) — exactly the
+    contended-or-racing case the protocol's retry-once documents.
+    There is deliberately NO listing operation: the protocol must
+    never need one (object-store LIST is the weakest-consistency
+    surface)."""
+
+    def __init__(self):
+        import threading
+
+        self._mu = threading.Lock()
+        self._obj: dict[str, str] = {}
+        self._lagged: dict[str, bool] = {}
+
+    def try_create(self, lock_path, owner):
+        with self._mu:
+            if lock_path in self._obj:
+                return False
+            self._obj[lock_path] = owner
+            self._lagged[lock_path] = True
+            return True
+
+    def read_owner(self, lock_path):
+        with self._mu:
+            if lock_path not in self._obj:
+                return None
+            if self._lagged.pop(lock_path, False):
+                return None  # lagging replica / half-written stamp
+            return self._obj[lock_path]
+
+    def delete(self, lock_path):
+        with self._mu:
+            self._obj.pop(lock_path, None)
+            self._lagged.pop(lock_path, None)
+
+
+@pytest.fixture(params=["hadoop", "s3put"])
+def lease_mk(request, spark):
+    """Store factory over the lease backend under test: the default
+    Hadoop atomic-create backend, or the S3 conditional-PUT fake —
+    ONE fake instance shared by every store the test builds, like the
+    real service would be. The contend/adopt/release and 8-thread
+    race tests run against BOTH, proving the protocol is
+    backend-agnostic beyond the dict stand-in."""
+    if request.param == "hadoop":
+        return lambda root, owner=None: SignatureStore(
+            spark, root, owner=owner
+        )
+    svc = S3ConditionalPutLeaseFake()
+    return lambda root, owner=None: SignatureStore(
+        spark, root, owner=owner, lease_backend=svc
+    )
+
+
 def test_lease_adoption_is_the_crash_recovery_path(
-    spark, docs, docs_store_dir
+    spark, docs, docs_store_dir, lease_mk
 ):
     """A crashed writer leaves its lease behind. A restart with the
     SAME stable owner adopts it and replays; any other owner is
@@ -834,14 +954,14 @@ def test_lease_adoption_is_the_crash_recovery_path(
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
     root = docs_store_dir
-    a = SignatureStore(spark, root, owner="stream-ckpt-7")
+    a = lease_mk(root, owner="stream-ckpt-7")
     a._acquire("docs")  # crash: lease never released
 
-    stranger = SignatureStore(spark, root)  # random owner
+    stranger = lease_mk(root)  # random owner
     with pytest.raises(StoreLockedError, match="stream-ckpt-7"):
         stranger.compact("docs")
 
-    restarted = SignatureStore(spark, root, owner="stream-ckpt-7")
+    restarted = lease_mk(root, owner="stream-ckpt-7")
     restarted.append_batch(  # adopts the stale lease and replays
         local_df(spark, 
             [(900001, "a unique doc about kelp forest canopies")],
@@ -863,15 +983,17 @@ def test_lease_adoption_is_the_crash_recovery_path(
     assert stranger.validate("docs")["ok"]
 
 
-def test_lease_released_after_normal_mutation(spark, docs, docs_store_dir):
+def test_lease_released_after_normal_mutation(
+    spark, docs, docs_store_dir, lease_mk
+):
     """Every mutating entry point releases the lease on exit (success
     AND failure), so sequential writers with different owners never
     block each other."""
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
     root = docs_store_dir
-    a = SignatureStore(spark, root, owner="x")
-    b = SignatureStore(spark, root, owner="y")
+    a = lease_mk(root, owner="x")
+    b = lease_mk(root, owner="y")
     batch = local_df(spark, 
         [(900001, "a unique doc about kelp forest canopies")],
         "doc_id long, text string",
@@ -968,7 +1090,9 @@ def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     assert store.validate("docs")["ok"]
 
 
-def test_lease_admits_one_writer_under_thread_race(spark, docs_store_dir):
+def test_lease_admits_one_writer_under_thread_race(
+    spark, docs_store_dir, lease_mk
+):
     """Eight threads race append_batch on the SAME corpus with
     distinct owners and distinct batch names. The kernel-level
     O_CREAT|O_EXCL create admits one holder at a time (Hadoop's local
@@ -981,7 +1105,7 @@ def test_lease_admits_one_writer_under_thread_race(spark, docs_store_dir):
     from b3_analytics_engine_spark.signature_store import StoreLockedError
 
     def attempt(i):
-        s = SignatureStore(spark, docs_store_dir, owner=f"racer-{i}")
+        s = lease_mk(docs_store_dir, owner=f"racer-{i}")
         text = " ".join(f"racer{i}token{k}" for k in range(10))
         batch = local_df(spark, 
             [(910000 + i, text)], "doc_id long, text string"

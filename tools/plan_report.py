@@ -58,6 +58,36 @@ PLAN_INTENT = {
         "union-find threshold (dedup.py:752); r4's +59% was cleared "
         "as machine noise by the r5 interleaved A/B"
     ),
+    "corpus_dedup_pipeline": (
+        "dominant stage: banded-minhash BHJ into the connected-"
+        "component SMJ — the ONE sort-merge is the pair graph, kept "
+        "SMJ deliberately (duplicate edges can exceed broadcast at "
+        "100x, same reasoning as dup_cluster_keep); signatures are "
+        "computed once and reused across the exact and fuzzy tiers, "
+        "doc_id pushdown at the scan"
+    ),
+    "table_profile": (
+        "dominant stage: one full scan feeding every per-column "
+        "aggregate at once (2 shuffles: partial->final agg, then the "
+        "tiny unpivot) — a per-column loop would re-scan O(columns) "
+        "times at 100x; approx_count_distinct keeps the state "
+        "mergeable and bounded per executor"
+    ),
+    "decontaminate_bloom": (
+        "dominant stage: the corpus-side probe of a 16 KiB broadcast "
+        "bloom bitset (unrolled whole-stage-codegen k-probe, zero "
+        "shuffle) followed by an exact-confirm join on the tiny "
+        "prefiltered survivor set — probe cost stays O(corpus scan) "
+        "with a constant-size build side at any eval scale"
+    ),
+    "semantic_dedup": (
+        "dominant stage: within-cell pair SMJ after broadcast-"
+        "centroid assignment (the two BNLJs are broadcast scalars, "
+        "not data joins) — pairs are confined to IVF cells, so pair "
+        "volume scales with cell occupancy, which maintenance "
+        "(retrain/rescale) holds at target as the corpus grows; "
+        "vec_id pushdown at the scan"
+    ),
 }
 
 
