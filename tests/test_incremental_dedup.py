@@ -385,13 +385,20 @@ def test_streaming_incremental_dedup_end_to_end(
     ) == [0, 1, 2, 102, 105, 106, 107, 302, 303]
 
 
+@pytest.mark.soak
 def test_micro_batch_replay_stays_idempotent_with_compaction(
     spark, tmp_path, corpus_store, corpus_rows, batch_rows
 ):
     """compact_every=1 compacts INSIDE the epoch body but excludes the
     epoch's own delta — so an at-least-once replay of that same epoch
     must still produce identical state (the folded older deltas are in
-    the base; the epoch's delta is still hideable via exclude_batch)."""
+    the base; the epoch's delta is still hideable via exclude_batch).
+
+    Soak tier (r12 verdict task 2 sanction): the 2-epoch x (run +
+    replay) composition costs ~43 s of job-count-bound store calls;
+    the unique assertion — replay identity when the epoch body also
+    folded an OLDER delta — stays in the default gate as
+    test_replay_under_in_epoch_compaction_contract."""
     from b3_analytics_engine_spark.streaming.pipeline import (
         incremental_dedup_micro_batch,
     )
@@ -426,6 +433,46 @@ def test_micro_batch_replay_stays_idempotent_with_compaction(
     assert "epoch-0" in store._folded_names(fpath)
     live = [d.rsplit("/", 1)[-1] for d in store._delta_paths(fpath)]
     assert live == ["epoch-1"]
+
+
+def test_replay_under_in_epoch_compaction_contract(
+    spark, tmp_path, corpus_store, corpus_rows
+):
+    """Default-gate residual for the relocated compaction-replay e2e
+    (its unique assertion at minimum cost): one pre-seeded older
+    delta, ONE epoch whose body folds it in-epoch (compact_every=1,
+    exclude = the epoch's own name), one at-least-once replay —
+    identical lake + artifact state both times, the older delta
+    folded, the epoch's own delta live."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        incremental_dedup_micro_batch,
+    )
+
+    store = corpus_store
+    out = str(tmp_path / "lake")
+    # the older delta the in-epoch fold must pick up (store-level
+    # seed: one call, not a full epoch body)
+    store.append_batch(
+        _df(spark, [(200, DOC_D)]), "c", "epoch-0"
+    )
+    for _ in range(2):  # first run + at-least-once replay
+        incremental_dedup_micro_batch(
+            _df(spark, [(301, DOC_F)]), 1, store, "c", out,
+            threshold=0.5, compact_every=1,
+        )
+        lake = spark.read.parquet(out)
+        assert sorted(
+            (r["_epoch"], r["doc_id"]) for r in lake.collect()
+        ) == [(1, 301)]
+        assert sorted(
+            r["id"]
+            for r in store.fingerprints(None, "c").select("id").collect()
+        ) == [0, 1, 2, 200, 301]
+    fpath = store.fingerprints_path("c")
+    assert "epoch-0" in store._folded_names(fpath)
+    assert [
+        d.rsplit("/", 1)[-1] for d in store._delta_paths(fpath)
+    ] == ["epoch-1"]
 
 
 @pytest.mark.soak
@@ -690,6 +737,7 @@ def test_incremental_semantic_dedup_commit_and_replay(
     assert sorted(r["doc_id"] for r in got2.collect()) == [301]
 
 
+@pytest.mark.soak
 def test_corpus_ingest_semantic_tier_end_to_end(
     spark, tmp_path, sem_store_dir, corpus_rows
 ):
@@ -698,7 +746,15 @@ def test_corpus_ingest_semantic_tier_end_to_end(
     text with a corpus-duplicate embedding drops at the semantic
     tier, and the FINAL survivor set alone reaches the lake, the
     text artifacts, and the vector index — all three surfaces agree.
-    Replaying the epoch is byte-identical."""
+    Replaying the epoch is byte-identical.
+
+    Soak tier (r12 verdict task 2 sanction): the run+replay pair of
+    4-tier epoch bodies costs ~33 s of job-count-bound store calls;
+    the unique single-pass assertion — tiered drops + 3-surface
+    agreement — stays in the default gate as
+    test_semantic_tier_single_pass_contract (replay identity of the
+    non-semantic composition stays default in
+    test_corpus_ingest_composes_dedup_and_ivf)."""
     from b3_analytics_engine_spark.streaming.pipeline import (
         corpus_ingest_micro_batch,
     )
@@ -743,6 +799,55 @@ def test_corpus_ingest_semantic_tier_end_to_end(
         ) == [0, 1, 2, 202]
     assert store.validate("c")["ok"]
     assert store.validate_ivf("c", n_centroids=2, iters=2)["ok"]
+
+
+def test_semantic_tier_single_pass_contract(
+    spark, tmp_path, sem_store_dir, corpus_rows
+):
+    """Default-gate residual for the relocated semantic-tier e2e (its
+    unique assertion at minimum cost): ONE 4-tier composed epoch —
+    the text near-dup drops at the MinHash tier, the corpus-duplicate
+    embedding drops at the semantic tier, and the lone survivor is
+    the only id added to lake, text artifacts, and vector index
+    alike. Replay identity of the composed body stays default-gate
+    in test_corpus_ingest_composes_dedup_and_ivf; the 4-tier replay
+    rides the soak twin."""
+    from b3_analytics_engine_spark.streaming.pipeline import (
+        corpus_ingest_micro_batch,
+    )
+
+    store = SignatureStore(spark, sem_store_dir, owner="ingest")
+    batch = local_df(spark, 
+        [
+            (200, corpus_rows[0][1], _vec(200)),            # exact tier
+            (201, "wholly novel prose regarding deep sea pressure "
+                  "adaptation in hadal snailfish populations",
+             _vec(1)),                                      # semantic tier
+            (202, "independent essay on the craft of dry stone "
+                  "walling across upland sheep country", _vec(777)),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out = str(tmp_path / "lake")
+    corpus_ingest_micro_batch(
+        batch, 0, store, "c", out,
+        threshold=0.5, semantic_threshold=0.999,
+        n_centroids=2, iters=2,
+    )
+    assert sorted(
+        (r["_epoch"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    ) == [(0, 202)]
+    assert sorted(
+        r["id"]
+        for r in store.fingerprints(None, "c").select("id").collect()
+    ) == [0, 1, 2, 202]
+    assert sorted(
+        r["id"]
+        for r in store.ivf_index(None, "c", n_centroids=2, iters=2)
+        .select("id")
+        .collect()
+    ) == [0, 1, 2, 202]
 
 
 @pytest.mark.soak
