@@ -787,6 +787,12 @@ class SignatureStore:
         built for it), the first call BUILDS it from ``df`` — that is
         the "stamp at build time" half of the contract; every later
         call verifies against it."""
+        if df is None:
+            raise ValueError(
+                "assert_fresh needs the frame being vouched for; "
+                "callers passing None are explicitly trusting the "
+                "artifacts and should skip the check"
+            )
         path = self.fingerprints_path(corpus)
         if not self._is_complete(path):
             self.fingerprints(df, corpus, id_col, text_col)
@@ -1691,7 +1697,12 @@ class SignatureStore:
         streaming ingest running with ``n_centroids=None`` adopts the
         new cell count on its NEXT epoch without stopping — the full
         grow-without-downtime maintenance loop. None (default)
-        disables each."""
+        disables each. If the escalation's target key is already held
+        by an INDEPENDENT family (an operator built a sibling at
+        exactly the auto-sized cell count), :meth:`ivf_rescale`
+        raises rather than merging into it — a maintenance/operator
+        collision is a configuration error to surface, not to route
+        around silently."""
         stats = self.ivf_cell_stats(corpus, n_centroids, iters)
         occupancy = (
             stats["total"] / stats["occupied"] if stats["occupied"] else 0.0
