@@ -1283,6 +1283,35 @@ class SignatureStore:
                     fams.append((int(nm[2:]), int(nm2[6:])))
         return sorted(fams)
 
+    def ivf_orphans(self, corpus: str) -> list[tuple[int, int]]:
+        """Families that look like RESCALE LEFTOVERS: a completed
+        family A whose key appears in another completed family's
+        ``_rescaled_from_<n>-<iters>`` provenance marker — i.e. the
+        rescale that produced the product family finished publishing
+        but (per the crash contract) may not have reached the
+        old-family GC. :meth:`ivf_rescale` documents that such an
+        orphan is harmless to readers and deleted manually; this is
+        the report that manual step starts from. A REPORT, not an
+        auto-GC: the same on-disk shape also arises when an operator
+        deliberately REBUILT the source family after a completed
+        rescale (the re-run path the provenance marker permits), and
+        only the operator knows which family current jobs read —
+        verify against the active marker (:meth:`ivf_active`) and
+        pinned consumer configs before deleting."""
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path
+        fams = set(self.ivf_families(corpus))
+        sources: set[tuple[int, int]] = set()
+        for n, it in fams:
+            ipath = self.ivf_index_path(corpus, n, it)
+            for st in fs.listStatus(hp(ipath)):
+                m = re.fullmatch(
+                    r"_rescaled_from_(\d+)-(\d+)", st.getPath().getName()
+                )
+                if m:
+                    sources.add((int(m.group(1)), int(m.group(2))))
+        return sorted(fams & sources)
+
     def ivf_centroids(
         self,
         df: DataFrame,

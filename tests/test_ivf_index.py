@@ -742,7 +742,10 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     store = ivf_store
     dim = len(emb.first()["embedding"])
     n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    assert store.ivf_orphans("emb") == []  # nothing rescaled yet
     store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # a CLEAN rescale GC'd its source: no orphan reported
+    assert store.ivf_orphans("emb") == []
 
     # simulate the crashed-attempt state: the new family exists with
     # a stray delta, and the source family is back on disk
@@ -753,6 +756,11 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     )
     store.ivf_append(stale, "emb", "stale-ep", n_centroids=32, iters=2)
     store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    # ...which is exactly the shape ivf_orphans exists to surface:
+    # the product (32,2) carries _rescaled_from_8-2 while (8,2) is
+    # back on disk — the manual-GC report the rescale docstring
+    # points operators at
+    assert store.ivf_orphans("emb") == [(8, 2)]
 
     store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
     ids = [
