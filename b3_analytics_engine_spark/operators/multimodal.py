@@ -213,26 +213,76 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL decoder for non-interlaced 8-bit PNG: stdlib-only
-    (``zlib`` inflate + ``struct``), no codec libs.
+# Adam7 interlace pass origins/strides (PNG spec §8.2): each pass is
+# an independently-filtered sub-image over the pixels at
+# (x0 + i*dx, y0 + j*dy); passes with zero width or height for a
+# given image size contribute NO bytes (not even filter bytes).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports the three 8-bit color types a training corpus actually
-    holds — 0 (grayscale, replicated to RGB), 2 (truecolor RGB) and
-    6 (RGBA, alpha dropped) — and implements the full per-scanline
-    unfiltering grammar (None/Sub/Up/Average/Paeth). Chunk CRCs are
-    verified, so a bit-flipped blob quarantines instead of decoding
-    to garbage. Returns ``(width, height, 3, rgb_bytes)`` — the same
-    contract as :func:`_parse_ppm`/:func:`_parse_bmp`, so every stats
-    path downstream is codec-agnostic. Raises ``ValueError`` on
-    anything malformed or unsupported (palette, 16-bit, interlaced).
+
+def _png_unfilter(raw, off: int, nrows: int, rowbytes: int, nch: int):
+    """Undo per-scanline filtering for one (sub)image: ``nrows`` rows
+    of ``rowbytes`` filtered bytes each starting at ``raw[off]``,
+    returning the unfiltered rows. The previous-row predictor starts
+    at zero — each Adam7 pass filters independently, so the caller
+    invokes this once per pass (and once for the whole raster when
+    non-interlaced, where it reproduces the sequential grammar
+    bit-for-bit)."""
+    prev = bytearray(rowbytes)
+    rows = []
+    for y in range(nrows):
+        base = off + y * (rowbytes + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + rowbytes])
+        if ftype == 1:  # Sub
+            for i in range(nch, rowbytes):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowbytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowbytes):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowbytes):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        rows.append(line)
+    return rows
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decoder for 8-bit PNG: stdlib-only (``zlib`` inflate +
+    ``struct``), no codec libs.
+
+    Supports the four 8-bit color types a training corpus actually
+    holds — 0 (grayscale, replicated to RGB), 2 (truecolor RGB),
+    3 (palette-indexed, mapped through PLTE) and 6 (RGBA, alpha
+    dropped) — progressive (Adam7 interlaced) as well as sequential,
+    and implements the full per-scanline unfiltering grammar
+    (None/Sub/Up/Average/Paeth; each interlace pass filtered
+    independently per spec). Chunk CRCs are verified, so a
+    bit-flipped blob quarantines instead of decoding to garbage.
+    Returns ``(width, height, 3, rgb_bytes)`` — the same contract as
+    :func:`_parse_ppm`/:func:`_parse_bmp`, so every stats path
+    downstream is codec-agnostic. Raises ``ValueError`` on anything
+    malformed or unsupported (16-bit, sub-8-bit palette, missing or
+    short PLTE, out-of-range palette index).
     """
     import struct
     import zlib
 
     if payload is None or len(payload) < 8 or payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (missing signature)")
-    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    pos, ihdr, idat, ended, plte = 8, None, bytearray(), False, None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         if pos + 12 + length > len(payload):
@@ -250,13 +300,21 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth} (need 8)")
-            if color not in (0, 2, 6):
+            if color not in (0, 2, 3, 6):
                 raise ValueError(f"unsupported color type {color}")
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace")
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            ihdr = (w, h, color)
+            ihdr = (w, h, color, interlace)
+        elif ctype == b"PLTE":
+            if ihdr is None:
+                raise ValueError("PLTE before IHDR")
+            if idat:
+                raise ValueError("PLTE after IDAT")
+            if length == 0 or length % 3 or length > 256 * 3:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = bytes(body)
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -267,10 +325,21 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if ihdr is None or not idat or not ended:
         raise ValueError("missing IHDR, IDAT or IEND")
-    w, h, color = ihdr
-    nch = {0: 1, 2: 3, 6: 4}[color]
+    w, h, color, interlace = ihdr
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * nch
-    expected = (stride + 1) * h
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if wp and hp:
+                passes.append((x0, y0, dx, dy, wp, hp))
+    expected = sum(hp * (wp * nch + 1) for *_, wp, hp in passes)
     # cap inflation at the declared raster size so a crafted
     # decompression bomb can't allocate beyond it, and surface any
     # corrupt deflate stream as the documented ValueError
@@ -289,36 +358,36 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         # byte count passes both checks above but never reaches the
         # deflate end marker (+ adler32 trailer) — reject it
         raise ValueError("truncated IDAT deflate stream (no stream end)")
-    prev = bytearray(stride)
+    raster = bytearray(h * stride)
+    off = 0
+    for x0, y0, dx, dy, wp, hp in passes:
+        rows = _png_unfilter(raw, off, hp, wp * nch, nch)
+        off += hp * (wp * nch + 1)
+        if interlace == 0:
+            for y, line in enumerate(rows):
+                raster[y * stride : (y + 1) * stride] = line
+        else:
+            for ry, line in enumerate(rows):
+                y = y0 + ry * dy
+                for rx in range(wp):
+                    at = (y * w + x0 + rx * dx) * nch
+                    raster[at : at + nch] = line[rx * nch : (rx + 1) * nch]
     out = bytearray()
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        )
-        if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
-                line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        prev = line
+        line = raster[y * stride : (y + 1) * stride]
         if color == 2:
             out += line
         elif color == 0:  # gray -> replicate to RGB
             for px in line:
                 out += bytes((px, px, px))
+        elif color == 3:  # palette index -> PLTE triple
+            for idx in line:
+                if idx * 3 + 3 > len(plte):
+                    raise ValueError(
+                        f"palette index {idx} beyond PLTE "
+                        f"({len(plte) // 3} entries)"
+                    )
+                out += plte[idx * 3 : idx * 3 + 3]
         else:  # RGBA -> drop alpha
             for i in range(0, stride, 4):
                 out += line[i : i + 3]
@@ -2524,19 +2593,21 @@ def encode_h264_annexb(
 # the contract ffprobe gives a curation pipeline.
 
 
-def _probe_png_header(payload: bytes) -> tuple[int, int, int]:
+def _probe_png_header(payload: bytes) -> tuple[int, int, int, int, int]:
     """Chunk walk of :func:`_parse_png` (CRC-verified, IHDR
-    constraints, IDAT/IEND presence) without inflating the raster.
-    Returns ``(width, height, nchannels)`` so the probe reports the
-    same channel layout the full decode would (gray=1, RGB=3,
-    RGBA=4)."""
+    constraints, PLTE-presence for palette, IDAT/IEND presence)
+    without inflating the raster. Returns ``(width, height,
+    nchannels, color_type, interlace)`` so the probe reports the
+    SOURCE channel layout the full decode would see (gray=1, RGB=3,
+    palette-index=1, RGBA=4) plus the color type and Adam7 flag the
+    profile string derives from."""
     import struct
     import zlib
 
     if payload is None or len(payload) < 8 or payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (missing signature)")
     mv = memoryview(payload)
-    pos, ihdr, idat_len, ended = 8, None, 0, False
+    pos, ihdr, idat_len, ended, plte_seen = 8, None, 0, False, False
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         if pos + 12 + length > len(payload):
@@ -2553,13 +2624,22 @@ def _probe_png_header(payload: bytes) -> tuple[int, int, int]:
             )
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth} (need 8)")
-            if color not in (0, 2, 6):
+            if color not in (0, 2, 3, 6):
                 raise ValueError(f"unsupported color type {color}")
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace")
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            ihdr = (w, h, {0: 1, 2: 3, 6: 4}[color])
+            ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[color], color,
+                    interlace)
+        elif ctype == b"PLTE":
+            if ihdr is None:
+                raise ValueError("PLTE before IHDR")
+            if idat_len:
+                raise ValueError("PLTE after IDAT")
+            if length == 0 or length % 3 or length > 256 * 3:
+                raise ValueError(f"bad PLTE length {length}")
+            plte_seen = True
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -2570,6 +2650,8 @@ def _probe_png_header(payload: bytes) -> tuple[int, int, int]:
         pos += 12 + length
     if ihdr is None or not idat_len or not ended:
         raise ValueError("missing IHDR, IDAT or IEND")
+    if ihdr[3] == 3 and not plte_seen:
+        raise ValueError("palette PNG missing PLTE")
     return ihdr
 
 
@@ -2715,8 +2797,11 @@ def _probe_one(payload: bytes) -> tuple:
     # drop — full pixel decode (and its stronger payload validation)
     # belongs to the *_decode_stats operators
     if payload[:8] == _PNG_MAGIC:
-        pw, ph, nc = _probe_png_header(payload)
-        return ("png", pw, ph, None, None, None, None, 1, 1, f"rgb{nc * 8}")
+        pw, ph, nc, pcolor, padam7 = _probe_png_header(payload)
+        profile = "pal8" if pcolor == 3 else f"rgb{nc * 8}"
+        if padam7:
+            profile += "-adam7"
+        return ("png", pw, ph, None, None, None, None, 1, 1, profile)
     if payload[:2] == b"\xff\xd8":
         pw, ph, nc = _probe_jpeg_header(payload)
         return ("jpeg", pw, ph, None, None, None, None, 1, 1, f"ycbcr{nc}")

@@ -1662,3 +1662,118 @@ def test_jpeg_truncation_fuzz_exhaustive():
         for cut in range(2, len(good)):
             with pytest.raises(ValueError):
                 _parse_jpeg(good[:cut])
+
+
+def test_png_adam7_and_palette_decode():
+    """The r13 decode-coverage extension: Adam7-interlaced and
+    palette-indexed 8-bit PNGs decode to the SAME (w, h, 3, rgb)
+    contract as their sequential/truecolor equivalents. The
+    interlaced fixtures are built by an in-test reference encoder
+    that filters each pass independently (rows after the first use
+    filter 2/Up), so the decoder's per-pass predictor reset — the
+    classic interlace bug class — is what the byte-for-byte equality
+    actually pins. Probe side: header-only walk reports the Adam7
+    flag and palette layout without inflating."""
+    import struct
+    import zlib
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_MAGIC,
+        _parse_png,
+        _probe_one,
+        _probe_png_header,
+        encode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def adam7_encode(w, h, nch, color, pix, plte=None):
+        """Reference interlaced writer: pix[(x, y)] -> nch bytes."""
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if not (wp and hp):
+                continue
+            prev = bytes(wp * nch)
+            for ry in range(hp):
+                line = b"".join(
+                    pix[(x0 + rx * dx, y0 + ry * dy)] for rx in range(wp)
+                )
+                if ry == 0:
+                    raw += b"\x00" + line
+                else:  # filter 2 (Up) against THIS pass's prior row
+                    raw += b"\x02" + bytes(
+                        (line[i] - prev[i]) & 0xFF for i in range(len(line))
+                    )
+                prev = line
+        out = _PNG_MAGIC + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+            b"IEND", b""
+        )
+
+    # truecolor 10x7 (odd dims -> partial/empty passes exercised)
+    w, h = 10, 7
+    pix = {
+        (x, y): bytes(((x * 16 + y) & 0xFF, (y * 16 + x) & 0xFF, (x + y) & 0xFF))
+        for x in range(w) for y in range(h)
+    }
+    flat = b"".join(pix[(x, y)] for y in range(h) for x in range(w))
+    inter = adam7_encode(w, h, 3, 2, pix)
+    assert _parse_png(inter) == (w, h, 3, flat)
+    assert _parse_png(inter) == _parse_png(encode_png(w, h, flat))
+    assert _probe_png_header(inter) == (w, h, 3, 2, 1)
+    assert _probe_one(inter)[-1] == "rgb24-adam7"
+
+    # grayscale 5x4 interlaced -> replicated to RGB
+    gw, gh = 5, 4
+    gpix = {(x, y): bytes(((x * 7 + y * 3) & 0xFF,))
+            for x in range(gw) for y in range(gh)}
+    gexp = b"".join(gpix[(x, y)] * 3 for y in range(gh) for x in range(gw))
+    assert _parse_png(adam7_encode(gw, gh, 1, 0, gpix)) == (gw, gh, 3, gexp)
+
+    # palette 5x3 sequential: indexes map through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    pw, ph = 5, 3
+    idx_rows = [bytes((x * 7 + y) % 4 for x in range(pw)) for y in range(ph)]
+    seq = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", pw, ph, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(
+            b"".join(b"\x00" + r for r in idx_rows)))
+        + chunk(b"IEND", b"")
+    )
+    pexp = b"".join(
+        plte[i * 3 : i * 3 + 3] for r in idx_rows for i in r
+    )
+    assert _parse_png(seq) == (pw, ph, 3, pexp)
+    assert _probe_png_header(seq) == (pw, ph, 1, 3, 0)
+    assert _probe_one(seq)[-1] == "pal8"
+
+    # palette + Adam7 combined
+    ppix = {(x, y): bytes(((x * 7 + y) % 4,))
+            for x in range(pw) for y in range(ph)}
+    assert _parse_png(
+        adam7_encode(pw, ph, 1, 3, ppix, plte=plte)
+    ) == (pw, ph, 3, pexp)
+
+    # an index beyond the palette quarantines, never garbage-decodes
+    bad = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([1, 2, 3]))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        _parse_png(bad)

@@ -425,7 +425,7 @@ def test_probe_png_is_header_only_but_structurally_strict():
 
     blob = _crafted_png_bad_deflate()
     # structure valid -> probe accepts with dims; full decode rejects
-    assert _probe_png_header(blob) == (4, 4, 3)
+    assert _probe_png_header(blob) == (4, 4, 3, 2, 0)
     with pytest.raises(ValueError, match="inflated size"):
         _parse_png(blob)
     # structural corruption still fails the probe: flip one IDAT byte
