@@ -48,46 +48,43 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-13 front window (round 12 went 50/50
-# green; exactly the rotation the r12 verdict prescribed):
-# (a) value_histogram — newest external green round 9, the unique
-# 3-round-stale query (the r12 verdict named it round-13 front of
+# external evidence. Round-14 front window (round 13 went 50/50
+# green; exactly the rotation the r13 verdict prescribed):
+# (a) topk_per_group — newest external green round 10, uniquely
+# 4 rounds stale at r14 (the r13 verdict named it round-14 front of
 # line);
-# (b) 49 of the round-10-newest cohort, weakest-evidence-first
+# (b) 49 of the round-11-newest cohort, weakest-evidence-first
 # (fewest external greens, then registration order) as computed by
-# tools/rotation_report.py.
+# tools/rotation_report.py on the r13 CORRECTNESS file.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r9 — 3 rounds stale (1)
-    "value_histogram",
-    # (b) newest external green r10, weakest-evidence-first (49)
-    "lang_mismatch_audit", "filter_project", "pii_redact",
-    "quarantine_rows", "semi_anti_join", "shard_assignment",
-    "shipmode_priority", "shipping_priority", "sliding_window_agg",
-    "small_order_quantity", "sql_interface_revenue", "tfidf_topterms",
-    "time_range_filter", "time_rollup_hierarchy",
-    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
-    "chunk_documents", "corpus_curation", "data_quality_report",
-    "decontaminate", "dedup_exact", "distribution_rank",
-    "dup_cluster_keep", "incremental_agg_merge", "sequence_packing",
-    "skew_salted_join", "snapshot_diff_feed", "stratified_sample",
-    "trade_pagerank", "vocab_topk", "window_dedup",
-    "winsorized_stats", "asof_join", "cohort_retention",
-    "gap_fill_forward", "grouped_zscore", "lang_id",
-    "latest_per_key", "max_drawdown", "multimodal_features",
-    "multimodal_frame_plan", "ngram_jaccard_pairs",
-    "pivot_daily_mean", "rolling_volatility", "session_windows",
-    "snapshot_join", "text_fingerprint", "text_quality",
+    # (a) newest external green r10 — 4 rounds stale (1)
+    "topk_per_group",
+    # (b) newest external green r11, weakest-evidence-first (49)
+    "acf_per_key", "anomaly_mad", "audio_decode_stats",
+    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
+    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
+    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
+    "event_transitions", "fuzzy_levenshtein_pairs",
+    "image_decode_stats", "image_resize_stats", "k_anonymity",
+    "key_skew_audit", "ks_drift", "mixture_rebalance",
+    "negative_sampling", "ngram_novelty", "ohlc_bars", "oov_rate",
+    "pmi_collocations", "png_decode_stats", "psi_drift",
+    "scd2_history", "semantic_dedup", "source_overlap",
+    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
+    "char_entropy", "duplicated_spans", "embedding_neardup",
+    "min_cost_supplier", "regional_revenue", "tumbling_window_agg",
+    "corr_matrix", "cosine_topk", "cube_revenue",
+    "dedup_minhash_lsh", "dedup_simhash", "incident_window_join",
+    "repetition_ratio", "rollup_revenue", "union_dedup_keeplast",
+    "warehouse_metrics",
 )
-# Outside this window: the round-11 and round-12 cohorts (checked one
-# and zero rounds ago — the freshest evidence possible) plus the one
-# r10-cohort member the 50 slots could not hold (topk_per_group, the
-# strongest-evidence r10 member — 5 external greens; round-14 front of
-# line if not displaced). After this round no
-# query's newest external green is older than round 11 (≤2 rounds
-# stale) — inside the 3-round staleness ceiling the rotation cycle is
-# designed to hold. All registered queries are re-checked by
-# tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
-# pins every query's physical scan counts.
+# Outside this window: the round-12 and round-13 cohorts (checked one
+# and zero rounds ago — the freshest evidence possible). After this
+# round no query's newest external green is older than round 12
+# (≤2 rounds stale) — inside the 3-round staleness ceiling the
+# rotation cycle is designed to hold. All registered queries are
+# re-checked by tests/test_oracle_parity.py every run, and
+# tests/test_scan_audit.py pins every query's physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:
