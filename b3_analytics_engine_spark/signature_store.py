@@ -423,6 +423,27 @@ class SignatureStore:
             return set()
         return {st.getPath().getName() for st in fs.listStatus(froot)}
 
+    def _rescale_markers(self, path: str) -> set[str]:
+        """``_rescaled_from_<n>-<iters>`` provenance markers published
+        inside an IVF index base by :meth:`ivf_rescale`. Every base
+        REWRITE (compact, retrain) must carry them into the staged
+        replacement exactly like the ``_folded`` ledger — a rewrite
+        that drops them makes :meth:`ivf_orphans` return false
+        negatives and makes a crashed-rescale re-run misread the
+        family as an independent sibling (raising the guard the
+        marker exists to satisfy)."""
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        hp = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(hp(path)):
+            return set()
+        return {
+            st.getPath().getName()
+            for st in fs.listStatus(hp(path))
+            if re.fullmatch(
+                r"_rescaled_from_\d+-\d+", st.getPath().getName()
+            )
+        }
+
     #: file-count ceiling per delta directory. A batch is orders of
     #: magnitude smaller than the corpus, but its frame inherits the
     #: session's partition count — without a coalesce, thousands of
@@ -745,22 +766,55 @@ class SignatureStore:
 
     @staticmethod
     def _content_stamp(pairs: DataFrame) -> str:
-        """Order-insensitive content hash of an ``(id, fp)`` frame:
-        row count + bit-XOR of per-row ``xxhash64(id, fp)``. XOR is
-        commutative (no ordering assumption) and never overflows
-        (ANSI-safe where a SUM of hashes would throw); the count
-        disambiguates the duplicate-pair cancellation XOR alone would
-        miss. One narrow scan, two longs back to the driver."""
+        """Order-insensitive, duplicate-sensitive content hash of an
+        ``(id, fp)`` frame: row count + bit-XOR + decimal SUM of
+        per-row ``xxhash64(id, fp)``. XOR and SUM are both
+        commutative (no ordering assumption); the SUM closes the
+        multiset hole count+XOR alone has (two frames differing by
+        XOR-cancelling duplicate PAIRS — doc A twice in one frame,
+        doc B twice in the other, rest equal — share count and XOR,
+        but their hash sums differ by ``2*(h_A - h_B)``). The SUM is
+        ANSI-safe via decimal(38,0): |sum| ≤ n·2^63, inside decimal
+        range for any realistic n. One narrow scan, three scalars
+        back to the driver."""
         row = (
             pairs.select(F.xxhash64("id", "fp").alias("h"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.bit_xor("h").alias("x"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
             )
             .first()
         )
         x = row["x"] if row["x"] is not None else 0
-        return f"{row['n']}:{x & 0xFFFFFFFFFFFFFFFF:016x}"
+        s = row["s"] if row["s"] is not None else 0
+        return f"{row['n']}:{x & 0xFFFFFFFFFFFFFFFF:016x}:{int(s)}"
+
+    #: artifact-family directory names derived from corpus TEXT; the
+    #: fingerprint table vouches for all of them, so assert_fresh's
+    #: first-call stamp is only safe when none of these exist yet
+    _TEXT_ARTIFACT_FAMILIES = (
+        "hashed_postings",
+        "minhash_signatures",
+        "doc_sizes",
+        "band_census",
+        "simhash_signatures",
+        "simhash_census",
+    )
+
+    def _nonfingerprint_artifact_roots(self, corpus: str) -> list[str]:
+        """Text-derived artifact families (other than fingerprints)
+        that already have ANY on-disk layout for ``corpus``. Directory
+        presence, not ``_SUCCESS``, is the signal: even a partial
+        build means text was processed whose content the frame in
+        hand cannot vouch for."""
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path
+        return [
+            fam
+            for fam in self._TEXT_ARTIFACT_FAMILIES
+            if fs.exists(hp(os.path.join(self.root, fam, corpus)))
+        ]
 
     def assert_fresh(
         self,
@@ -778,15 +832,26 @@ class SignatureStore:
         benchmark) would otherwise silently get answers computed from
         the OLD content. No stamp file is stored: the fingerprint
         artifact (md5 per normalized text, already part of every
-        corpus) IS the content stamp, so the check also covers stores
-        built before this method existed. Cost: one narrow artifact
+        corpus) IS the content stamp. Cost: one narrow artifact
         scan + one ``df`` fingerprint pass — run it when handing a
         frame to a store-backed reader, skip it when passing None
-        (explicitly trusting the artifacts). If the corpus has no
-        fingerprint artifact yet (e.g. only postings/signatures were
-        built for it), the first call BUILDS it from ``df`` — that is
-        the "stamp at build time" half of the contract; every later
-        call verifies against it."""
+        (explicitly trusting the artifacts).
+
+        First-call semantics: if the corpus has NO artifacts at all
+        yet, the call builds the fingerprint table from ``df`` — the
+        "stamp at build time" half of the contract; every later call
+        verifies against it. But if other text-derived artifacts
+        (postings / signatures / sizes / census / simhash) already
+        exist WITHOUT a fingerprint table — a store built before
+        fingerprints existed, or a partial build — the call RAISES
+        instead of stamping: a stamp built from the frame in hand
+        would certify whatever ``df`` is NOW as "the" corpus content
+        while every other artifact still describes whatever the
+        corpus was WHEN THOSE WERE BUILT, and the (possibly stale)
+        stamp would then match forever after. The caller must either
+        ``refresh_all(df, corpus, ...)`` (rebuilding every artifact
+        from ``df`` so stamp and store are one snapshot) or register
+        the content under a new corpus name."""
         if df is None:
             raise ValueError(
                 "assert_fresh needs the frame being vouched for; "
@@ -795,6 +860,18 @@ class SignatureStore:
             )
         path = self.fingerprints_path(corpus)
         if not self._is_complete(path):
+            stale = self._nonfingerprint_artifact_roots(corpus)
+            if stale:
+                raise ValueError(
+                    f"corpus {corpus!r} has text-derived artifacts "
+                    f"({', '.join(stale)}) but no fingerprint table — "
+                    "a store built before fingerprints existed (or a "
+                    "partial build). Stamping fingerprints from the "
+                    "frame in hand would certify it against artifacts "
+                    "built from possibly-different content; rebuild "
+                    f"everything with refresh_all(df, {corpus!r}) or "
+                    "register the content under a new corpus name."
+                )
             self.fingerprints(df, corpus, id_col, text_col)
             return
         expected = self._content_stamp(
@@ -1172,9 +1249,13 @@ class SignatureStore:
         w.parquet(tmp)
         # markers ride the staging dir into the atomic swap: the
         # folded rows and the folded-ness of their deltas publish
-        # together or not at all (ledger = newly folded ∪ all prior)
+        # together or not at all (ledger = newly folded ∪ all prior);
+        # rescale provenance markers ride the same swap or ivf_orphans
+        # and the rescale re-run guard lose their record
         for nm in ledger:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        for nm in self._rescale_markers(path):
+            fs.create(hp(os.path.join(tmp, nm)), True).close()
         replace_directory(self.spark, tmp, path)
         for nm in names:  # GC; markers make this safe to crash
             fs.delete(hp(os.path.join(droot, nm)), True)
@@ -1642,6 +1723,10 @@ class SignatureStore:
         ).parquet(tmp)
         for nm in ledger:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
+        # rescale provenance survives the retrain rewrite (same
+        # carry-forward contract as the _folded ledger)
+        for nm in self._rescale_markers(ipath):
+            fs.create(hp(os.path.join(tmp, nm)), True).close()
         # centroids first, index second (see crash contract above)
         self._write_atomic(
             self.spark.createDataFrame(
@@ -1797,14 +1882,33 @@ class SignatureStore:
         provenance marker inside the base): an independent completed
         sibling family there raises, because replacing its base while
         its delta tree survives would merge stale deltas into every
-        read of the rebuilt family.
+        read of the rebuilt family. A marker-bearing family whose
+        delta root holds epochs BEYOND the current ``exclude`` also
+        raises: the prior run reached activation and streams have
+        committed to the new family since, so a re-run would discard
+        those epochs — recovery there is GC'ing the leftover source
+        family (:meth:`ivf_orphans`), not re-running.
 
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
         before the GC leaves both families intact and readable, and
         re-running the rescale is idempotent (every write is a staged
-        wholesale replace). Callers that pinned the old cell count
-        must switch to ``new_n_centroids`` — that is the point.
+        wholesale replace) — UNLESS post-activation epochs have
+        already landed on the new family, in which case the re-run
+        refuses (see above) and manual old-family GC is the recovery.
+        Callers that pinned the old cell count must switch to
+        ``new_n_centroids`` — that is the point.
+
+        Recall at the new cell count: with nprobe held, each probe
+        covers a ``n_centroids/new_n_centroids`` smaller corpus
+        fraction. For the uniform-growth case the occupancy gate
+        targets, measured recall@5 at nprobe=1 HELD through a 16→96
+        rescale (`tools/growth_ab.py`): in-distribution queries'
+        neighbors co-locate with them under the finer quantizer too.
+        Recall-sensitive consumers should still scale nprobe with the
+        cell count (hold nprobe/cells constant); the rescale keeps
+        per-cell occupancy at target, so probe cost stays
+        O(nprobe × occupancy target) either way.
 
         Returns the number of deltas folded into the new base."""
         import numpy as np
@@ -1883,11 +1987,38 @@ class SignatureStore:
             ncpath,
         )
         # a crashed PRIOR run of this same rescale may have published
-        # the base and an exclude-epoch delta already; its delta tree
-        # is stale relative to the base we are about to publish and
-        # must not union into reads of the rebuilt family
+        # the base and an exclude-epoch delta already; that delta is
+        # stale relative to the base we are about to publish and must
+        # not union into reads of the rebuilt family. But ONLY the
+        # current exclude epoch (and staging leftovers) may be swept:
+        # if the prior run got as far as ivf_set_active, later stream
+        # epochs have appended LEGITIMATE deltas here — this family
+        # already serves reads, and re-running the rescale would
+        # rebuild from the OLD family's rows while silently discarding
+        # those epochs' vectors. Refuse; the recovery for a
+        # crashed-after-activation rescale is to GC the old family
+        # (see ivf_orphans), not to re-run the rescale.
         ndroot = self._delta_root(npath)
         if fs.exists(hp(ndroot)):
+            foreign = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(hp(ndroot))
+                if st.isDirectory()
+                and st.getPath().getName() != exclude
+                and not st.getPath().getName().endswith("__staging")
+            )
+            if foreign:
+                raise ValueError(
+                    f"target IVF family n_centroids={new_n_centroids}, "
+                    f"iters={iters} for corpus {corpus!r} has live "
+                    f"delta epochs {foreign} beyond the current "
+                    f"exclude epoch — a prior run of this rescale "
+                    "activated the family and streams have committed "
+                    "to it since. Re-running the rescale would discard "
+                    "those epochs; GC the leftover source family "
+                    "instead (see ivf_orphans) and keep serving from "
+                    "the already-published one."
+                )
             fs.delete(hp(ndroot), True)
         replace_directory(self.spark, tmp, npath)
         if exclude is not None:
@@ -2190,18 +2321,41 @@ class SignatureStore:
           build and append — surface here rather than as silent
           recall loss).
 
-        Same return contract as :meth:`validate`; cost is one scan of
-        the (narrow) index plus an Arrow re-assign, never a probe
-        fan-out."""
+        Same return contract as :meth:`validate` plus a ``warnings``
+        list: rescale-leftover families (:meth:`ivf_orphans`) are
+        reported there — a WARNING, not a failure, because the same
+        on-disk shape also arises from a deliberate source-family
+        rebuild after a completed rescale (see the ivf_orphans
+        docstring); only the operator knows which family current jobs
+        read, so the fsck surfaces the leftover rather than failing
+        on it. Cost is one scan of the (narrow) index plus an Arrow
+        re-assign, never a probe fan-out."""
         errors: list[str] = []
+        warnings: list[str] = []
         counts: dict[str, object] = {}
+        orphans = self.ivf_orphans(corpus)
+        counts["rescale_orphans"] = orphans
+        if orphans:
+            warnings.append(
+                f"rescale-leftover IVF families for corpus {corpus!r}: "
+                + ", ".join(
+                    f"n_centroids={n}, iters={i}" for n, i in orphans
+                )
+                + " — each appears as a _rescaled_from source of a "
+                "completed family. Harmless to readers; verify against "
+                "ivf_active() and pinned consumer configs, then GC "
+                "manually (see ivf_orphans)."
+            )
         cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
         ipath = self.ivf_index_path(corpus, n_centroids, iters)
         if not self._is_complete(cpath) or not self._is_complete(ipath):
+            counts["centroids"] = "absent"
+            counts["index"] = "absent"
             return {
                 "ok": False,
                 "errors": [f"IVF artifacts absent for corpus {corpus!r}"],
-                "counts": {"centroids": "absent", "index": "absent"},
+                "warnings": warnings,
+                "counts": counts,
             }
         C = self.ivf_centroids(None, corpus, n_centroids=n_centroids,
                                iters=iters)
@@ -2247,4 +2401,9 @@ class SignatureStore:
                 f"{misassigned} rows not in their nearest cell under the "
                 "current quantizer (stale/foreign-centroid append?)"
             )
-        return {"ok": not errors, "errors": errors, "counts": counts}
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "counts": counts,
+        }

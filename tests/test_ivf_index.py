@@ -737,32 +737,55 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     """A family the rescale itself produced (identified by the
     `_rescaled_from` provenance marker) may be wholesale-replaced by
     re-running the same rescale — the crash-recovery contract — and
-    any delta tree left by the crashed attempt is cleared, never
-    unioned into reads of the rebuilt base."""
+    the crashed attempt's own in-flight-epoch delta is swept, never
+    unioned into reads of the rebuilt base. The sweep is SURGICAL:
+    a delta epoch BEYOND the re-run's exclude means the prior run
+    reached activation and streams have committed to the family
+    since, so the re-run refuses rather than silently discarding
+    those epochs' vectors (r13 advice). validate_ivf surfaces the
+    leftover source family as a warning either way."""
     store = ivf_store
     dim = len(emb.first()["embedding"])
     n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
     assert store.ivf_orphans("emb") == []  # nothing rescaled yet
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["warnings"] == []
     store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
     # a CLEAN rescale GC'd its source: no orphan reported
     assert store.ivf_orphans("emb") == []
 
     # simulate the crashed-attempt state: the new family exists with
-    # a stray delta, and the source family is back on disk
+    # an in-flight epoch's delta, and the source family is back on
+    # disk
     stale = local_df(
         spark,
         [(96000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
         "vec_id long, embedding array<float>",
     )
-    store.ivf_append(stale, "emb", "stale-ep", n_centroids=32, iters=2)
+    store.ivf_append(stale, "emb", "inflight-ep", n_centroids=32, iters=2)
     store.ivf_index(emb, "emb", n_centroids=8, iters=2)
     # ...which is exactly the shape ivf_orphans exists to surface:
     # the product (32,2) carries _rescaled_from_8-2 while (8,2) is
     # back on disk — the manual-GC report the rescale docstring
-    # points operators at
+    # points operators at, now ALSO carried in the fsck result
     assert store.ivf_orphans("emb") == [(8, 2)]
+    fsck = store.validate_ivf("emb", n_centroids=32, iters=2)
+    assert fsck["ok"]  # a warning, not a failure
+    assert fsck["counts"]["rescale_orphans"] == [(8, 2)]
+    assert len(fsck["warnings"]) == 1
+    assert "n_centroids=8" in fsck["warnings"][0]
 
-    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # a re-run that does NOT name the epoch must refuse: for all it
+    # knows, that delta is a post-activation stream commit whose
+    # vectors a rebuild from the source family would discard
+    with pytest.raises(ValueError, match="inflight-ep"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+
+    # naming it as the exclude epoch is the crashed-attempt recovery:
+    # that delta is this rescale's own stale output and is swept
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        exclude="inflight-ep",
+    )
     ids = [
         r["id"] for r in store.ivf_index(
             None, "emb", n_centroids=32, iters=2
@@ -772,6 +795,44 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     # duplicates, nothing lost
     assert len(ids) == len(set(ids)) == n0
     assert not any(i >= 96000 for i in ids)
+    res = store.validate_ivf("emb", n_centroids=32, iters=2)
+    assert res["ok"]
+    # source family GC'd by the clean re-run: warning gone
+    assert res["warnings"] == []
+
+
+def test_rescale_marker_survives_compact_and_retrain(spark, emb, ivf_store):
+    """`_rescaled_from` provenance rides base REWRITES: ivf_compact
+    and ivf_retrain rebuild the index base via a staged swap, and a
+    swap that dropped the marker would (a) blind ivf_orphans to the
+    leftover source family and (b) make a crashed-rescale re-run
+    misread its own product as an independent sibling and raise —
+    breaking the documented idempotent recovery (r13 advice)."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # crashed-before-GC shape: source family back on disk
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    assert store.ivf_orphans("emb") == [(8, 2)]
+
+    # compact rewrites the product family's base — marker must ride
+    extra = local_df(
+        spark,
+        [(97000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(extra, "emb", "ep-a", n_centroids=32, iters=2)
+    assert store.ivf_compact("emb", n_centroids=32, iters=2) == 1
+    assert store.ivf_orphans("emb") == [(8, 2)]
+
+    # retrain rewrites it again — marker must still ride
+    store.ivf_retrain("emb", n_centroids=32, iters=2)
+    assert store.ivf_orphans("emb") == [(8, 2)]
+
+    # and the sibling guard still recognizes the family as this
+    # rescale's own product: the re-run replaces it instead of
+    # raising 'independent family'
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
 
 

@@ -275,6 +275,66 @@ def test_cross_decontamination_fails_loud_on_revised_eval_suite(
         store.assert_fresh(revised_text, "evalset")
 
 
+def test_assert_fresh_refuses_prefingerprint_store(spark, docs, tmp_path):
+    """A corpus with postings/signatures but NO fingerprint table (a
+    store built before assert_fresh existed, or a partial build) must
+    not be silently stamped: fingerprints built from the frame in
+    hand would certify possibly-revised content against artifacts
+    computed from the OLD text, and the stale stamp would then match
+    forever (r13 advice, medium). refresh_all is the sanctioned
+    repair — it rebuilds every artifact from the frame, after which
+    assert_fresh passes/fails on real content identity again."""
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    store.postings(eval_df, "evalset")
+    store.signatures(eval_df, "evalset")
+    assert not store._is_complete(store.fingerprints_path("evalset"))
+
+    # even the UNCHANGED frame raises: without the fingerprint
+    # artifact, content identity with the postings is unprovable
+    with pytest.raises(ValueError, match="no fingerprint"):
+        store.assert_fresh(eval_df, "evalset")
+    # and nothing was stamped by the failed check
+    assert not store._is_complete(store.fingerprints_path("evalset"))
+
+    revised = eval_df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" revised"))
+    )
+    with pytest.raises(ValueError, match="no fingerprint"):
+        store.assert_fresh(revised, "evalset")
+
+    store.refresh_all(eval_df, "evalset")
+    store.assert_fresh(eval_df, "evalset")  # one snapshot again
+    with pytest.raises(ValueError, match="stale"):
+        store.assert_fresh(revised, "evalset")
+
+
+def test_content_stamp_detects_xor_cancelling_duplicate_pairs(spark):
+    """count + bit-XOR alone is blind to frames differing by
+    XOR-cancelling duplicate PAIRS — (A, A, C) vs (B, B, C) have
+    equal counts and h^h == 0 on both sides, so the old stamp
+    collided on genuinely different content. The decimal hash-SUM
+    term separates them (2·h(A)+h(C) vs 2·h(B)+h(C)) while staying
+    order-insensitive and ANSI-safe (r13 advice)."""
+    a = local_df(
+        spark,
+        [("A", "fa"), ("A", "fa"), ("C", "fc")],
+        "id string, fp string",
+    )
+    b = local_df(
+        spark,
+        [("B", "fb"), ("B", "fb"), ("C", "fc")],
+        "id string, fp string",
+    )
+    sa = SignatureStore._content_stamp(a)
+    sb = SignatureStore._content_stamp(b)
+    # same count, same XOR — the sum term is what distinguishes them
+    assert sa.split(":")[:2] == sb.split(":")[:2]
+    assert sa != sb
+    # order-insensitivity still holds
+    assert SignatureStore._content_stamp(a.orderBy(F.desc("id"))) == sa
+
+
 def test_store_guardrails(spark, docs, tmp_path):
     store = SignatureStore(spark, str(tmp_path / "store"))
     with pytest.raises(ValueError, match="minhash"):

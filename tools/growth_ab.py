@@ -22,8 +22,12 @@ Queries are base-region vectors, nprobe=1.
 
 Reported per phase: balance (shows the old gate's blind spot stays
 ~1 throughout), MEAN ROWS one query's probe scans, min-of-N probe
-wall time; plus the miss/fire verdict of each gate and the one-time
-rescale cost.
+wall time, and recall@5 vs the exact brute-force neighbors over the
+SAME live corpus view (the knob interaction the occupancy A/B alone
+misses: the auto-rescale multiplies the cell count while nprobe
+stays fixed, so each probe covers a smaller fraction of the corpus —
+this column measures what that does to recall); plus the miss/fire
+verdict of each gate and the one-time rescale cost.
 
 Usage: python tools/growth_ab.py  [SPARK_GRAFT_SF_DIR=...]
 """
@@ -59,6 +63,7 @@ def main() -> None:
 
     from b3_analytics_engine_spark.operators.similarity import (
         cosine_ann_ivf_indexed,
+        cosine_topk_bruteforce,
         ivf_assignments,
     )
     from b3_analytics_engine_spark.session import get_spark
@@ -139,6 +144,27 @@ def main() -> None:
             _unpersist_all(spark)
             return dt
 
+        def recall5(cells=N_CELLS):
+            # recall@5 of the nprobe=1 probe vs the exact neighbors
+            # over the SAME live (base+deltas) corpus view
+            live = store.ivf_index(
+                None, "c", n_centroids=cells, iters=ITERS
+            ).select(
+                F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+            )
+            exact = cosine_topk_bruteforce(live, queries, k=5).select(
+                "query_id", "neighbor_id"
+            )
+            hits = (
+                probe(cells)
+                .select("query_id", "neighbor_id")
+                .join(exact, ["query_id", "neighbor_id"])
+                .count()
+            )
+            total = exact.count()
+            _unpersist_all(spark)
+            return hits / total if total else float("nan")
+
         total = (GROWTH_MULT + 1) * n_base
         target = base_occ * 1.5  # allow 50% growth per cell, then repair
         print(
@@ -147,21 +173,21 @@ def main() -> None:
             f"occupancy_target={target:.0f}"
         )
         print(f"{'phase':>14s} {'balance':>8s} {'rows/query':>11s} "
-              f"{'probe sec':>10s}")
+              f"{'probe sec':>10s} {'recall@5':>9s}")
         probe().write.format("noop").mode("overwrite").save()  # warm
         _unpersist_all(spark)
 
         rows, stats = rows_scanned()
         sec = min(timed_probe() for _ in range(N))
         print(f"{'base':>14s} {stats['balance']:8.2f} {rows:11d} "
-              f"{sec:10.3f}s")
+              f"{sec:10.3f}s {recall5():9.3f}")
 
         store.ivf_append(grown(GROWTH_MULT), "c", "growth",
                          n_centroids=N_CELLS, iters=ITERS)
         rows, stats = rows_scanned()
         sec = min(timed_probe() for _ in range(N))
         print(f"{'grown 9x':>14s} {stats['balance']:8.2f} {rows:11d} "
-              f"{sec:10.3f}s")
+              f"{sec:10.3f}s {recall5():9.3f}")
 
         # the pre-r13 configuration: balance-gated only -> must MISS
         miss = store.ivf_maybe_retrain(
@@ -191,7 +217,7 @@ def main() -> None:
         rows, stats = rows_scanned(cells)
         sec = min(timed_probe(cells) for _ in range(N))
         print(f"{'rescaled':>14s} {stats['balance']:8.2f} {rows:11d} "
-              f"{sec:10.3f}s")
+              f"{sec:10.3f}s {recall5(cells):9.3f}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

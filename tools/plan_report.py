@@ -88,6 +88,33 @@ PLAN_INTENT = {
         "(retrain/rescale) holds at target as the corpus grows; "
         "vec_id pushdown at the scan"
     ),
+    "source_overlap": (
+        "dominant stage: ONE distinct (group, shingle) projection of "
+        "the shared inverted index — the only corpus-sized pass; "
+        "after it each shingle has <= n_groups postings, so the "
+        "shingle-keyed self-join fans out <= groups^2 rows per "
+        "shingle into a map-side-combinable groups^2-key aggregate. "
+        "The SMJ is that self-join, deliberately: the distinct "
+        "shingle set scales with corpus vocabulary and can exceed "
+        "broadcast at 100x"
+    ),
+    "data_quality_report": (
+        "four audit families, each compiled to scan -> single "
+        "aggregate: the rule checks share ONE lineitem scan (stack "
+        "wide->long — adding a rule adds an expression, never a "
+        "pass), PK uniqueness is count vs count_distinct in one agg, "
+        "and both FK checks broadcast only the DISTINCT parent keys "
+        "under the fact scan — at 100x every branch is one pass over "
+        "its fact table, no fact-to-fact shuffle anywhere"
+    ),
+    "media_curation_pipeline": (
+        "probe-once filter-before-decode: ONE header-level Arrow "
+        "probe scan (mapInPandas, payload bytes never shuffle) feeds "
+        "all three cuts, so rejected/quarantined media never reach "
+        "payload decode; the plan's only exchange is the final "
+        "3-row outcome count — at 100x cost is one pass over the "
+        "media bytes regardless of cut fractions"
+    ),
 }
 
 
