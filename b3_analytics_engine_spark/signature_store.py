@@ -790,17 +790,25 @@ class SignatureStore:
         s = row["s"] if row["s"] is not None else 0
         return f"{row['n']}:{x & 0xFFFFFFFFFFFFFFFF:016x}:{int(s)}"
 
-    #: artifact-family directory names derived from corpus TEXT; the
-    #: fingerprint table vouches for all of them, so assert_fresh's
-    #: first-call stamp is only safe when none of these exist yet
-    _TEXT_ARTIFACT_FAMILIES = (
-        "hashed_postings",
-        "minhash_signatures",
-        "doc_sizes",
-        "band_census",
-        "simhash_signatures",
-        "simhash_census",
-    )
+    def _text_artifact_families(self) -> tuple[str, ...]:
+        """Directory names of every text-derived artifact family
+        (other than fingerprints), DERIVED from the ``*_path``
+        helpers so there is one source of truth — a new family added
+        to the helpers is automatically covered by assert_fresh's
+        pre-fingerprint guard; a hardcoded mirror list would silently
+        drop it and re-open the stale-stamp hole."""
+        probe = "_family_probe_"
+        return tuple(dict.fromkeys(
+            os.path.relpath(p, self.root).split(os.sep)[0]
+            for p in (
+                self.postings_path(probe),
+                self.signatures_path(probe),
+                self.sizes_path(probe),
+                self.band_census_path(probe),
+                self.simhash_path(probe),
+                self.simhash_census_path(probe),
+            )
+        ))
 
     def _nonfingerprint_artifact_roots(self, corpus: str) -> list[str]:
         """Text-derived artifact families (other than fingerprints)
@@ -812,7 +820,7 @@ class SignatureStore:
         hp = jvm.org.apache.hadoop.fs.Path
         return [
             fam
-            for fam in self._TEXT_ARTIFACT_FAMILIES
+            for fam in self._text_artifact_families()
             if fs.exists(hp(os.path.join(self.root, fam, corpus)))
         ]
 
@@ -1379,18 +1387,14 @@ class SignatureStore:
         only the operator knows which family current jobs read —
         verify against the active marker (:meth:`ivf_active`) and
         pinned consumer configs before deleting."""
-        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
-        hp = jvm.org.apache.hadoop.fs.Path
         fams = set(self.ivf_families(corpus))
         sources: set[tuple[int, int]] = set()
         for n, it in fams:
-            ipath = self.ivf_index_path(corpus, n, it)
-            for st in fs.listStatus(hp(ipath)):
-                m = re.fullmatch(
-                    r"_rescaled_from_(\d+)-(\d+)", st.getPath().getName()
-                )
-                if m:
-                    sources.add((int(m.group(1)), int(m.group(2))))
+            for nm in self._rescale_markers(
+                self.ivf_index_path(corpus, n, it)
+            ):
+                m = re.fullmatch(r"_rescaled_from_(\d+)-(\d+)", nm)
+                sources.add((int(m.group(1)), int(m.group(2))))
         return sorted(fams & sources)
 
     def ivf_centroids(
@@ -1882,12 +1886,17 @@ class SignatureStore:
         provenance marker inside the base): an independent completed
         sibling family there raises, because replacing its base while
         its delta tree survives would merge stale deltas into every
-        read of the rebuilt family. A marker-bearing family whose
-        delta root holds epochs BEYOND the current ``exclude`` also
-        raises: the prior run reached activation and streams have
-        committed to the new family since, so a re-run would discard
-        those epochs — recovery there is GC'ing the leftover source
-        family (:meth:`ivf_orphans`), not re-running.
+        read of the rebuilt family. A marker-bearing family holding
+        epochs this rebuild cannot reproduce ALSO raises, before any
+        mutation — whether those epochs are live delta dirs beyond
+        the current ``exclude`` or were already folded into the
+        target's base by a later compact/retrain (detected via its
+        ``_folded`` ledger minus everything this rebuild re-folds
+        from the source). If the prior run reached activation,
+        recovery is GC'ing the leftover source family
+        (:meth:`ivf_orphans`), not re-running; if it never
+        activated, re-run with ``exclude=`` naming the crashed run's
+        in-flight epoch.
 
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
@@ -1954,6 +1963,55 @@ class SignatureStore:
         deltas = self._delta_paths(ipath, exclude=exclude)
         names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
         ledger = names | self._folded_names(ipath)
+        # Post-activation data-loss guard — BEFORE any mutation (a
+        # refusal must leave the already-serving family untouched;
+        # raising after the centroid publish would pair the live
+        # index with clobbered centroids). A marker-bearing target
+        # family may hold epochs this rebuild cannot reproduce, in
+        # two places:
+        #   - LIVE delta dirs beyond the current exclude epoch
+        #     (streams committed to the family after a prior run
+        #     activated it — writers are lease-serialized, so these
+        #     only appear BETWEEN runs, never mid-run);
+        #   - epochs already FOLDED into the target's base by an
+        #     ivf_compact/ivf_retrain since (their delta dirs are
+        #     gone; the target's _folded ledger minus everything
+        #     this rebuild re-folds from the source is the tell).
+        # Rebuilding from the source family's rows would silently
+        # discard either kind.
+        if self._is_complete(npath):
+            ndroot = self._delta_root(npath)
+            foreign_live = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(hp(ndroot))
+                if st.isDirectory()
+                and st.getPath().getName() != exclude
+                and not st.getPath().getName().endswith("__staging")
+            ) if fs.exists(hp(ndroot)) else []
+            allowed = ledger | ({exclude} if exclude is not None else set())
+            foreign_folded = sorted(self._folded_names(npath) - allowed)
+            if foreign_live or foreign_folded:
+                activated = self.ivf_active(corpus) == (
+                    new_n_centroids, iters
+                )
+                state = (
+                    "a prior run of this rescale activated the family "
+                    "and epochs have committed to it since; GC the "
+                    "leftover source family instead (see ivf_orphans) "
+                    "and keep serving from the published one"
+                    if activated
+                    else "the family was never activated — if an epoch "
+                    "listed here was the crashed run's in-flight "
+                    "exclude epoch, re-run with exclude=<that epoch>; "
+                    "otherwise inspect before deleting"
+                )
+                raise ValueError(
+                    f"target IVF family n_centroids={new_n_centroids}, "
+                    f"iters={iters} for corpus {corpus!r} holds epochs "
+                    "this rebuild from the source family would discard "
+                    f"(live deltas {foreign_live}, folded-into-base "
+                    f"{foreign_folded}) — {state}."
+                )
 
         live = self.ivf_index(
             None, corpus, n_centroids=n_centroids, iters=iters,
@@ -1974,8 +2032,13 @@ class SignatureStore:
         for nm in ledger:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
         # provenance marker rides the swap: marks the family as this
-        # rescale's own product (see the sibling guard above)
+        # rescale's own product (see the sibling guard above). The
+        # SOURCE family's own provenance rides along too — a chained
+        # rescale (A→B→C) that dropped B's marker on B's GC would
+        # blind ivf_orphans to a still-orphaned A forever.
         fs.create(hp(os.path.join(tmp, rescale_marker)), True).close()
+        for nm in self._rescale_markers(ipath):
+            fs.create(hp(os.path.join(tmp, nm)), True).close()
         self._write_atomic(
             self.spark.createDataFrame(
                 [
@@ -1989,37 +2052,17 @@ class SignatureStore:
         # a crashed PRIOR run of this same rescale may have published
         # the base and an exclude-epoch delta already; that delta is
         # stale relative to the base we are about to publish and must
-        # not union into reads of the rebuilt family. But ONLY the
-        # current exclude epoch (and staging leftovers) may be swept:
-        # if the prior run got as far as ivf_set_active, later stream
-        # epochs have appended LEGITIMATE deltas here — this family
-        # already serves reads, and re-running the rescale would
-        # rebuild from the OLD family's rows while silently discarding
-        # those epochs' vectors. Refuse; the recovery for a
-        # crashed-after-activation rescale is to GC the old family
-        # (see ivf_orphans), not to re-run the rescale.
+        # not union into reads of the rebuilt family. The sweep is
+        # SURGICAL — only the current exclude epoch and staging
+        # leftovers (the guard above has already refused anything
+        # else, and writers are lease-serialized, so nothing new can
+        # have landed since it ran):
         ndroot = self._delta_root(npath)
         if fs.exists(hp(ndroot)):
-            foreign = sorted(
-                st.getPath().getName()
-                for st in fs.listStatus(hp(ndroot))
-                if st.isDirectory()
-                and st.getPath().getName() != exclude
-                and not st.getPath().getName().endswith("__staging")
-            )
-            if foreign:
-                raise ValueError(
-                    f"target IVF family n_centroids={new_n_centroids}, "
-                    f"iters={iters} for corpus {corpus!r} has live "
-                    f"delta epochs {foreign} beyond the current "
-                    f"exclude epoch — a prior run of this rescale "
-                    "activated the family and streams have committed "
-                    "to it since. Re-running the rescale would discard "
-                    "those epochs; GC the leftover source family "
-                    "instead (see ivf_orphans) and keep serving from "
-                    "the already-published one."
-                )
-            fs.delete(hp(ndroot), True)
+            for st in fs.listStatus(hp(ndroot)):
+                nm = st.getPath().getName()
+                if nm == exclude or nm.endswith("__staging"):
+                    fs.delete(st.getPath(), True)
         replace_directory(self.spark, tmp, npath)
         if exclude is not None:
             src = os.path.join(self._delta_root(ipath), exclude)

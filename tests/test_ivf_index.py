@@ -806,8 +806,12 @@ def test_rescale_marker_survives_compact_and_retrain(spark, emb, ivf_store):
     and ivf_retrain rebuild the index base via a staged swap, and a
     swap that dropped the marker would (a) blind ivf_orphans to the
     leftover source family and (b) make a crashed-rescale re-run
-    misread its own product as an independent sibling and raise —
-    breaking the documented idempotent recovery (r13 advice)."""
+    misread its own product as an independent sibling (r13 advice).
+    And once an epoch is FOLDED into the product family's base, a
+    rescale re-run refuses — rebuilding from the source would
+    silently discard that epoch's vectors, and the refusal must
+    happen BEFORE any artifact mutates (the review finding: the old
+    guard ran after the centroid publish)."""
     store = ivf_store
     dim = len(emb.first()["embedding"])
     store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
@@ -829,11 +833,46 @@ def test_rescale_marker_survives_compact_and_retrain(spark, emb, ivf_store):
     store.ivf_retrain("emb", n_centroids=32, iters=2)
     assert store.ivf_orphans("emb") == [(8, 2)]
 
-    # and the sibling guard still recognizes the family as this
-    # rescale's own product: the re-run replaces it instead of
-    # raising 'independent family'
-    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # ep-a now lives ONLY in the product family's base (its delta dir
+    # was folded away): a re-run of the rescale would discard those
+    # vectors, so it must refuse — with the folded-epoch diagnosis,
+    # NOT the 'independent family' raise a dropped marker would give
+    centroids_before = store.ivf_centroids(
+        None, "emb", n_centroids=32, iters=2
+    ).tolist()
+    with pytest.raises(ValueError, match="folded-into-base.*ep-a"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # the refusal mutated NOTHING: centroids identical, family valid,
+    # ep-a's vectors still served
+    assert store.ivf_centroids(
+        None, "emb", n_centroids=32, iters=2
+    ).tolist() == centroids_before
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+    ids = {
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    }
+    assert {97000, 97001, 97002} <= ids
+
+
+def test_chained_rescale_keeps_orphan_provenance(spark, emb, ivf_store):
+    """A→B→C rescale chain: B's GC must not erase the record that A
+    was B's source — ivf_rescale carries the SOURCE family's own
+    `_rescaled_from` markers into the product, so a still-orphaned A
+    stays visible to ivf_orphans after B is gone (review finding)."""
+    store = ivf_store
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    # crash-before-GC shape for the FIRST rescale: A back on disk
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    assert store.ivf_orphans("emb") == [(8, 2)]
+    # second rescale B(32)→C(16) completes cleanly and GC's B
+    store.ivf_rescale("emb", n_centroids=32, iters=2, new_n_centroids=16)
+    assert store.ivf_families("emb") == [(8, 2), (16, 2)]
+    # A is still orphaned and still reported — via the chained marker
+    assert store.ivf_orphans("emb") == [(8, 2)]
+    fsck = store.validate_ivf("emb", n_centroids=16, iters=2)
+    assert fsck["ok"] and fsck["counts"]["rescale_orphans"] == [(8, 2)]
 
 
 def test_premarker_store_sibling_build_does_not_steal_active(

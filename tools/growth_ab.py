@@ -146,24 +146,28 @@ def main() -> None:
 
         def recall5(cells=N_CELLS):
             # recall@5 of the nprobe=1 probe vs the exact neighbors
-            # over the SAME live (base+deltas) corpus view
+            # over the SAME live (base+deltas) corpus view. Both
+            # result sets are k x |queries| rows (40), so collect
+            # once each and intersect driver-side — re-using the
+            # exact frame in a join would re-run the O(|corpus| x
+            # |queries|) brute-force scan per reference
             live = store.ivf_index(
                 None, "c", n_centroids=cells, iters=ITERS
             ).select(
                 F.col("id").alias("vec_id"), F.col("v").alias("embedding")
             )
-            exact = cosine_topk_bruteforce(live, queries, k=5).select(
-                "query_id", "neighbor_id"
-            )
-            hits = (
-                probe(cells)
-                .select("query_id", "neighbor_id")
-                .join(exact, ["query_id", "neighbor_id"])
-                .count()
-            )
-            total = exact.count()
+            exact = {
+                (r["query_id"], r["neighbor_id"])
+                for r in cosine_topk_bruteforce(live, queries, k=5)
+                .select("query_id", "neighbor_id").collect()
+            }
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in probe(cells)
+                .select("query_id", "neighbor_id").collect()
+            }
             _unpersist_all(spark)
-            return hits / total if total else float("nan")
+            return len(exact & got) / len(exact) if exact else float("nan")
 
         total = (GROWTH_MULT + 1) * n_base
         target = base_occ * 1.5  # allow 50% growth per cell, then repair
