@@ -424,14 +424,18 @@ class SignatureStore:
         return {st.getPath().getName() for st in fs.listStatus(froot)}
 
     def _rescale_markers(self, path: str) -> set[str]:
-        """``_rescaled_from_<n>-<iters>`` provenance markers published
-        inside an IVF index base by :meth:`ivf_rescale`. Every base
-        REWRITE (compact, retrain) must carry them into the staged
-        replacement exactly like the ``_folded`` ledger — a rewrite
-        that drops them makes :meth:`ivf_orphans` return false
-        negatives and makes a crashed-rescale re-run misread the
-        family as an independent sibling (raising the guard the
-        marker exists to satisfy)."""
+        """Rescale provenance markers published inside an IVF index
+        base: ``_rescaled_from_<n>-<iters>`` (direct parent — written
+        by the :meth:`ivf_rescale` that produced this family; the
+        crash-rerun guard keys on it) and
+        ``_rescaled_ancestor_<n>-<iters>`` (earlier links of a
+        rescale chain, carried forward so :meth:`ivf_orphans` keeps
+        seeing a still-orphaned great-grandparent; deliberately NOT
+        honored by the sibling guard — a chained product is the
+        direct product of its parent only, never of an ancestor key
+        someone may later rebuild independently). Every base REWRITE
+        (compact, retrain, rescale) must carry both kinds into the
+        staged replacement exactly like the ``_folded`` ledger."""
         jvm, fs, _ = _hadoop_fs(self.spark, path)
         hp = jvm.org.apache.hadoop.fs.Path
         if not fs.exists(hp(path)):
@@ -440,7 +444,8 @@ class SignatureStore:
             st.getPath().getName()
             for st in fs.listStatus(hp(path))
             if re.fullmatch(
-                r"_rescaled_from_\d+-\d+", st.getPath().getName()
+                r"_rescaled_(?:from|ancestor)_\d+-\d+",
+                st.getPath().getName(),
             )
         }
 
@@ -1393,7 +1398,9 @@ class SignatureStore:
             for nm in self._rescale_markers(
                 self.ivf_index_path(corpus, n, it)
             ):
-                m = re.fullmatch(r"_rescaled_from_(\d+)-(\d+)", nm)
+                m = re.fullmatch(
+                    r"_rescaled_(?:from|ancestor)_(\d+)-(\d+)", nm
+                )
                 sources.add((int(m.group(1)), int(m.group(2))))
         return sorted(fams & sources)
 
@@ -1966,52 +1973,86 @@ class SignatureStore:
         # Post-activation data-loss guard — BEFORE any mutation (a
         # refusal must leave the already-serving family untouched;
         # raising after the centroid publish would pair the live
-        # index with clobbered centroids). A marker-bearing target
-        # family may hold epochs this rebuild cannot reproduce, in
-        # two places:
+        # index with clobbered centroids). The target may hold epochs
+        # this rebuild from the source family cannot reproduce, in
+        # three places:
         #   - LIVE delta dirs beyond the current exclude epoch
         #     (streams committed to the family after a prior run
         #     activated it — writers are lease-serialized, so these
         #     only appear BETWEEN runs, never mid-run);
+        #   - a delta dir UNDER the exclude name with no same-name
+        #     twin in the SOURCE family's delta root: the crashed
+        #     run's in-flight epoch always still exists on the source
+        #     (family GC is the rescale's last step), so a
+        #     source-less target epoch is a post-activation commit
+        #     someone mislabeled as the exclude — sweeping it would
+        #     lose it with nothing to re-assign from;
         #   - epochs already FOLDED into the target's base by an
         #     ivf_compact/ivf_retrain since (their delta dirs are
         #     gone; the target's _folded ledger minus everything
         #     this rebuild re-folds from the source is the tell).
-        # Rebuilding from the source family's rows would silently
-        # discard either kind.
-        if self._is_complete(npath):
-            ndroot = self._delta_root(npath)
-            foreign_live = sorted(
-                st.getPath().getName()
-                for st in fs.listStatus(hp(ndroot))
-                if st.isDirectory()
-                and st.getPath().getName() != exclude
-                and not st.getPath().getName().endswith("__staging")
-            ) if fs.exists(hp(ndroot)) else []
-            allowed = ledger | ({exclude} if exclude is not None else set())
-            foreign_folded = sorted(self._folded_names(npath) - allowed)
-            if foreign_live or foreign_folded:
-                activated = self.ivf_active(corpus) == (
-                    new_n_centroids, iters
-                )
-                state = (
-                    "a prior run of this rescale activated the family "
-                    "and epochs have committed to it since; GC the "
-                    "leftover source family instead (see ivf_orphans) "
-                    "and keep serving from the published one"
-                    if activated
-                    else "the family was never activated — if an epoch "
-                    "listed here was the crashed run's in-flight "
-                    "exclude epoch, re-run with exclude=<that epoch>; "
-                    "otherwise inspect before deleting"
-                )
-                raise ValueError(
-                    f"target IVF family n_centroids={new_n_centroids}, "
-                    f"iters={iters} for corpus {corpus!r} holds epochs "
-                    "this rebuild from the source family would discard "
-                    f"(live deltas {foreign_live}, folded-into-base "
-                    f"{foreign_folded}) — {state}."
-                )
+        # These checks run even when the target BASE is absent or
+        # incomplete (a base rewrite crashed mid-swap): provenance is
+        # unreadable then, and surviving delta epochs would ride into
+        # the rebuilt family with stale cell assignments — the old
+        # whole-root delete is gone, so refuse instead.
+        ndroot = self._delta_root(npath)
+        target_live = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(hp(ndroot))
+            if st.isDirectory()
+            and not st.getPath().getName().endswith("__staging")
+        ) if fs.exists(hp(ndroot)) else []
+        foreign_live = [nm for nm in target_live if nm != exclude]
+        if (
+            exclude is not None
+            and exclude in target_live
+            and not fs.exists(
+                hp(os.path.join(self._delta_root(ipath), exclude))
+            )
+        ):
+            foreign_live.append(f"{exclude} (no source-family twin)")
+        foreign_folded = (
+            sorted(
+                self._folded_names(npath)
+                - ledger
+                - ({exclude} if exclude is not None else set())
+            )
+            if self._is_complete(npath)
+            else []
+        )
+        if foreign_live or foreign_folded:
+            raise ValueError(
+                f"target IVF family n_centroids={new_n_centroids}, "
+                f"iters={iters} for corpus {corpus!r} holds epochs "
+                "this rebuild from the source family would discard "
+                f"(live deltas {foreign_live}, folded-into-base "
+                f"{foreign_folded}). If a prior run of this rescale "
+                "reached activation and epochs committed to the "
+                "family since, GC the leftover source family instead "
+                "(see ivf_orphans) and keep serving from the "
+                "published one. Re-run with exclude=<epoch> ONLY for "
+                "the crashed run's own in-flight epoch — it must "
+                "still have a same-name delta on the source family "
+                "to re-assign from."
+            )
+        if not self._is_complete(npath) and (
+            fs.exists(hp(npath))
+            or fs.exists(hp(npath.rstrip("/") + "__old"))
+        ):
+            # base dir present without _SUCCESS, or parked at __old:
+            # a base rewrite crashed mid-swap; the family's _folded
+            # ledger and markers are partly unreachable, so
+            # folded-epoch provenance is unprovable — rebuilding on
+            # top would discard whatever that base held
+            raise ValueError(
+                f"target IVF index base {npath} is mid-swap (an "
+                "incomplete base or a parked __old copy exists) — a "
+                "base rewrite crashed there; recover that family "
+                "first (rename the __old copy back / re-run the "
+                "crashed ivf_compact/ivf_retrain, or delete the "
+                "family if abandoned) before rescaling onto its key"
+            )
 
         live = self.ivf_index(
             None, corpus, n_centroids=n_centroids, iters=iters,
@@ -2033,12 +2074,28 @@ class SignatureStore:
             fs.create(hp(os.path.join(tmp, "_folded", nm)), True).close()
         # provenance marker rides the swap: marks the family as this
         # rescale's own product (see the sibling guard above). The
-        # SOURCE family's own provenance rides along too — a chained
-        # rescale (A→B→C) that dropped B's marker on B's GC would
-        # blind ivf_orphans to a still-orphaned A forever.
+        # SOURCE family's provenance rides along too — a chained
+        # rescale (A→B→C) that dropped B's record of A on B's GC
+        # would blind ivf_orphans to a still-orphaned A forever — but
+        # DEMOTED to `_rescaled_ancestor_*`: only the direct-parent
+        # `_rescaled_from_*` satisfies the sibling guard, so a
+        # chained product never passes as the "own product" of an
+        # ancestor key someone may later rebuild independently. A
+        # marker naming the product's OWN key is skipped outright
+        # (a round-trip rescale A→B→A' would otherwise stamp A' as
+        # its own orphan, and ivf_orphans would report the live
+        # serving family forever).
         fs.create(hp(os.path.join(tmp, rescale_marker)), True).close()
+        own = f"{new_n_centroids}-{iters}"
         for nm in self._rescale_markers(ipath):
-            fs.create(hp(os.path.join(tmp, nm)), True).close()
+            key = re.fullmatch(
+                r"_rescaled_(?:from|ancestor)_(\d+-\d+)", nm
+            ).group(1)
+            if key != own:
+                fs.create(
+                    hp(os.path.join(tmp, f"_rescaled_ancestor_{key}")),
+                    True,
+                ).close()
         self._write_atomic(
             self.spark.createDataFrame(
                 [

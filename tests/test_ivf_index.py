@@ -753,9 +753,11 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     # a CLEAN rescale GC'd its source: no orphan reported
     assert store.ivf_orphans("emb") == []
 
-    # simulate the crashed-attempt state: the new family exists with
-    # an in-flight epoch's delta, and the source family is back on
-    # disk
+    # simulate the REAL crashed-attempt state: the new family holds
+    # the in-flight epoch's delta (written by the crashed run), the
+    # source family is back on disk, and — because family GC is the
+    # rescale's LAST step — the same epoch still exists on the
+    # source's delta root too
     stale = local_df(
         spark,
         [(96000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
@@ -763,6 +765,7 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     )
     store.ivf_append(stale, "emb", "inflight-ep", n_centroids=32, iters=2)
     store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store.ivf_append(stale, "emb", "inflight-ep", n_centroids=8, iters=2)
     # ...which is exactly the shape ivf_orphans exists to surface:
     # the product (32,2) carries _rescaled_from_8-2 while (8,2) is
     # back on disk — the manual-GC report the rescale docstring
@@ -781,7 +784,8 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
         store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
 
     # naming it as the exclude epoch is the crashed-attempt recovery:
-    # that delta is this rescale's own stale output and is swept
+    # the target's copy (assigned under the crashed run's quantizer)
+    # is swept and the epoch re-assigned fresh from the source twin
     store.ivf_rescale(
         "emb", n_centroids=8, iters=2, new_n_centroids=32,
         exclude="inflight-ep",
@@ -791,14 +795,83 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
             None, "emb", n_centroids=32, iters=2
         ).select("id").collect()
     ]
-    # exactly the source family's rows: stale delta ids dropped, no
-    # duplicates, nothing lost
-    assert len(ids) == len(set(ids)) == n0
-    assert not any(i >= 96000 for i in ids)
+    # the source family's rows PLUS the in-flight epoch's, exactly
+    # once each: the epoch moved families with its name, nothing
+    # lost, nothing double-counted
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {96000, 96001, 96002} <= set(ids)
     res = store.validate_ivf("emb", n_centroids=32, iters=2)
     assert res["ok"]
     # source family GC'd by the clean re-run: warning gone
     assert res["warnings"] == []
+
+
+def test_rescale_rerun_refuses_sourceless_exclude(spark, emb, ivf_store):
+    """Passing exclude=<epoch> exempts that epoch from the foreign-
+    delta refusal AND sweeps the target's copy — safe only when the
+    source family still holds the same-name delta to re-assign from
+    (a real crashed run always does: family GC is the last step). An
+    epoch that exists ONLY on the target is a post-activation commit
+    someone mislabeled as the exclude; sweeping it would silently
+    lose its vectors, so the guard refuses (review finding)."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    post_activation = local_df(
+        spark,
+        [(98000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(
+        post_activation, "emb", "ep-x", n_centroids=32, iters=2
+    )
+    with pytest.raises(ValueError, match="no source-family twin"):
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+            exclude="ep-x",
+        )
+    # nothing mutated: the epoch's vectors are still served
+    ids = {
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    }
+    assert {98000, 98001, 98002} <= ids
+
+
+def test_rescale_refuses_midswap_target_base(spark, emb, ivf_store):
+    """A target family whose base is parked mid-swap (crashed
+    ivf_compact/ivf_retrain: base at __old, or present without
+    _SUCCESS) has unreadable folded-epoch provenance — rescaling onto
+    it would discard whatever that base held. Refuse with the
+    recovery pointer instead (review finding: the completeness-gated
+    guard previously SKIPPED all checks in exactly this state)."""
+    store = ivf_store
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    npath = store.ivf_index_path("emb", 32, 2)
+    os.rename(npath, npath + "__old")  # crashed between the two renames
+    with pytest.raises(ValueError, match="mid-swap"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    os.rename(npath + "__old", npath)  # the documented recovery
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+
+def test_roundtrip_rescale_never_self_orphans(spark, emb, ivf_store):
+    """A→B→A' round trip: carrying B's _rescaled_from_A marker into
+    A' verbatim would stamp the new serving family as its own orphan
+    — ivf_orphans would tell the operator to GC the live index
+    forever. The carry skips markers naming the product's own key
+    (review finding)."""
+    store = ivf_store
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_rescale("emb", n_centroids=32, iters=2, new_n_centroids=8)
+    assert store.ivf_families("emb") == [(8, 2)]
+    assert store.ivf_orphans("emb") == []
+    fsck = store.validate_ivf("emb", n_centroids=8, iters=2)
+    assert fsck["ok"] and fsck["warnings"] == []
 
 
 def test_rescale_marker_survives_compact_and_retrain(spark, emb, ivf_store):
@@ -873,6 +946,13 @@ def test_chained_rescale_keeps_orphan_provenance(spark, emb, ivf_store):
     assert store.ivf_orphans("emb") == [(8, 2)]
     fsck = store.validate_ivf("emb", n_centroids=16, iters=2)
     assert fsck["ok"] and fsck["counts"]["rescale_orphans"] == [(8, 2)]
+    # but the chained record is ANCESTOR provenance, not a direct-
+    # parent claim: a rescale FROM the (still on-disk, independently
+    # rebuilt) 8-cell family onto C's key must refuse as an
+    # independent-family collision, not wholesale-replace the serving
+    # C as if it were this rescale's own crashed product
+    with pytest.raises(ValueError, match="independent"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=16)
 
 
 def test_premarker_store_sibling_build_does_not_steal_active(
