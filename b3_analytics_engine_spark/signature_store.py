@@ -1903,15 +1903,23 @@ class SignatureStore:
         recovery is GC'ing the leftover source family
         (:meth:`ivf_orphans`), not re-running; if it never
         activated, re-run with ``exclude=`` naming the crashed run's
-        in-flight epoch.
+        in-flight epoch — which the SOURCE family must still hold (a
+        live same-name delta, or folded into its base); a
+        source-less exclude refuses, because exempting it would
+        sweep a post-activation commit with nothing to rebuild it
+        from. A target base parked mid-swap by a crashed
+        compact/retrain (present without ``_SUCCESS``, or at
+        ``__old``) also refuses — recover that rewrite first (rename
+        the ``__old`` copy back, or re-run it).
 
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
         before the GC leaves both families intact and readable, and
         re-running the rescale is idempotent (every write is a staged
-        wholesale replace) — UNLESS post-activation epochs have
-        already landed on the new family, in which case the re-run
-        refuses (see above) and manual old-family GC is the recovery.
+        wholesale replace) — EXCEPT for the refusal states above
+        (post-activation epochs live or folded on the target,
+        source-less exclude, mid-swap target base), each of which
+        names its own recovery rather than self-healing.
         Callers that pinned the old cell count must switch to
         ``new_n_centroids`` — that is the point.
 
@@ -1956,7 +1964,8 @@ class SignatureStore:
         # rescale produced, so re-running after a crash between
         # publish and old-family GC stays idempotent.
         rescale_marker = f"_rescaled_from_{n_centroids}-{iters}"
-        if self._is_complete(npath) and not fs.exists(
+        npath_complete = self._is_complete(npath)
+        if npath_complete and not fs.exists(
             hp(os.path.join(npath, rescale_marker))
         ):
             raise ValueError(
@@ -1967,35 +1976,58 @@ class SignatureStore:
                 "delete that family first or pick a different cell "
                 "count"
             )
+        # A target base parked mid-swap (present without _SUCCESS, or
+        # at replace_directory's __old) means a base rewrite crashed
+        # there: its _folded ledger and markers are partly
+        # unreachable, so every provenance check below would run on
+        # incomplete evidence — refuse FIRST, with the mid-swap
+        # recovery, before any epoch diagnosis can give wrong advice.
+        if not npath_complete and (
+            fs.exists(hp(npath))
+            or fs.exists(hp(npath.rstrip("/") + "__old"))
+        ):
+            raise ValueError(
+                f"target IVF index base {npath} is mid-swap (an "
+                "incomplete base or a parked __old copy exists) — a "
+                "base rewrite crashed there; recover that family "
+                "first (rename the __old copy back / re-run the "
+                "crashed ivf_compact/ivf_retrain, or delete the "
+                "family if abandoned) before rescaling onto its key"
+            )
         deltas = self._delta_paths(ipath, exclude=exclude)
         names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
-        ledger = names | self._folded_names(ipath)
+        src_folded = self._folded_names(ipath)
+        ledger = names | src_folded
         # Post-activation data-loss guard — BEFORE any mutation (a
         # refusal must leave the already-serving family untouched;
         # raising after the centroid publish would pair the live
         # index with clobbered centroids). The target may hold epochs
-        # this rebuild from the source family cannot reproduce, in
-        # three places:
+        # this rebuild from the source family cannot reproduce:
         #   - LIVE delta dirs beyond the current exclude epoch
         #     (streams committed to the family after a prior run
         #     activated it — writers are lease-serialized, so these
         #     only appear BETWEEN runs, never mid-run);
-        #   - a delta dir UNDER the exclude name with no same-name
-        #     twin in the SOURCE family's delta root: the crashed
-        #     run's in-flight epoch always still exists on the source
-        #     (family GC is the rescale's last step), so a
-        #     source-less target epoch is a post-activation commit
-        #     someone mislabeled as the exclude — sweeping it would
-        #     lose it with nothing to re-assign from;
         #   - epochs already FOLDED into the target's base by an
         #     ivf_compact/ivf_retrain since (their delta dirs are
         #     gone; the target's _folded ledger minus everything
-        #     this rebuild re-folds from the source is the tell).
-        # These checks run even when the target BASE is absent or
-        # incomplete (a base rewrite crashed mid-swap): provenance is
-        # unreadable then, and surviving delta epochs would ride into
-        # the rebuilt family with stale cell assignments — the old
-        # whole-root delete is gone, so refuse instead.
+        #     this rebuild re-folds from the source is the tell);
+        #   - the exclude name ITSELF, in either form, when the
+        #     SOURCE family has no copy to re-assign from (neither a
+        #     live delta dir nor the epoch folded into the source
+        #     base): a real crashed run always leaves one — family
+        #     GC is the rescale's last step — so a source-less
+        #     target epoch is a post-activation commit someone
+        #     mislabeled as the exclude, and exempting it would lose
+        #     its vectors with nothing to rebuild them from.
+        # The live-delta checks run even when the target BASE is
+        # absent (crashed first-publish): surviving epochs would
+        # otherwise ride into the rebuilt family with stale cell
+        # assignments — the old whole-root delete is gone.
+        exclude_reassignable = exclude is not None and (
+            fs.exists(hp(os.path.join(self._delta_root(ipath), exclude)))
+            or exclude in src_folded
+        )
+        exempt = {exclude} if exclude_reassignable else set()
         ndroot = self._delta_root(npath)
         target_live = sorted(
             st.getPath().getName()
@@ -2003,22 +2035,24 @@ class SignatureStore:
             if st.isDirectory()
             and not st.getPath().getName().endswith("__staging")
         ) if fs.exists(hp(ndroot)) else []
-        foreign_live = [nm for nm in target_live if nm != exclude]
-        if (
-            exclude is not None
-            and exclude in target_live
-            and not fs.exists(
-                hp(os.path.join(self._delta_root(ipath), exclude))
+        def _tag(nm: str) -> str:
+            # the exclude name surviving the exemption means the
+            # source has no copy — say so, the advice differs
+            return (
+                f"{nm} (no source-family twin)" if nm == exclude else nm
             )
-        ):
-            foreign_live.append(f"{exclude} (no source-family twin)")
+
+        foreign_live = [
+            _tag(nm) for nm in target_live if nm not in exempt
+        ]
         foreign_folded = (
-            sorted(
-                self._folded_names(npath)
-                - ledger
-                - ({exclude} if exclude is not None else set())
-            )
-            if self._is_complete(npath)
+            [
+                _tag(nm)
+                for nm in sorted(
+                    self._folded_names(npath) - ledger - exempt
+                )
+            ]
+            if npath_complete
             else []
         )
         if foreign_live or foreign_folded:
@@ -2032,26 +2066,9 @@ class SignatureStore:
                 "family since, GC the leftover source family instead "
                 "(see ivf_orphans) and keep serving from the "
                 "published one. Re-run with exclude=<epoch> ONLY for "
-                "the crashed run's own in-flight epoch — it must "
-                "still have a same-name delta on the source family "
-                "to re-assign from."
-            )
-        if not self._is_complete(npath) and (
-            fs.exists(hp(npath))
-            or fs.exists(hp(npath.rstrip("/") + "__old"))
-        ):
-            # base dir present without _SUCCESS, or parked at __old:
-            # a base rewrite crashed mid-swap; the family's _folded
-            # ledger and markers are partly unreachable, so
-            # folded-epoch provenance is unprovable — rebuilding on
-            # top would discard whatever that base held
-            raise ValueError(
-                f"target IVF index base {npath} is mid-swap (an "
-                "incomplete base or a parked __old copy exists) — a "
-                "base rewrite crashed there; recover that family "
-                "first (rename the __old copy back / re-run the "
-                "crashed ivf_compact/ivf_retrain, or delete the "
-                "family if abandoned) before rescaling onto its key"
+                "the crashed run's own in-flight epoch — the source "
+                "family must still hold a same-name delta (or have "
+                "folded that epoch into its base) to rebuild it from."
             )
 
         live = self.ivf_index(
@@ -2114,7 +2131,6 @@ class SignatureStore:
         # leftovers (the guard above has already refused anything
         # else, and writers are lease-serialized, so nothing new can
         # have landed since it ran):
-        ndroot = self._delta_root(npath)
         if fs.exists(hp(ndroot)):
             for st in fs.listStatus(hp(ndroot)):
                 nm = st.getPath().getName()

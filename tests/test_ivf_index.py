@@ -840,6 +840,86 @@ def test_rescale_rerun_refuses_sourceless_exclude(spark, emb, ivf_store):
     assert {98000, 98001, 98002} <= ids
 
 
+def test_rescale_rerun_refuses_folded_sourceless_exclude(
+    spark, emb, ivf_store
+):
+    """The source-less-exclude refusal must cover BOTH arms: an epoch
+    folded into the TARGET's base by a later compact is just as lost
+    by a rebuild as a live delta — and exempting it via exclude= when
+    the source has no copy would discard it with validate_ivf still
+    green (second-review finding)."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    post_activation = local_df(
+        spark,
+        [(98100 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(
+        post_activation, "emb", "ep-y", n_centroids=32, iters=2
+    )
+    store.ivf_compact("emb", n_centroids=32, iters=2)  # ep-y → base
+    # the epoch now lives only in the target's base; both the plain
+    # re-run and the mislabeled exclude= re-run must refuse
+    with pytest.raises(ValueError, match="ep-y"):
+        store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    with pytest.raises(ValueError, match="no source-family twin"):
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+            exclude="ep-y",
+        )
+    ids = {
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    }
+    assert {98100, 98101, 98102} <= ids  # nothing mutated
+
+
+def test_rescale_rerun_allows_source_folded_exclude(spark, emb, ivf_store):
+    """The reverse twin: an in-flight epoch folded into the SOURCE
+    base by a maintenance compact before the re-run is still a valid
+    recovery — its rows ride the rebuilt base, so refusing would
+    block the documented crash recovery with no valid path
+    (second-review finding). The epoch's name stays in the replay
+    ledger, so a late replay is refused exactly as after a compact."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    stale = local_df(
+        spark,
+        [(96100 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    # the crashed run's in-flight epoch, on both families...
+    store.ivf_append(stale, "emb", "inflight-ep", n_centroids=32, iters=2)
+    store.ivf_append(stale, "emb", "inflight-ep", n_centroids=8, iters=2)
+    # ...then a source-side maintenance compact folds it there
+    assert store.ivf_compact("emb", n_centroids=8, iters=2) == 1
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        exclude="inflight-ep",
+    )
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {96100, 96101, 96102} <= set(ids)
+    # folded-in-source means no longer replayable — same contract as
+    # any folded epoch
+    with pytest.raises(ValueError, match="folded"):
+        store.ivf_append(
+            stale, "emb", "inflight-ep", n_centroids=32, iters=2
+        )
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+
 def test_rescale_refuses_midswap_target_base(spark, emb, ivf_store):
     """A target family whose base is parked mid-swap (crashed
     ivf_compact/ivf_retrain: base at __old, or present without
