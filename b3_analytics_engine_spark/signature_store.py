@@ -386,12 +386,20 @@ class SignatureStore:
     def _delta_root(path: str) -> str:
         return path.rstrip("/") + "__delta"
 
-    def _delta_paths(self, path: str, exclude: str | None = None) -> list[str]:
+    def _delta_paths(
+        self,
+        path: str,
+        exclude: str | None = None,
+        folded: set[str] | None = None,
+    ) -> list[str]:
         jvm, fs, _ = _hadoop_fs(self.spark, path)
         droot = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
         if not fs.exists(droot):
             return []
-        folded = self._folded_names(path)
+        # callers that already listed the _folded ledger pass it in
+        # (saves an object-store LIST per call)
+        if folded is None:
+            folded = self._folded_names(path)
         out = []
         for st in fs.listStatus(droot):
             if not st.isDirectory():
@@ -1903,14 +1911,18 @@ class SignatureStore:
         recovery is GC'ing the leftover source family
         (:meth:`ivf_orphans`), not re-running; if it never
         activated, re-run with ``exclude=`` naming the crashed run's
-        in-flight epoch — which the SOURCE family must still hold (a
-        live same-name delta, or folded into its base); a
-        source-less exclude refuses, because exempting it would
-        sweep a post-activation commit with nothing to rebuild it
-        from. A target base parked mid-swap by a crashed
-        compact/retrain (present without ``_SUCCESS``, or at
-        ``__old``) also refuses — recover that rewrite first (rename
-        the ``__old`` copy back, or re-run it).
+        in-flight epoch. The exclude epoch's AUTHORITATIVE copy is
+        resolved by the active marker (at-least-once replays follow
+        it): with the target family active, its live copy is
+        preserved by re-assignment (and a conflicting stale copy
+        folded into the source base, or an authoritative copy folded
+        into the target base, refuses); with the source active, its
+        copy — a live delta (re-assigned) or folded into its base
+        (rides the rebuild) — is used and the target's stale copy is
+        swept, while an epoch with NO source counterpart refuses. A
+        target base parked mid-swap by any crashed rewrite (present
+        without ``_SUCCESS``, or at ``__old``) also refuses —
+        rename the ``__old`` copy back first.
 
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
@@ -1989,45 +2001,50 @@ class SignatureStore:
             raise ValueError(
                 f"target IVF index base {npath} is mid-swap (an "
                 "incomplete base or a parked __old copy exists) — a "
-                "base rewrite crashed there; recover that family "
-                "first (rename the __old copy back / re-run the "
-                "crashed ivf_compact/ivf_retrain, or delete the "
-                "family if abandoned) before rescaling onto its key"
+                "base rewrite (ivf_compact/ivf_retrain, or a prior "
+                "rescale's own publish) crashed there; recover that "
+                "family first — rename the __old copy back (works "
+                "for any crashed rewrite), or delete the family if "
+                "abandoned — before rescaling onto its key"
             )
-        deltas = self._delta_paths(ipath, exclude=exclude)
-        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
         src_folded = self._folded_names(ipath)
+        deltas = self._delta_paths(ipath, exclude=exclude, folded=src_folded)
+        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
         ledger = names | src_folded
         # Post-activation data-loss guard — BEFORE any mutation (a
         # refusal must leave the already-serving family untouched;
         # raising after the centroid publish would pair the live
-        # index with clobbered centroids). The target may hold epochs
-        # this rebuild from the source family cannot reproduce:
-        #   - LIVE delta dirs beyond the current exclude epoch
-        #     (streams committed to the family after a prior run
-        #     activated it — writers are lease-serialized, so these
-        #     only appear BETWEEN runs, never mid-run);
-        #   - epochs already FOLDED into the target's base by an
-        #     ivf_compact/ivf_retrain since (their delta dirs are
-        #     gone; the target's _folded ledger minus everything
-        #     this rebuild re-folds from the source is the tell);
-        #   - the exclude name ITSELF, in either form, when the
-        #     SOURCE family has no copy to re-assign from (neither a
-        #     live delta dir nor the epoch folded into the source
-        #     base): a real crashed run always leaves one — family
-        #     GC is the rescale's last step — so a source-less
-        #     target epoch is a post-activation commit someone
-        #     mislabeled as the exclude, and exempting it would lose
-        #     its vectors with nothing to rebuild them from.
+        # index with clobbered centroids). At-least-once replays
+        # follow the ACTIVE marker, so whichever family is active
+        # holds the authoritative copy of any epoch present on both:
+        #   - foreign epochs (live delta dirs, or names in the
+        #     target's _folded ledger beyond what this rebuild
+        #     re-folds from the source) always refuse — the rebuild
+        #     cannot reproduce them;
+        #   - the exclude epoch itself resolves by authority: if the
+        #     TARGET family is active and holds a live copy, that
+        #     copy (a possible post-activation wholesale-replace
+        #     replay) is preserved by re-assigning IT — unless the
+        #     source also folded a stale copy into its base, which
+        #     the rebuilt base would duplicate (refuse); if the
+        #     target is active and FOLDED the epoch, the
+        #     authoritative copy is inseparable from the base being
+        #     replaced (refuse); otherwise the source's copy is
+        #     authoritative — a live source delta is re-assigned, a
+        #     source-folded epoch rides the rebuilt base, and a
+        #     target copy with NO source counterpart refuses (a
+        #     post-activation commit mislabeled as the exclude; a
+        #     real crashed run always leaves a source copy, because
+        #     family GC is the rescale's last step).
         # The live-delta checks run even when the target BASE is
         # absent (crashed first-publish): surviving epochs would
         # otherwise ride into the rebuilt family with stale cell
         # assignments — the old whole-root delete is gone.
-        exclude_reassignable = exclude is not None and (
-            fs.exists(hp(os.path.join(self._delta_root(ipath), exclude)))
-            or exclude in src_folded
+        activated = self.ivf_active(corpus) == (new_n_centroids, iters)
+        tgt_folded = self._folded_names(npath)
+        src_live_twin = exclude is not None and fs.exists(
+            hp(os.path.join(self._delta_root(ipath), exclude))
         )
-        exempt = {exclude} if exclude_reassignable else set()
         ndroot = self._delta_root(npath)
         target_live = sorted(
             st.getPath().getName()
@@ -2035,40 +2052,58 @@ class SignatureStore:
             if st.isDirectory()
             and not st.getPath().getName().endswith("__staging")
         ) if fs.exists(hp(ndroot)) else []
-        def _tag(nm: str) -> str:
-            # the exclude name surviving the exemption means the
-            # source has no copy — say so, the advice differs
-            return (
-                f"{nm} (no source-family twin)" if nm == exclude else nm
-            )
 
-        foreign_live = [
-            _tag(nm) for nm in target_live if nm not in exempt
-        ]
-        foreign_folded = (
-            [
-                _tag(nm)
-                for nm in sorted(
-                    self._folded_names(npath) - ledger - exempt
-                )
-            ]
-            if npath_complete
-            else []
-        )
-        if foreign_live or foreign_folded:
+        def _refuse(detail: str) -> None:
             raise ValueError(
                 f"target IVF family n_centroids={new_n_centroids}, "
-                f"iters={iters} for corpus {corpus!r} holds epochs "
-                "this rebuild from the source family would discard "
-                f"(live deltas {foreign_live}, folded-into-base "
-                f"{foreign_folded}). If a prior run of this rescale "
-                "reached activation and epochs committed to the "
-                "family since, GC the leftover source family instead "
-                "(see ivf_orphans) and keep serving from the "
-                "published one. Re-run with exclude=<epoch> ONLY for "
-                "the crashed run's own in-flight epoch — the source "
-                "family must still hold a same-name delta (or have "
-                "folded that epoch into its base) to rebuild it from."
+                f"iters={iters} for corpus {corpus!r}: {detail}. If a "
+                "prior run of this rescale reached activation and "
+                "epochs committed to the family since, GC the "
+                "leftover source family instead (see ivf_orphans) "
+                "and keep serving from the published one. Re-run "
+                "with exclude=<epoch> ONLY for the crashed run's "
+                "in-flight epoch."
+            )
+
+        use_target_copy = False
+        if exclude is not None:
+            tgt_has_live = exclude in target_live
+            if activated and tgt_has_live:
+                if exclude in src_folded:
+                    _refuse(
+                        f"the active family's live copy of epoch "
+                        f"{exclude!r} is authoritative, but the "
+                        "source family folded a stale copy of the "
+                        "same epoch into its base — the rebuilt base "
+                        "would duplicate it"
+                    )
+                use_target_copy = True
+            elif activated and exclude in tgt_folded:
+                _refuse(
+                    f"epoch {exclude!r} was folded into the ACTIVE "
+                    "family's base — its authoritative rows are "
+                    "inseparable from the base this rebuild would "
+                    "replace"
+                )
+            elif (
+                not src_live_twin
+                and exclude not in src_folded
+                and (tgt_has_live or exclude in tgt_folded)
+            ):
+                _refuse(
+                    f"epoch {exclude!r} exists only on the target "
+                    "(no source-family twin) — a post-activation "
+                    "commit mislabeled as the exclude; exempting it "
+                    "would discard its vectors"
+                )
+        exempt = {exclude} if exclude is not None else set()
+        foreign_live = [nm for nm in target_live if nm not in exempt]
+        foreign_folded = sorted(tgt_folded - ledger - exempt)
+        if foreign_live or foreign_folded:
+            _refuse(
+                "holds epochs this rebuild from the source family "
+                f"would discard (live deltas {foreign_live}, "
+                f"folded-into-base {foreign_folded})"
             )
 
         live = self.ivf_index(
@@ -2124,31 +2159,42 @@ class SignatureStore:
             ncpath,
         )
         # a crashed PRIOR run of this same rescale may have published
-        # the base and an exclude-epoch delta already; that delta is
-        # stale relative to the base we are about to publish and must
-        # not union into reads of the rebuilt family. The sweep is
-        # SURGICAL — only the current exclude epoch and staging
-        # leftovers (the guard above has already refused anything
+        # the base and an exclude-epoch delta already; when the
+        # SOURCE's copy is authoritative that target delta is stale
+        # and must not union into reads of the rebuilt family. The
+        # sweep is SURGICAL — only the current exclude epoch (and
+        # never when the target's copy is the authoritative one —
+        # it is wholesale-replaced below instead) plus staging
+        # leftovers; the guard above has already refused anything
         # else, and writers are lease-serialized, so nothing new can
-        # have landed since it ran):
+        # have landed since it ran:
         if fs.exists(hp(ndroot)):
             for st in fs.listStatus(hp(ndroot)):
                 nm = st.getPath().getName()
-                if nm == exclude or nm.endswith("__staging"):
+                if (nm == exclude and not use_target_copy) or nm.endswith(
+                    "__staging"
+                ):
                     fs.delete(st.getPath(), True)
         replace_directory(self.spark, tmp, npath)
         if exclude is not None:
-            src = os.path.join(self._delta_root(ipath), exclude)
+            # the in-flight epoch moves families WITH its name so its
+            # replay wholesale-replaces where reads now happen. The
+            # AUTHORITATIVE copy is re-assigned: the target's own
+            # (a post-activation replay landed there) when the
+            # target is active, else the source's.
+            src = (
+                os.path.join(ndroot, exclude)
+                if use_target_copy
+                else os.path.join(self._delta_root(ipath), exclude)
+            )
             if fs.exists(hp(src)):
-                # the in-flight epoch moves families WITH its name so
-                # its replay wholesale-replaces where reads now happen
                 rows = self._ivf_rows(
                     self.spark.read.schema(
                         self.spark.read.parquet(npath).schema
                     ).parquet(src).select("id", "v"),
                     C, "id", "v",
                 )
-                dst = os.path.join(self._delta_root(npath), exclude)
+                dst = os.path.join(ndroot, exclude)
                 tmp2 = dst.rstrip("/") + "__staging"
                 rows.coalesce(self.DELTA_MAX_FILES).write.mode(
                     "overwrite"

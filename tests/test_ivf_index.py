@@ -806,16 +806,20 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     assert res["warnings"] == []
 
 
-def test_rescale_rerun_refuses_sourceless_exclude(spark, emb, ivf_store):
-    """Passing exclude=<epoch> exempts that epoch from the foreign-
-    delta refusal AND sweeps the target's copy — safe only when the
-    source family still holds the same-name delta to re-assign from
-    (a real crashed run always does: family GC is the last step). An
-    epoch that exists ONLY on the target is a post-activation commit
-    someone mislabeled as the exclude; sweeping it would silently
-    lose its vectors, so the guard refuses (review finding)."""
+def test_rescale_rerun_exclude_authority_follows_active_marker(
+    spark, emb, ivf_store
+):
+    """The exclude epoch's authoritative copy is on whichever family
+    the ACTIVE marker points at (at-least-once replays follow it).
+    Target active + live target copy → the re-run PRESERVES the
+    target's own rows by re-assigning them (a source-less epoch on
+    the active family is recoverable, not refused). Target NOT
+    active + no source twin → refuse: the target copy is
+    unaccounted-for and the rebuild has nothing authoritative to
+    rebuild it from (third-review finding)."""
     store = ivf_store
     dim = len(emb.first()["embedding"])
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
     store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
     store.ivf_index(emb, "emb", n_centroids=8, iters=2)
     post_activation = local_df(
@@ -826,18 +830,43 @@ def test_rescale_rerun_refuses_sourceless_exclude(spark, emb, ivf_store):
     store.ivf_append(
         post_activation, "emb", "ep-x", n_centroids=32, iters=2
     )
+    # the (32,2) family is ACTIVE: its live ep-x copy is
+    # authoritative, and the re-run carries it into the rebuilt
+    # family — nothing lost, nothing duplicated
+    assert store.ivf_active("emb") == (32, 2)
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        exclude="ep-x",
+    )
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {98000, 98001, 98002} <= set(ids)
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+    # now the NOT-active variant: same shape, but the active marker
+    # points at the source — the target copy is unaccounted-for and
+    # source-less, so the guard refuses
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store.ivf_append(
+        post_activation, "emb", "ep-x2", n_centroids=32, iters=2
+    )
+    store.ivf_set_active("emb", 8, 2)
     with pytest.raises(ValueError, match="no source-family twin"):
         store.ivf_rescale(
             "emb", n_centroids=8, iters=2, new_n_centroids=32,
-            exclude="ep-x",
+            exclude="ep-x2",
         )
     # nothing mutated: the epoch's vectors are still served
-    ids = {
+    ids2 = {
         r["id"] for r in store.ivf_index(
             None, "emb", n_centroids=32, iters=2
         ).select("id").collect()
     }
-    assert {98000, 98001, 98002} <= ids
+    assert {98000, 98001, 98002} <= ids2
 
 
 def test_rescale_rerun_refuses_folded_sourceless_exclude(
@@ -861,15 +890,26 @@ def test_rescale_rerun_refuses_folded_sourceless_exclude(
         post_activation, "emb", "ep-y", n_centroids=32, iters=2
     )
     store.ivf_compact("emb", n_centroids=32, iters=2)  # ep-y → base
-    # the epoch now lives only in the target's base; both the plain
-    # re-run and the mislabeled exclude= re-run must refuse
+    # the epoch now lives only in the ACTIVE target's base; both the
+    # plain re-run and the mislabeled exclude= re-run must refuse —
+    # the authoritative rows are inseparable from the base a rebuild
+    # would replace
     with pytest.raises(ValueError, match="ep-y"):
         store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    with pytest.raises(ValueError, match="ACTIVE family's base"):
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+            exclude="ep-y",
+        )
+    # and with the target NOT active the folded copy is still
+    # source-less — refused on that ground instead
+    store.ivf_set_active("emb", 8, 2)
     with pytest.raises(ValueError, match="no source-family twin"):
         store.ivf_rescale(
             "emb", n_centroids=8, iters=2, new_n_centroids=32,
             exclude="ep-y",
         )
+    store.ivf_set_active("emb", 32, 2)
     ids = {
         r["id"] for r in store.ivf_index(
             None, "emb", n_centroids=32, iters=2
@@ -879,12 +919,16 @@ def test_rescale_rerun_refuses_folded_sourceless_exclude(
 
 
 def test_rescale_rerun_allows_source_folded_exclude(spark, emb, ivf_store):
-    """The reverse twin: an in-flight epoch folded into the SOURCE
-    base by a maintenance compact before the re-run is still a valid
-    recovery — its rows ride the rebuilt base, so refusing would
-    block the documented crash recovery with no valid path
-    (second-review finding). The epoch's name stays in the replay
-    ledger, so a late replay is refused exactly as after a compact."""
+    """An in-flight epoch folded into the SOURCE base by a
+    maintenance compact before the re-run is still a valid recovery
+    WHEN THE SOURCE IS THE ACTIVE FAMILY (replays landed there, so
+    its copy — now in its base — is authoritative): the rows ride
+    the rebuilt base, and refusing would block the documented crash
+    recovery with no valid path (second-review finding). The
+    epoch's name stays in the replay ledger, so a late replay is
+    refused exactly as after a compact. With the TARGET active the
+    same layout refuses instead — the target's live copy would be
+    duplicated by the source's folded rows (third-review finding)."""
     store = ivf_store
     dim = len(emb.first()["embedding"])
     n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
@@ -900,6 +944,17 @@ def test_rescale_rerun_allows_source_folded_exclude(spark, emb, ivf_store):
     store.ivf_append(stale, "emb", "inflight-ep", n_centroids=8, iters=2)
     # ...then a source-side maintenance compact folds it there
     assert store.ivf_compact("emb", n_centroids=8, iters=2) == 1
+    # with the TARGET active, its live copy is authoritative and the
+    # source's folded rows would duplicate it in the rebuilt base
+    assert store.ivf_active("emb") == (32, 2)
+    with pytest.raises(ValueError, match="duplicate"):
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+            exclude="inflight-ep",
+        )
+    # crashed-before-activation state: the SOURCE is active, its
+    # (folded) copy authoritative — recovery proceeds
+    store.ivf_set_active("emb", 8, 2)
     store.ivf_rescale(
         "emb", n_centroids=8, iters=2, new_n_centroids=32,
         exclude="inflight-ep",
