@@ -2040,7 +2040,11 @@ class SignatureStore:
         # absent (crashed first-publish): surviving epochs would
         # otherwise ride into the rebuilt family with stale cell
         # assignments — the old whole-root delete is gone.
-        activated = self.ivf_active(corpus) == (new_n_centroids, iters)
+        # one marker read serves both the guard and the post-publish
+        # bump: this method holds the write lease, so the marker
+        # cannot move mid-run
+        active = self.ivf_active(corpus)
+        activated = active == (new_n_centroids, iters)
         tgt_folded = self._folded_names(npath)
         src_live_twin = exclude is not None and fs.exists(
             hp(os.path.join(self._delta_root(ipath), exclude))
@@ -2053,16 +2057,18 @@ class SignatureStore:
             and not st.getPath().getName().endswith("__staging")
         ) if fs.exists(hp(ndroot)) else []
 
-        def _refuse(detail: str) -> None:
+        _GC_SOURCE_ADVICE = (
+            "This family is the ACTIVE one — a prior run of this "
+            "rescale completed through activation; GC the leftover "
+            "source family instead (see ivf_orphans) and keep "
+            "serving from the published one."
+        )
+
+        def _refuse(detail: str, advice: str) -> None:
             raise ValueError(
                 f"target IVF family n_centroids={new_n_centroids}, "
-                f"iters={iters} for corpus {corpus!r}: {detail}. If a "
-                "prior run of this rescale reached activation and "
-                "epochs committed to the family since, GC the "
-                "leftover source family instead (see ivf_orphans) "
-                "and keep serving from the published one. Re-run "
-                "with exclude=<epoch> ONLY for the crashed run's "
-                "in-flight epoch."
+                f"iters={iters} for corpus {corpus!r}: {detail}. "
+                f"{advice}"
             )
 
         use_target_copy = False
@@ -2075,7 +2081,8 @@ class SignatureStore:
                         f"{exclude!r} is authoritative, but the "
                         "source family folded a stale copy of the "
                         "same epoch into its base — the rebuilt base "
-                        "would duplicate it"
+                        "would duplicate it",
+                        _GC_SOURCE_ADVICE,
                     )
                 use_target_copy = True
             elif activated and exclude in tgt_folded:
@@ -2083,7 +2090,8 @@ class SignatureStore:
                     f"epoch {exclude!r} was folded into the ACTIVE "
                     "family's base — its authoritative rows are "
                     "inseparable from the base this rebuild would "
-                    "replace"
+                    "replace",
+                    _GC_SOURCE_ADVICE,
                 )
             elif (
                 not src_live_twin
@@ -2094,7 +2102,13 @@ class SignatureStore:
                     f"epoch {exclude!r} exists only on the target "
                     "(no source-family twin) — a post-activation "
                     "commit mislabeled as the exclude; exempting it "
-                    "would discard its vectors"
+                    "would discard its vectors",
+                    "This family is NOT active, so nothing "
+                    "authoritative can rebuild that epoch: inspect "
+                    "before deleting anything. If the epoch should "
+                    "survive, activate this family (ivf_set_active) "
+                    "so a re-run preserves its copy; if the family "
+                    "is an abandoned crashed product, delete it.",
                 )
         exempt = {exclude} if exclude is not None else set()
         foreign_live = [nm for nm in target_live if nm not in exempt]
@@ -2103,7 +2117,13 @@ class SignatureStore:
             _refuse(
                 "holds epochs this rebuild from the source family "
                 f"would discard (live deltas {foreign_live}, "
-                f"folded-into-base {foreign_folded})"
+                f"folded-into-base {foreign_folded})",
+                _GC_SOURCE_ADVICE
+                if activated
+                else "This family is NOT active; if an epoch listed "
+                "here was the crashed run's in-flight epoch, re-run "
+                "with exclude=<that epoch> (the source must still "
+                "hold a copy); otherwise inspect before deleting.",
             )
 
         live = self.ivf_index(
@@ -2181,13 +2201,19 @@ class SignatureStore:
             # replay wholesale-replaces where reads now happen. The
             # AUTHORITATIVE copy is re-assigned: the target's own
             # (a post-activation replay landed there) when the
-            # target is active, else the source's.
+            # target is active, else the source's — UNLESS the
+            # source already folded the epoch (its rows rode the
+            # rebuilt base; a surviving delta dir there is a
+            # compact-crash GC leftover whose re-assign would only
+            # publish a dead, ledger-skipped directory)
             src = (
                 os.path.join(ndroot, exclude)
                 if use_target_copy
                 else os.path.join(self._delta_root(ipath), exclude)
             )
-            if fs.exists(hp(src)):
+            if fs.exists(hp(src)) and (
+                use_target_copy or exclude not in src_folded
+            ):
                 rows = self._ivf_rows(
                     self.spark.read.schema(
                         self.spark.read.parquet(npath).schema
@@ -2206,7 +2232,7 @@ class SignatureStore:
         # (streaming ingest, indexed probe) follow the rescale on
         # their next epoch/call — but only if the OLD family was the
         # active one (an explicit sibling rescale must not steal it)
-        if self.ivf_active(corpus) in (None, (n_centroids, iters)):
+        if active in (None, (n_centroids, iters)):
             self.ivf_set_active(corpus, new_n_centroids, iters)
         # GC the old family last — a crash above leaves both families
         # readable (a crash between marker and GC leaves the old one

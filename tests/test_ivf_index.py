@@ -783,13 +783,18 @@ def test_rescale_rerun_is_idempotent_and_clears_stale_deltas(
     with pytest.raises(ValueError, match="inflight-ep"):
         store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
 
-    # naming it as the exclude epoch is the crashed-attempt recovery:
-    # the target's copy (assigned under the crashed run's quantizer)
-    # is swept and the epoch re-assigned fresh from the source twin
+    # naming it as the exclude epoch is the crashed-attempt recovery.
+    # Pin the crashed-BEFORE-activation state (the source family is
+    # still the active one), so this exercises the sweep-then-
+    # re-assign-from-live-source-twin path — the target's stale copy
+    # (assigned under the crashed run's quantizer) is swept and the
+    # epoch re-assigned fresh from the source twin
+    store.ivf_set_active("emb", 8, 2)
     store.ivf_rescale(
         "emb", n_centroids=8, iters=2, new_n_centroids=32,
         exclude="inflight-ep",
     )
+    assert store.ivf_active("emb") == (32, 2)  # re-run re-activates
     ids = [
         r["id"] for r in store.ivf_index(
             None, "emb", n_centroids=32, iters=2
