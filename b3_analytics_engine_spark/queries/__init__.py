@@ -48,39 +48,39 @@ def register(
 # entries each round. With 151 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-14 front window (round 13 went 50/50
-# green; exactly the rotation the r13 verdict prescribed):
-# (a) topk_per_group — newest external green round 10, uniquely
-# 4 rounds stale at r14 (the r13 verdict named it round-14 front of
+# external evidence. Round-15 front window (round 14 went 50/50
+# green; exactly the rotation the r14 verdict prescribed):
+# (a) funnel_conversion — newest external green round 11, uniquely
+# 4 rounds stale at r15 (the r14 verdict named it round-15 front of
 # line);
-# (b) 49 of the round-11-newest cohort, weakest-evidence-first
+# (b) 49 of the round-12-newest cohort, weakest-evidence-first
 # (fewest external greens, then registration order) as computed by
-# tools/rotation_report.py on the r13 CORRECTNESS file.
+# tools/rotation_report.py on the r14 CORRECTNESS file.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r10 — 4 rounds stale (1)
-    "topk_per_group",
-    # (b) newest external green r11, weakest-evidence-first (49)
-    "acf_per_key", "anomaly_mad", "audio_decode_stats",
-    "beta_per_key", "bigram_logprob", "bpe_merge_pairs",
-    "containment_pairs", "decayed_engagement", "decontaminate_bloom",
-    "decontaminate_fuzzy", "dedup_keep_best", "embedding_quantize",
-    "event_transitions", "fuzzy_levenshtein_pairs",
-    "image_decode_stats", "image_resize_stats", "k_anonymity",
-    "key_skew_audit", "ks_drift", "mixture_rebalance",
-    "negative_sampling", "ngram_novelty", "ohlc_bars", "oov_rate",
-    "pmi_collocations", "png_decode_stats", "psi_drift",
-    "scd2_history", "semantic_dedup", "source_overlap",
-    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
-    "char_entropy", "duplicated_spans", "embedding_neardup",
-    "min_cost_supplier", "regional_revenue", "tumbling_window_agg",
-    "corr_matrix", "cosine_topk", "cube_revenue",
-    "dedup_minhash_lsh", "dedup_simhash", "incident_window_join",
-    "repetition_ratio", "rollup_revenue", "union_dedup_keeplast",
-    "warehouse_metrics",
+    # (a) newest external green r11 — 4 rounds stale (1)
+    "funnel_conversion",
+    # (b) newest external green r12, weakest-evidence-first (49)
+    "benford_audit", "dataset_split", "feature_hashing",
+    "gini_per_key", "percentile_normalize", "reservoir_per_group",
+    "table_profile", "video_frame_stats", "approx_aggregates",
+    "cast_coerce_nulls", "cosine_ann_ivf", "cosine_ann_lsh",
+    "customer_order_histogram", "disjunctive_join_filter",
+    "dominant_suppliers", "dormant_customers",
+    "embedding_neardup_exact", "ewma_per_key", "forecast_revenue",
+    "heavy_hitters", "importance_resample", "important_parts",
+    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
+    "json_payload_parse", "label_centroids", "large_volume_customer",
+    "market_share", "multi_key_sort_limit", "nation_trade_volume",
+    "null_handling", "order_priority_check", "parts_supplier_stats",
+    "pii_flag", "pricing_summary", "product_profit",
+    "promotion_effect", "returned_item_customers",
+    "scalar_functions", "distinct_sorted_keys", "exact_percentiles",
+    "group_share", "ranking_suite", "set_operations", "text_stats",
+    "top1_by_metric", "tz_convert", "unpivot_measures",
 )
-# Outside this window: the round-12 and round-13 cohorts (checked one
+# Outside this window: the round-13 and round-14 cohorts (checked one
 # and zero rounds ago — the freshest evidence possible). After this
-# round no query's newest external green is older than round 12
+# round no query's newest external green is older than round 13
 # (≤2 rounds stale) — inside the 3-round staleness ceiling the
 # rotation cycle is designed to hold. All registered queries are
 # re-checked by tests/test_oracle_parity.py every run, and
