@@ -689,6 +689,49 @@ class SignatureStore:
                     out.append((nbits, portable))
         return sorted(out)
 
+    def _artifact_variants(
+        self, family: str, corpus: str, keys: tuple[str, ...]
+    ) -> list[tuple[int, ...]]:
+        """Discover every materialized parameter variant of a
+        shingle-derived artifact family by walking its nested
+        ``key=value`` directory levels under
+        ``<root>/<family>/<corpus>/`` — the generalization of
+        :meth:`_simhash_variants` that :meth:`refresh_all` iterates so
+        NON-default variants (``n != 3``, ``portable=True``, other
+        ``k``/``seed``/``bands``) are rebuilt too instead of silently
+        surviving a refresh stale (r14 advice #3: a stale variant
+        would otherwise outlive the refresh while :meth:`assert_fresh`
+        then passes on the fresh fingerprint stamp). Listing only —
+        no data read. Strict per-level name match: delta/staging
+        sibling dirs (``portable=0__delta``) never parse as variants;
+        incomplete (crashed-write) leaves are skipped, like every
+        other read."""
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        hp = jvm.org.apache.hadoop.fs.Path
+        croot = os.path.join(self.root, family, corpus)
+        if not fs.exists(hp(croot)):
+            return []
+        frontier: list[tuple[list[int], str]] = [([], croot)]
+        for key in keys:
+            val_pat = "[01]" if key == "portable" else r"-?\d+"
+            pat = re.compile(rf"{re.escape(key)}=({val_pat})")
+            nxt = []
+            for vals, path in frontier:
+                for st in fs.listStatus(hp(path)):
+                    name = st.getPath().getName()
+                    m = pat.fullmatch(name)
+                    if st.isDirectory() and m:
+                        nxt.append(
+                            (vals + [int(m.group(1))],
+                             os.path.join(path, name))
+                        )
+            frontier = nxt
+        return sorted(
+            tuple(vals)
+            for vals, path in frontier
+            if self._is_complete(path)
+        )
+
     def simhash_census(
         self,
         df: DataFrame,
@@ -935,18 +978,76 @@ class SignatureStore:
         derivation chain so nothing re-tokenizes twice. SimHash
         artifacts refresh only if already materialized (they are
         opt-in; see :meth:`simhash`) — a corpus that never built them
-        gains nothing from a refresh creating them."""
+        gains nothing from a refresh creating them.
+
+        Variant coverage (r14 advice #3): the shingle-derived
+        artifacts are parameterized (``n``/``portable`` for postings
+        and sizes, plus ``k``/``seed`` for signatures, plus ``bands``
+        for the census) and a corpus may hold SEVERAL materialized
+        variants. The parameters passed here rebuild their variant as
+        before; every OTHER materialized variant is then DISCOVERED
+        (:meth:`_artifact_variants`, the :meth:`_simhash_variants`
+        pattern) and rebuilt from the same snapshot — a stale
+        non-default variant must not survive the refresh while
+        :meth:`assert_fresh` then vouches for the corpus on the fresh
+        fingerprint stamp. Discovery happens BEFORE any rebuild (a
+        rebuild's staging/delta churn must not perturb the listing);
+        derived variants rebuild read-through from the just-refreshed
+        postings/signatures bases, so no variant re-tokenizes more
+        than once per distinct ``(n, portable)``."""
+        # discover materialized variants FIRST (listing only), then
+        # close the derivation cascade: a census variant implies its
+        # signatures variant, signatures/sizes imply their postings
+        pairs = {(int(n), int(portable))}
+        pairs.update(self._artifact_variants(
+            "hashed_postings", corpus, ("n", "portable")))
+        sig4 = {(int(n), int(portable), int(num_hashes), int(seed))}
+        sig4.update(self._artifact_variants(
+            "minhash_signatures", corpus, ("n", "portable", "k", "seed")))
+        size2 = set(self._artifact_variants(
+            "doc_sizes", corpus, ("n", "portable")))
+        census5 = set(self._artifact_variants(
+            "band_census", corpus, ("n", "portable", "k", "seed", "bands")))
+        census5.add((int(n), int(portable), int(num_hashes), int(seed), 16))
+        sig4.update(c[:4] for c in census5)
+        pairs.update(s[:2] for s in sig4)
+        pairs.update(size2)
+
         self.fingerprints(df, corpus, id_col, text_col, refresh=True)
-        # rebuilds postings first, then signatures from them
-        self.signatures(
-            df, corpus, id_col, text_col, n, portable, num_hashes, seed,
-            refresh=True,
-        )
-        self.sizes(df, corpus, id_col, text_col, n, portable, refresh=True)
-        self.band_census(
-            df, corpus, id_col, text_col, n, portable, num_hashes, seed,
-            refresh=True,
-        )
+        # postings: one re-tokenization per distinct (n, portable)
+        for pn, pp in sorted(pairs):
+            self.postings(df, corpus, id_col, text_col, pn, bool(pp),
+                          refresh=True)
+        # signatures from the just-refreshed postings bases (the
+        # refresh=False call reads them; deltas were just cleared, so
+        # base == snapshot — same read signatures(refresh=True) does)
+        for sn, sp, sk, ss in sorted(sig4):
+            with self.lock(corpus):
+                self._write_atomic(
+                    _signatures_from_hashed(
+                        self.postings(df, corpus, id_col, text_col,
+                                      sn, bool(sp)),
+                        sk, ss,
+                    ),
+                    self.signatures_path(corpus, sn, bool(sp), sk, ss),
+                )
+        # sizes: the passed variant always (as before), plus every
+        # other materialized one — read-through from fresh postings
+        size2.add((int(n), int(portable)))
+        for zn, zp in sorted(size2):
+            self.sizes(df, corpus, id_col, text_col, zn, bool(zp),
+                       refresh=True)
+        for cn, cp, ck, cs, cb in sorted(census5):
+            with self.lock(corpus):
+                sig = self.spark.read.parquet(
+                    self.signatures_path(corpus, cn, bool(cp), ck, cs)
+                )
+                self._write_atomic(
+                    _banded_keys(sig, ck, cb)
+                    .groupBy("band", "bh")
+                    .agg(F.count(F.lit(1)).alias("cnt")),
+                    self.band_census_path(corpus, cn, bool(cp), ck, cs, cb),
+                )
         # simhash is token-level (its own derivation root): an existing
         # base left un-refreshed would silently keep the OLD corpus
         # view while every shingle-derived artifact moved on — exactly
@@ -1310,6 +1411,7 @@ class SignatureStore:
     def ivf_active_path(self, corpus: str) -> str:
         return os.path.join(self.root, "ivf_active", corpus)
 
+    @_with_lease
     def ivf_set_active(self, corpus: str, n_centroids: int, iters: int) -> None:
         """Record the corpus's ACTIVE IVF family key. The IVF artifact
         paths key by (n_centroids, iters), so a rescale publishes a
@@ -1320,7 +1422,16 @@ class SignatureStore:
         callers that pass ``n_centroids=None`` (the streaming ingest,
         the indexed probe) follow the rescale automatically on their
         next epoch/call. Written on first index build (if absent) and
-        bumped by :meth:`ivf_rescale` BEFORE the old family is GC'd."""
+        bumped by :meth:`ivf_rescale` BEFORE the old family is GC'd.
+
+        Lease-guarded (r14 advice #2): :meth:`ivf_rescale`'s
+        exclude-epoch guard resolves copy authority from the active
+        marker and assumes it cannot move mid-run; an unguarded
+        concurrent ``ivf_set_active`` could flip that authority after
+        the guard resolved it and the wrong copy would be swept. The
+        lease is re-entrant (``_lease_depth``), so the internal calls
+        from ivf_rescale / the first-build stamp — which already hold
+        it — are unaffected."""
         self._write_atomic(
             self.spark.createDataFrame(
                 [(int(n_centroids), int(iters))],
@@ -1922,7 +2033,12 @@ class SignatureStore:
         swept, while an epoch with NO source counterpart refuses. A
         target base parked mid-swap by any crashed rewrite (present
         without ``_SUCCESS``, or at ``__old``) also refuses —
-        rename the ``__old`` copy back first.
+        rename the ``__old`` copy back first. The exclude epoch's
+        DELTA dir parked mid-swap (``<epoch>__old`` with the live
+        dir missing — a crash inside a prior re-assign's swap) is
+        recovered automatically by renaming it back before authority
+        resolution; a FOREIGN epoch's ``__old`` refuses like any
+        foreign delta, with the rename-back recovery named.
 
         The OLD family (index, centroids, delta tree) is GC'd last:
         readers key probes by (corpus, n_centroids, iters), so a crash
@@ -2050,6 +2166,32 @@ class SignatureStore:
             hp(os.path.join(self._delta_root(ipath), exclude))
         )
         ndroot = self._delta_root(npath)
+        # mid-swap recovery for the exclude epoch's DELTA dir (r14
+        # advice #1): a crash inside a prior re-assign's
+        # replace_directory parks the last-committed copy at
+        # '<epoch>__old' with the live dir missing; without recovery,
+        # target_live would count that name as a FOREIGN live epoch
+        # and refuse with dead-end advice (exclude='<epoch>__old' has
+        # no source twin). Rename it back — replace_directory's own
+        # documented recovery — so authority resolution sees the
+        # copy as the target's live one. With the live dir PRESENT
+        # the __old is a post-swap leftover (crash after the second
+        # rename, before cleanup): the live dir is the newer complete
+        # copy, so the stale parking is dropped, exactly as the next
+        # swap's own stale-__old sweep would. Runs under this
+        # method's write lease, before any refusal/mutation below.
+        if exclude is not None and fs.exists(hp(ndroot)):
+            xold = hp(os.path.join(ndroot, exclude + "__old"))
+            xdst = hp(os.path.join(ndroot, exclude))
+            if fs.exists(xold):
+                if not fs.exists(xdst):
+                    if not fs.rename(xold, xdst):
+                        raise IOError(
+                            f"mid-swap recovery rename {xold} -> "
+                            f"{xdst} failed"
+                        )
+                else:
+                    fs.delete(xold, True)
         target_live = sorted(
             st.getPath().getName()
             for st in fs.listStatus(hp(ndroot))
@@ -2114,16 +2256,30 @@ class SignatureStore:
         foreign_live = [nm for nm in target_live if nm not in exempt]
         foreign_folded = sorted(tgt_folded - ledger - exempt)
         if foreign_live or foreign_folded:
+            # a foreign '<name>__old' is a mid-swap parked copy of a
+            # COMMITTED foreign epoch (its live dir is missing): its
+            # rows are as unreproducible as any foreign delta's, so
+            # it refuses like one — but the advice must name the
+            # recovery (rename back to the bare name), not suggest
+            # the dead-end exclude='<name>__old'
+            old_advice = (
+                " Names ending '__old' are mid-swap parked copies of "
+                "their epoch — rename each back to the bare epoch "
+                "name first (its live dir is missing), then re-run."
+                if any(nm.endswith("__old") for nm in foreign_live)
+                else ""
+            )
             _refuse(
                 "holds epochs this rebuild from the source family "
                 f"would discard (live deltas {foreign_live}, "
                 f"folded-into-base {foreign_folded})",
-                _GC_SOURCE_ADVICE
-                if activated
-                else "This family is NOT active; if an epoch listed "
-                "here was the crashed run's in-flight epoch, re-run "
-                "with exclude=<that epoch> (the source must still "
-                "hold a copy); otherwise inspect before deleting.",
+                (_GC_SOURCE_ADVICE
+                 if activated
+                 else "This family is NOT active; if an epoch listed "
+                 "here was the crashed run's in-flight epoch, re-run "
+                 "with exclude=<that epoch> (the source must still "
+                 "hold a copy); otherwise inspect before deleting.")
+                + old_advice,
             )
 
         live = self.ivf_index(

@@ -158,56 +158,108 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _artifact_round(path: str) -> int:
+    """Round number from a BENCH_r{N}.json / bench_local_r{N}.json
+    filename (0 if the name carries none)."""
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+def _extract_timings(hist: object, headline: set) -> dict[str, float]:
+    """Headline per-query timings from ONE artifact: a top-level
+    ``queries`` map (full local artifact / parseable wrapper), else
+    regex over the wrapper's bounded ``tail`` stdout capture."""
+    found: dict[str, float] = {}
+    if not isinstance(hist, dict):
+        return found
+    qs = hist.get("queries")
+    if isinstance(qs, dict):
+        return {
+            q: float(s)
+            for q, s in qs.items()
+            if q in headline and isinstance(s, (int, float)) and s > 0
+        }
+    blob = hist.get("tail")
+    if isinstance(blob, str):
+        for q, s in re.findall(
+            r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', blob
+        ):
+            if q in headline and float(s) > 0:
+                # first occurrence wins: the tail holds the full
+                # per-query line, then summary lines without them
+                found.setdefault(q, float(s))
+    return found
+
+
 def load_bench_history(repo: str = REPO) -> tuple[dict, dict]:
-    """Per-query ``(floors, prev)`` from the committed BENCH_r*.json
+    """Per-query ``(floors, prev)`` from the committed bench
     artifacts: ``floors[q]`` = cheapest this query EVER ran on any
     recorded box, ``prev[q]`` = its value in the LATEST round that
     recorded it.
 
-    The driver's artifacts are wrappers ``{n, rc, cpus, sf, tail,
-    parsed}`` whose per-query timings live inside the ``tail`` stdout
-    capture — a bounded tail that can start MID-LINE (r5's did), so
-    the full JSON line may be unparseable. Timings are therefore
-    regex-extracted as ``"name": <number>`` pairs and filtered to the
-    headline set; a raw ``{"queries": {...}}`` artifact (a local run
-    saved directly) is also accepted. r10 lesson: the old loader
-    looked for a top-level ``queries`` key, found none in any wrapper,
-    and silently ran with NO floors — which is how two 3-4x one-off
-    spikes (`ohlc_bars`, `png_decode_stats`) reached the artifact
-    unretried and cost a judge session to adjudicate."""
+    Two artifact families, merged per round with the LOCAL one
+    winning:
+
+    - ``BENCH_r{N}.json`` — the driver's wrappers ``{n, rc, cpus, sf,
+      tail, parsed}`` whose per-query timings live inside the ``tail``
+      stdout capture. The tail is a FIXED 2000-char suffix; the full
+      per-query line is ~3.5 KB at 83 queries, so ~33 timings per
+      round are truncated away and the tail can start MID-LINE (r5's
+      did) — timings are regex-extracted, filtered to the headline
+      set. r10 lesson: the old loader looked for a top-level
+      ``queries`` key, found none in any wrapper, and silently ran
+      with NO floors — which is how two 3-4x one-off spikes
+      (`ohlc_bars`, `png_decode_stats`) reached the artifact unretried
+      and cost a judge session to adjudicate.
+    - ``bench_local_r{N}.json`` — the COMPLETE result object this
+      harness writes itself on every run (r14 verdict task 3: floors
+      for tail-truncated queries silently dated from older rounds).
+      Same shape as the printed line; carries all per-query timings,
+      so it is preferred over the tail for its round.
+    """
     import glob
 
     headline = set(HEADLINE)
-    floors: dict[str, float] = {}
-    prev: dict[str, float] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+    per_round: dict[int, dict[str, float]] = {}
+    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         try:
             with open(path) as fh:
                 hist = json.load(fh)
         except (OSError, ValueError):
             continue
-        found: dict[str, float] = {}
-        qs = hist.get("queries")
-        if isinstance(qs, dict):
-            found = {
-                q: float(s)
-                for q, s in qs.items()
-                if q in headline and isinstance(s, (int, float)) and s > 0
-            }
-        else:
-            blob = hist.get("tail")
-            if isinstance(blob, str):
-                for q, s in re.findall(
-                    r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', blob
-                ):
-                    if q in headline and float(s) > 0:
-                        # first occurrence wins: the tail holds the full
-                        # per-query line, then summary lines without them
-                        found.setdefault(q, float(s))
-        for q, s in found.items():
+        n = _artifact_round(path)
+        merged = per_round.setdefault(n, {})
+        merged.update(_extract_timings(hist, headline))
+    for path in glob.glob(os.path.join(repo, "bench_local_r*.json")):
+        try:
+            with open(path) as fh:
+                hist = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found = _extract_timings(hist, headline)
+        if found:
+            # complete local artifact supersedes the truncated tail
+            per_round[_artifact_round(path)] = found
+    floors: dict[str, float] = {}
+    prev: dict[str, float] = {}
+    for n in sorted(per_round):  # numeric ascending: prev = latest
+        for q, s in per_round[n].items():
             floors[q] = min(floors.get(q, float("inf")), s)
-            prev[q] = s  # sorted() walks rounds ascending
+            prev[q] = s
     return floors, prev
+
+
+def next_round(repo: str = REPO) -> int:
+    """The round currently being benched = one past the newest
+    committed driver artifact (the driver writes BENCH_r{N}.json only
+    AFTER the round's bench run)."""
+    import glob
+
+    return 1 + max(
+        (_artifact_round(p)
+         for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))),
+        default=0,
+    )
 
 
 #: a measurement above RETIME_VS_PREV x its previous-round value (or,
@@ -376,25 +428,39 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-                "cpus": CPUS,
-                "control": CONTROL,
-                "control_sec": control_sec,
-                "control_steady": control_steady,
-                "control_series": control_series,
-                "control_drift": control_drift,
-                "drift_flagged": drift_flagged,
-                "retimed": retimed,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "control": CONTROL,
+        "control_sec": control_sec,
+        "control_steady": control_steady,
+        "control_series": control_series,
+        "control_drift": control_drift,
+        "drift_flagged": drift_flagged,
+        "retimed": retimed,
+    }
+    print(json.dumps(result))
+    # truncation-proof per-query history (r14 verdict task 3): the
+    # driver's BENCH_r{N}.json keeps only a 2000-char stdout tail —
+    # the full per-query line above is ~3.5 KB at 83 queries, so ~33
+    # timings per round were lost and load_bench_history's floors for
+    # them silently dated from older rounds. Persist the COMPLETE
+    # result alongside; the loader prefers it for this round. Only
+    # full sf0.1 runs are history (an sf0.001 smoke run must never
+    # become a floor); last run of the round wins, which matches the
+    # driver's own run being the final one before the artifact lands.
+    if sf_from_dir(SF_DIR) == 0.1:
+        local = os.path.join(REPO, f"bench_local_r{next_round():02d}.json")
+        try:
+            with open(local, "w") as fh:
+                json.dump(result, fh, indent=1)
+                fh.write("\n")
+        except OSError as exc:  # read-only checkout: print-only mode
+            print(f"bench_local write skipped: {exc}", file=sys.stderr)
     # compact summary printed LAST: the driver captures a bounded tail
     # of stdout, and the full per-query line above grows with the
     # headline set (~2 KB at 80 queries) — r5's total was truncated

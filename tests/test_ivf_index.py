@@ -999,6 +999,85 @@ def test_rescale_refuses_midswap_target_base(spark, emb, ivf_store):
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
 
 
+def test_rescale_rerun_recovers_midswap_exclude_delta(spark, emb, ivf_store):
+    """r14 advice #1: a crash inside the exclude re-assign's
+    replace_directory parks the epoch's last-committed copy at
+    '<epoch>__old' in the TARGET DELTA ROOT with the live dir
+    missing. The re-run must recover it (rename back — the swap's
+    documented recovery) and preserve its rows, not refuse it as a
+    foreign live epoch whose advice (exclude='<epoch>__old') is a
+    dead end. A stale post-swap '__old' (live dir present) is
+    dropped. A FOREIGN epoch's '__old' still refuses — its rows are
+    as unreproducible as any foreign delta's — naming rename-back."""
+    import shutil
+
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)  # source back
+    epoch = local_df(
+        spark,
+        [(99000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(epoch, "emb", "ep-z", n_centroids=32, iters=2)
+    assert store.ivf_active("emb") == (32, 2)
+    ndroot = store._delta_root(store.ivf_index_path("emb", 32, 2))
+    # simulate the crash between the swap's two renames: live dir
+    # gone, last-committed copy parked at __old
+    os.rename(
+        os.path.join(ndroot, "ep-z"), os.path.join(ndroot, "ep-z__old")
+    )
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32, exclude="ep-z",
+    )
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    # the parked copy was recovered and re-assigned: its vectors are
+    # served exactly once, nothing refused, nothing duplicated
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {99000, 99001, 99002} <= set(ids)
+    assert not os.path.exists(os.path.join(ndroot, "ep-z__old"))
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
+
+    # stale post-swap leftover (__old AND live dir): the live dir is
+    # the newer complete copy — the parking is dropped, the run
+    # proceeds and the epoch's rows survive once
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store.ivf_append(epoch, "emb", "ep-z", n_centroids=32, iters=2)
+    shutil.copytree(
+        os.path.join(ndroot, "ep-z"), os.path.join(ndroot, "ep-z__old")
+    )
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32, exclude="ep-z",
+    )
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert not os.path.exists(os.path.join(ndroot, "ep-z__old"))
+
+    # a FOREIGN epoch parked mid-swap refuses, and the advice names
+    # the actual recovery instead of a dead-end exclude=
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)
+    store.ivf_append(epoch, "emb", "ep-w", n_centroids=32, iters=2)
+    os.rename(
+        os.path.join(ndroot, "ep-w"), os.path.join(ndroot, "ep-w__old")
+    )
+    with pytest.raises(ValueError, match="rename each back"):
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        )
+    # nothing mutated: the parked copy is still there for recovery
+    assert os.path.exists(os.path.join(ndroot, "ep-w__old"))
+
+
 def test_roundtrip_rescale_never_self_orphans(spark, emb, ivf_store):
     """A→B→A' round trip: carrying B's _rescaled_from_A marker into
     A' verbatim would stamp the new serving family as its own orphan

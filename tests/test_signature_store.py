@@ -687,6 +687,82 @@ def test_refresh_all_rebuilds_consistent_snapshot(spark, docs, docs_store):
     assert store.fingerprints(None, "docs").count() == n + 1
 
 
+def test_refresh_all_covers_nondefault_shingle_variants(
+    spark, docs, docs_store, tmp_path
+):
+    """r14 advice #3: a corpus holding NON-default shingle-artifact
+    variants (n != 3, other k/seed, non-default census bands) must
+    have them rebuilt by refresh_all too. Before this, only the
+    parameter variant PASSED to refresh_all was rebuilt — stale
+    non-default variants survived the repair while assert_fresh then
+    passed on the fresh fingerprint stamp, partially re-opening the
+    stale-stamp hole the guard closed."""
+    store = docs_store
+    # materialize non-default variants alongside the prebuilt defaults
+    store.signatures(docs, "docs", n=2)  # n=2 postings + signatures
+    store.sizes(docs, "docs", n=2)
+    store.signatures(docs, "docs", num_hashes=32, seed=7)
+    store.band_census(docs, "docs", num_hashes=32, seed=7, bands=8)
+    n_old = docs.count()
+    bigger = docs.select("doc_id", "text").unionByName(
+        local_df(
+            spark,
+            [(900010, "a unique doc about hadal trench pressure")],
+            "doc_id long, text string",
+        )
+    )
+    store.refresh_all(bigger, "docs")  # default parameters only
+    n = bigger.count()
+    assert n == n_old + 1
+    # every materialized variant reflects the refreshed snapshot
+    assert store.signatures(None, "docs", n=2).count() == n
+    assert store.sizes(None, "docs", n=2).count() == n
+    assert store.signatures(None, "docs", num_hashes=32, seed=7).count() == n
+    census = store.band_census(
+        None, "docs", num_hashes=32, seed=7, bands=8
+    )
+    # one bucket entry per (doc, band): total count = n * bands
+    assert census.agg(F.sum("cnt").alias("s")).first()["s"] == n * 8
+    # and the rebuilt variants are row-identical to a fresh build
+    # from the same frame (not merely count-equal)
+    fresh = SignatureStore(spark, str(tmp_path / "fresh"))
+    assert sorted(
+        tuple(r) for r in store.signatures(None, "docs", n=2).collect()
+    ) == sorted(
+        tuple(r) for r in fresh.signatures(bigger, "f", n=2).collect()
+    )
+    # variant deltas are cleared like the defaults'
+    for p in (
+        store.signatures_path("docs", n=2),
+        store.sizes_path("docs", n=2),
+        store.signatures_path("docs", num_hashes=32, seed=7),
+        store.band_census_path("docs", num_hashes=32, seed=7, bands=8),
+    ):
+        assert store._delta_paths(p) == []
+    store.assert_fresh(bigger, "docs")  # stamp and store are one snapshot
+
+
+def test_ivf_set_active_is_lease_guarded(spark, docs, docs_store_dir):
+    """r14 advice #2: ivf_rescale's exclude-authority guard resolves
+    copy authority from the active marker ONCE, under the write
+    lease, assuming it cannot move mid-run. ivf_set_active must
+    therefore take the same lease: a concurrent flip would change
+    exclude-epoch authority after the guard resolved it and the
+    wrong copy could be swept. The lease is re-entrant, so the
+    internal calls (first-build stamp, ivf_rescale's own bump) are
+    unaffected — pinned by every passing rescale test."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    a = SignatureStore(spark, docs_store_dir, owner="job-a")
+    b = SignatureStore(spark, docs_store_dir, owner="job-b")
+    with a.lock("docs"):
+        with pytest.raises(StoreLockedError, match="write-locked"):
+            b.ivf_set_active("docs", 8, 2)
+        a.ivf_set_active("docs", 8, 2)  # holder unaffected (re-entrant)
+    b.ivf_set_active("docs", 16, 3)  # released: B proceeds
+    assert b.ivf_active("docs") == (16, 3)
+
+
 def test_simhash_cross_matches_symmetric_on_split_corpus(spark, docs, tmp_path):
     """simhash_pairs_cross(A-sigs, B-sigs) must equal the symmetric
     operator's A×B cut on the union — same pairs, same hamming —
