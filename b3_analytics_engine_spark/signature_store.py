@@ -2162,27 +2162,33 @@ class SignatureStore:
         active = self.ivf_active(corpus)
         activated = active == (new_n_centroids, iters)
         tgt_folded = self._folded_names(npath)
-        src_live_twin = exclude is not None and fs.exists(
-            hp(os.path.join(self._delta_root(ipath), exclude))
-        )
         ndroot = self._delta_root(npath)
+
         # mid-swap recovery for the exclude epoch's DELTA dir (r14
-        # advice #1): a crash inside a prior re-assign's
-        # replace_directory parks the last-committed copy at
-        # '<epoch>__old' with the live dir missing; without recovery,
-        # target_live would count that name as a FOREIGN live epoch
-        # and refuse with dead-end advice (exclude='<epoch>__old' has
-        # no source twin). Rename it back — replace_directory's own
-        # documented recovery — so authority resolution sees the
-        # copy as the target's live one. With the live dir PRESENT
-        # the __old is a post-swap leftover (crash after the second
-        # rename, before cleanup): the live dir is the newer complete
-        # copy, so the stale parking is dropped, exactly as the next
-        # swap's own stale-__old sweep would. Runs under this
-        # method's write lease, before any refusal/mutation below.
-        if exclude is not None and fs.exists(hp(ndroot)):
-            xold = hp(os.path.join(ndroot, exclude + "__old"))
-            xdst = hp(os.path.join(ndroot, exclude))
+        # advice #1): a crash inside replace_directory — a prior
+        # re-assign's swap on the TARGET root, or a crashed epoch
+        # commit's swap on the SOURCE root — parks the last-committed
+        # copy at '<epoch>__old' with the live dir missing. Without
+        # recovery the target side would refuse the name as a FOREIGN
+        # live epoch with dead-end advice (exclude='<epoch>__old' has
+        # no source twin), and a parked source copy would misresolve
+        # src_live_twin to False ("no source-family twin" on a
+        # recoverable store). Rename it back — replace_directory's
+        # own documented recovery, restoring the last-committed
+        # state, so it is safe ahead of the refusals below (which
+        # must otherwise precede any mutation). With the live dir
+        # PRESENT the __old is a post-swap leftover (crash after the
+        # second rename, before cleanup): the live dir is the newer
+        # complete copy, so the stale parking is dropped, exactly as
+        # the next swap's own stale-__old sweep would. Applies ONLY
+        # to the exclude epoch's name — a FOREIGN epoch's __old
+        # refuses below like any foreign delta, advice naming the
+        # rename-back. Runs under this method's write lease.
+        def _recover_parked(droot: str) -> None:
+            if exclude is None or not fs.exists(hp(droot)):
+                return
+            xold = hp(os.path.join(droot, exclude + "__old"))
+            xdst = hp(os.path.join(droot, exclude))
             if fs.exists(xold):
                 if not fs.exists(xdst):
                     if not fs.rename(xold, xdst):
@@ -2192,6 +2198,12 @@ class SignatureStore:
                         )
                 else:
                     fs.delete(xold, True)
+
+        _recover_parked(self._delta_root(ipath))
+        _recover_parked(ndroot)
+        src_live_twin = exclude is not None and fs.exists(
+            hp(os.path.join(self._delta_root(ipath), exclude))
+        )
         target_live = sorted(
             st.getPath().getName()
             for st in fs.listStatus(hp(ndroot))

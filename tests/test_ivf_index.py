@@ -1076,6 +1076,32 @@ def test_rescale_rerun_recovers_midswap_exclude_delta(spark, emb, ivf_store):
         )
     # nothing mutated: the parked copy is still there for recovery
     assert os.path.exists(os.path.join(ndroot, "ep-w__old"))
+    shutil.rmtree(os.path.join(ndroot, "ep-w__old"))  # operator GC
+
+    # SOURCE-side parking: a crashed epoch-commit swap on the source
+    # family parks the exclude's twin at __old there; the re-run must
+    # recover it instead of misresolving src_live_twin to False and
+    # refusing "no source-family twin" on a recoverable store. The
+    # target still holds its live ep-z copy from the earlier run —
+    # exactly the crashed-before-activation shape, so the recovered
+    # source twin is the authoritative copy and the target's is swept
+    store.ivf_set_active("emb", 8, 2)
+    store.ivf_append(epoch, "emb", "ep-z", n_centroids=8, iters=2)
+    sdroot = store._delta_root(store.ivf_index_path("emb", 8, 2))
+    os.rename(
+        os.path.join(sdroot, "ep-z"), os.path.join(sdroot, "ep-z__old")
+    )
+    store.ivf_rescale(
+        "emb", n_centroids=8, iters=2, new_n_centroids=32, exclude="ep-z",
+    )
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=32, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {99000, 99001, 99002} <= set(ids)
+    assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
 
 
 def test_roundtrip_rescale_never_self_orphans(spark, emb, ivf_store):
