@@ -889,7 +889,8 @@ def returned_item_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_join_filter",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
        count(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -905,7 +906,11 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
     "spanning both join sides (TPC-H Q19 shape) — the classic "
     "can't-push-it-all filter; the join stays a hash equi-join on "
     "partkey with the disjunction evaluated post-join, part side "
-    "broadcast.",
+    "broadcast. Revenue accumulates in DECIMAL(38,6) (r8 "
+    "scale-stable recipe, PARITY.md) — the single grand-total row "
+    "sums a corpus-growing set, the case most exposed to double-SUM "
+    "order drift (first observed drifting at sf0.1 in the r15 "
+    "three-scale sweep).",
 )
 def disjunctive_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -925,7 +930,12 @@ def disjunctive_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,6)")
+                ).cast("double"),
+                6,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -988,7 +998,9 @@ def sql_interface_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 6) AS forecast_revenue,
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS forecast_revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1000,7 +1012,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     description="Revenue-change forecast (TPC-H Q6 shape): tight "
     "range filters on three columns + one global aggregate. Every "
     "predicate pushes into the parquet scan; the aggregate is a "
-    "map-side partial -> single-row exchange.",
+    "map-side partial -> single-row exchange. Accumulates in "
+    "DECIMAL(38,6) (r8 scale-stable recipe, PARITY.md): a 1-row "
+    "grand total over a corpus-growing set is the exposure twin of "
+    "disjunctive_join_filter, which measured double-SUM order drift "
+    "at sf0.1 in the r15 sweep.",
 )
 def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1013,9 +1029,14 @@ def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
-                "forecast_revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("forecast_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
