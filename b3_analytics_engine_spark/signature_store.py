@@ -386,14 +386,88 @@ class SignatureStore:
     def _delta_root(path: str) -> str:
         return path.rstrip("/") + "__delta"
 
+    @staticmethod
+    def _batch_name(delta_path: str) -> str:
+        """Logical batch name of a delta directory: the basename with
+        a mid-swap ``__old`` parking suffix stripped — a parked dir
+        stands in for its bare batch (see :meth:`_delta_paths`), so
+        every ledger/derived-delta/GC name derivation must go through
+        this, never raw basename (folding a batch under the name
+        ``<batch>__old`` would leave the bare name replayable against
+        a base that already holds its rows)."""
+        name = delta_path.rstrip("/").rsplit("/", 1)[-1]
+        return name[: -len("__old")] if name.endswith("__old") else name
+
+    def _recover_parked_delta(self, droot: str, batch: str | None) -> None:
+        """Mid-swap recovery for ONE batch's delta dir: a crash inside
+        a replace_directory swap on ``droot/<batch>`` parks the
+        last-committed copy at ``<batch>__old`` with the live dir
+        missing — rename it back (the swap's documented recovery,
+        restoring the last-committed state, so it is safe ahead of
+        any refusal). With the live dir PRESENT the ``__old`` is
+        post-swap stale parking (crash after the second rename,
+        before cleanup): the live dir is the newer complete copy, so
+        the parking is dropped, exactly as the next swap's own
+        stale-``__old`` sweep would. Callers (ivf_retrain/ivf_rescale
+        on their exclude epoch) hold the write lease. No-op when
+        ``batch`` is None."""
+        jvm, fs, _ = _hadoop_fs(self.spark, droot)
+        hp = jvm.org.apache.hadoop.fs.Path
+        if batch is None or not fs.exists(hp(droot)):
+            return
+        xold = hp(os.path.join(droot, batch + "__old"))
+        xdst = hp(os.path.join(droot, batch))
+        if fs.exists(xold):
+            if not fs.exists(xdst):
+                if not fs.rename(xold, xdst):
+                    raise IOError(
+                        f"mid-swap recovery rename {xold} -> {xdst} failed"
+                    )
+            else:
+                fs.delete(xold, True)
+
+    @staticmethod
+    def _validate_batch_name(batch: str) -> None:
+        """Reject path tricks and the swap machinery's RESERVED
+        suffixes: a user batch literally named ``x__old`` /
+        ``x__staging`` would collide with replace_directory's parking
+        and staging dirs and corrupt the stand-in / skip semantics of
+        :meth:`_delta_paths`."""
+        if (
+            "/" in batch
+            or batch.startswith((".", "_"))
+            or batch.endswith(("__old", "__staging"))
+        ):
+            raise ValueError(f"invalid batch name: {batch!r}")
+
     def _delta_paths(
         self,
         path: str,
         exclude: str | None = None,
         folded: set[str] | None = None,
     ) -> list[str]:
+        """Committed delta-batch directories of ``path``, exclusion
+        and folded-ledger applied. Two crash-state suffixes get
+        special treatment (r15 review finding — both previously read
+        as live deltas in their own right):
+
+        - ``<batch>__staging``: a fully-written staging dir whose
+          swap never ran. It bears ``_SUCCESS`` (parquet wrote it;
+          the RENAME is the commit), but it was never committed —
+          reading it would surface uncommitted rows past
+          ``exclude_batch`` (a replay would match its own earlier
+          attempt), and compact would fold it into the base under a
+          name no replay ever excludes. Always skipped.
+        - ``<batch>__old``: replace_directory crashed mid-swap on a
+          batch REWRITE; the parked dir is the batch's LAST-COMMITTED
+          copy, not a new delta. While the live dir is missing it
+          STANDS IN for the bare name (exclusion and the folded
+          ledger apply to the bare name, so replay hiding still
+          works); with the live dir present it is post-swap stale
+          parking — reading both would double-count the batch."""
         jvm, fs, _ = _hadoop_fs(self.spark, path)
-        droot = jvm.org.apache.hadoop.fs.Path(self._delta_root(path))
+        droot_s = self._delta_root(path)
+        droot = jvm.org.apache.hadoop.fs.Path(droot_s)
         if not fs.exists(droot):
             return []
         # callers that already listed the _folded ledger pass it in
@@ -406,6 +480,17 @@ class SignatureStore:
                 continue
             d = st.getPath().toString()
             name = st.getPath().getName()
+            if name.endswith("__staging"):
+                continue
+            if name.endswith("__old"):
+                bare = name[: -len("__old")]
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(droot_s, bare)
+                    )
+                ):
+                    continue
+                name = bare
             if exclude is not None and name == exclude:
                 continue
             if name in folded:
@@ -468,8 +553,7 @@ class SignatureStore:
     DELTA_MAX_FILES = 4
 
     def _append_delta(self, df: DataFrame, path: str, batch: str) -> None:
-        if "/" in batch or batch.startswith((".", "_")):
-            raise ValueError(f"invalid batch name: {batch!r}")
+        self._validate_batch_name(batch)
         if batch in self._folded_names(path):
             # a committed-then-compacted name can never be replayed:
             # its rows live in the base, so exclude_batch can't hide
@@ -521,7 +605,7 @@ class SignatureStore:
                 d
                 for d in self._delta_paths(src_path)
                 if not self._is_complete(
-                    os.path.join(dst_root, d.rstrip("/").rsplit("/", 1)[-1])
+                    os.path.join(dst_root, self._batch_name(d))
                 )
             ]
 
@@ -532,7 +616,7 @@ class SignatureStore:
                 self._append_delta(
                     derive(self.spark.read.parquet(d)),
                     dst_path,
-                    d.rstrip("/").rsplit("/", 1)[-1],
+                    self._batch_name(d),
                 )
 
     # ------------------------------------------------------ artifacts
@@ -1329,16 +1413,18 @@ class SignatureStore:
         hp = jvm.org.apache.hadoop.fs.Path
         droot = self._delta_root(path)
         # sweep leftovers of a crashed earlier GC first (dirs whose
-        # names are already markered as folded): reads were already
-        # skipping them, this just reclaims the space
+        # names are already markered as folded, including a parked
+        # ``__old`` copy of one): reads were already skipping them,
+        # this just reclaims the space
         for nm in self._folded_names(path):
-            left = hp(os.path.join(droot, nm))
-            if fs.exists(left):
-                fs.delete(left, True)
+            for leftover in (nm, nm + "__old"):
+                left = hp(os.path.join(droot, leftover))
+                if fs.exists(left):
+                    fs.delete(left, True)
         deltas = self._delta_paths(path, exclude=exclude)
         if not deltas:
             return 0
-        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        names = {self._batch_name(d) for d in deltas}
         # the marker set is a persistent ledger: carry every
         # previously-folded name forward into the new base, or the
         # _append_delta replay refusal would only survive ONE
@@ -1379,8 +1465,11 @@ class SignatureStore:
         for nm in self._rescale_markers(path):
             fs.create(hp(os.path.join(tmp, nm)), True).close()
         replace_directory(self.spark, tmp, path)
-        for nm in names:  # GC; markers make this safe to crash
-            fs.delete(hp(os.path.join(droot, nm)), True)
+        # GC the ACTUAL folded directories (a parked ``<batch>__old``
+        # stand-in lives under its physical name, not the bare one);
+        # markers make this safe to crash
+        for d in deltas:
+            fs.delete(hp(d), True)
         return len(names)
 
     # ------------------------------------------- IVF vector index
@@ -1682,6 +1771,7 @@ class SignatureStore:
         ``ivf_index(refresh=True)`` retrains). Same ``__delta/<batch>``
         mechanics as the MinHash artifacts: atomic, idempotent on
         re-commit, folded-name refusal, ``exclude_batch``-hideable."""
+        self._validate_batch_name(batch)
         path = self.ivf_index_path(corpus, n_centroids, iters)
         if not self._is_complete(path):
             raise ValueError(
@@ -1825,8 +1915,14 @@ class SignatureStore:
         jvm, fs, _ = _hadoop_fs(self.spark, ipath)
         hp = jvm.org.apache.hadoop.fs.Path
         droot = self._delta_root(ipath)
+        # the exclude epoch may be parked mid-swap at '<epoch>__old'
+        # (a crashed re-assign or epoch-commit swap); recover it
+        # first so the post-retrain re-assign below finds and
+        # re-bins it — a parked stand-in left in place would keep
+        # OLD-quantizer cell assignments after the retrain
+        self._recover_parked_delta(droot, exclude)
         deltas = self._delta_paths(ipath, exclude=exclude)
-        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        names = {self._batch_name(d) for d in deltas}
         ledger = names | self._folded_names(ipath)
 
         live = self.ivf_index(
@@ -1869,8 +1965,11 @@ class SignatureStore:
             cpath,
         )
         replace_directory(self.spark, tmp, ipath)
-        for nm in names:  # GC; markers make this safe to crash
-            fs.delete(hp(os.path.join(droot, nm)), True)
+        # GC the ACTUAL folded directories (a parked '<batch>__old'
+        # stand-in lives under its physical name); markers make this
+        # safe to crash
+        for d in deltas:
+            fs.delete(hp(d), True)
         if exclude is not None:
             dst = os.path.join(droot, exclude)
             if fs.exists(hp(dst)):
@@ -2125,7 +2224,7 @@ class SignatureStore:
             )
         src_folded = self._folded_names(ipath)
         deltas = self._delta_paths(ipath, exclude=exclude, folded=src_folded)
-        names = {d.rstrip("/").rsplit("/", 1)[-1] for d in deltas}
+        names = {self._batch_name(d) for d in deltas}
         ledger = names | src_folded
         # Post-activation data-loss guard — BEFORE any mutation (a
         # refusal must leave the already-serving family untouched;
@@ -2184,23 +2283,8 @@ class SignatureStore:
         # to the exclude epoch's name — a FOREIGN epoch's __old
         # refuses below like any foreign delta, advice naming the
         # rename-back. Runs under this method's write lease.
-        def _recover_parked(droot: str) -> None:
-            if exclude is None or not fs.exists(hp(droot)):
-                return
-            xold = hp(os.path.join(droot, exclude + "__old"))
-            xdst = hp(os.path.join(droot, exclude))
-            if fs.exists(xold):
-                if not fs.exists(xdst):
-                    if not fs.rename(xold, xdst):
-                        raise IOError(
-                            f"mid-swap recovery rename {xold} -> "
-                            f"{xdst} failed"
-                        )
-                else:
-                    fs.delete(xold, True)
-
-        _recover_parked(self._delta_root(ipath))
-        _recover_parked(ndroot)
+        self._recover_parked_delta(self._delta_root(ipath), exclude)
+        self._recover_parked_delta(ndroot, exclude)
         src_live_twin = exclude is not None and fs.exists(
             hp(os.path.join(self._delta_root(ipath), exclude))
         )

@@ -1104,6 +1104,39 @@ def test_rescale_rerun_recovers_midswap_exclude_delta(spark, emb, ivf_store):
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
 
 
+def test_retrain_recovers_midswap_parked_exclude(spark, emb, ivf_store):
+    """ivf_retrain twin of the rescale recovery (r15 review): an
+    exclude epoch parked at '<epoch>__old' by a crashed swap must be
+    recovered (renamed back) BEFORE the retrain runs — a parked
+    stand-in left in place would keep OLD-quantizer cell assignments
+    after the quantizer moved, so probes would miss its vectors."""
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    n0 = store.ivf_index(None, "emb", n_centroids=8, iters=2).count()
+    epoch = local_df(
+        spark,
+        [(97000 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(epoch, "emb", "ep-r", n_centroids=8, iters=2)
+    droot = store._delta_root(store.ivf_index_path("emb", 8, 2))
+    os.rename(
+        os.path.join(droot, "ep-r"), os.path.join(droot, "ep-r__old")
+    )
+    store.ivf_retrain("emb", n_centroids=8, iters=2, exclude="ep-r")
+    ids = [
+        r["id"] for r in store.ivf_index(
+            None, "emb", n_centroids=8, iters=2
+        ).select("id").collect()
+    ]
+    assert len(ids) == len(set(ids)) == n0 + 3
+    assert {97000, 97001, 97002} <= set(ids)
+    assert not os.path.exists(os.path.join(droot, "ep-r__old"))
+    # the re-binned epoch delta is probe-consistent with the new
+    # quantizer: fsck green
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+
 def test_roundtrip_rescale_never_self_orphans(spark, emb, ivf_store):
     """A→B→A' round trip: carrying B's _rescaled_from_A marker into
     A' verbatim would stamp the new serving family as its own orphan

@@ -742,6 +742,83 @@ def test_refresh_all_covers_nondefault_shingle_variants(
     store.assert_fresh(bigger, "docs")  # stamp and store are one snapshot
 
 
+def test_delta_paths_crash_suffix_semantics(spark, docs, docs_store):
+    """r15 review finding: crash-state suffix dirs in a delta root
+    must never read as live deltas in their own right (both
+    previously did — each bears _SUCCESS, but the RENAME is the
+    commit).
+    - '<b>__staging' (fully written, swap never ran): never read —
+      uncommitted rows must not surface past exclude_batch — and
+      never folded under a name no replay would exclude.
+    - '<b>__old' with the live dir PRESENT (post-swap stale
+      parking): skipped; reading both would double-count the batch.
+    - '<b>__old' with the live dir MISSING (mid-swap parked): stands
+      in for the bare batch — still readable (durability), hidden by
+      exclude_batch=<b> (replay correctness), folded by compact
+      under the BARE name with the physical dir GC'd.
+    - the suffixes are reserved: refused as batch names at commit.
+    """
+    store = docs_store
+    fpath = store.fingerprints_path("docs")
+    droot = store._delta_root(fpath)
+    n0 = store.fingerprints(None, "docs").count()
+
+    def one_row(i):
+        return store.fingerprints(None, "docs").limit(1).select(
+            F.lit(i).cast("long").alias("id"), "fp"
+        )
+
+    # committed baseline delta
+    store._append_delta(one_row(900001), fpath, "b1")
+    assert store._read(fpath).count() == n0 + 1
+
+    # (a) staging leftover: fully written, never swapped — invisible
+    one_row(900002).coalesce(1).write.parquet(
+        os.path.join(droot, "b2__staging")
+    )
+    assert store._read(fpath).count() == n0 + 1
+    # (b) post-swap stale parking: live dir + __old — counted ONCE
+    store._append_delta(one_row(900003), fpath, "b3")
+    shutil.copytree(
+        os.path.join(droot, "b3"), os.path.join(droot, "b3__old")
+    )
+    assert store._read(fpath).count() == n0 + 2
+    # (c) mid-swap parked: live missing, __old present — stands in
+    # for the bare name: still read, hidden by exclude_batch=bare
+    os.rename(os.path.join(droot, "b3"), os.path.join(droot, "b3__old2"))
+    shutil.rmtree(os.path.join(droot, "b3__old"))
+    os.rename(
+        os.path.join(droot, "b3__old2"), os.path.join(droot, "b3__old")
+    )
+    assert store._read(fpath).count() == n0 + 2
+    assert store._read(fpath, exclude_batch="b3").count() == n0 + 1
+
+    # compact folds b1 + the parked b3 under BARE names, GC's the
+    # physical dirs, and never touches the staging leftover
+    assert store._compact_one(fpath) == 2
+    assert store._folded_names(fpath) == {"b1", "b3"}
+    assert not os.path.exists(os.path.join(droot, "b3__old"))
+    assert os.path.exists(os.path.join(droot, "b2__staging"))
+    assert store._read(fpath).count() == n0 + 2  # rows now in base
+    # the folded bare name is no longer replayable
+    with pytest.raises(ValueError, match="already folded"):
+        store._append_delta(one_row(900003), fpath, "b3")
+
+    # (b') a stale __old of a FOLDED name left by a crashed GC is
+    # reclaimed by the next compact's sweep and never double-counts
+    shutil.copytree(
+        os.path.join(droot, "b2__staging"), os.path.join(droot, "b1__old")
+    )
+    assert store._read(fpath).count() == n0 + 2  # folded: skipped
+    store._compact_one(fpath)  # sweep runs even with nothing to fold
+    assert not os.path.exists(os.path.join(droot, "b1__old"))
+
+    # (d) reserved suffixes refused at commit time, both commit paths
+    for bad in ("x__old", "x__staging", "a/b", "_x", ".x"):
+        with pytest.raises(ValueError, match="invalid batch name"):
+            store._append_delta(one_row(900009), fpath, bad)
+
+
 def test_ivf_set_active_is_lease_guarded(spark, docs, docs_store_dir):
     """r14 advice #2: ivf_rescale's exclude-authority guard resolves
     copy authority from the active marker ONCE, under the write
