@@ -45,46 +45,51 @@ def register(
 
 
 # The external correctness driver samples the FIRST 50 registry
-# entries each round. With 151 registered queries, registration order
+# entries each round. With 152 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-15 front window (round 14 went 50/50
-# green; exactly the rotation the r14 verdict prescribed):
-# (a) funnel_conversion — newest external green round 11, uniquely
-# 4 rounds stale at r15 (the r14 verdict named it round-15 front of
-# line);
-# (b) 49 of the round-12-newest cohort, weakest-evidence-first
-# (fewest external greens, then registration order) as computed by
-# tools/rotation_report.py on the r14 CORRECTNESS file.
+# external evidence. Round-16 front window (round 15 went 50/50
+# green; exactly the rotation the r15 verdict prescribed):
+# (a) dedup_minhash_cross — NEW this round (the registry's one-entry
+# unfreeze: the production cross-corpus decontamination path,
+# previously pytest-only), zero external evidence → front of line;
+# (b) time_range_window — newest external green round 12, uniquely
+# the stalest pre-existing query (the r15 verdict named it);
+# (c) the first 48 of the round-13 cohort, weakest-evidence-first
+# (fewest external greens, then name) as computed by
+# tools/rotation_report.py on the r15 CORRECTNESS file. The two
+# cohort members left outside (text_fingerprint, text_quality — its
+# strongest-evidence tail, 6 greens each) head round 17's line.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest external green r11 — 4 rounds stale (1)
-    "funnel_conversion",
-    # (b) newest external green r12, weakest-evidence-first (49)
-    "benford_audit", "dataset_split", "feature_hashing",
-    "gini_per_key", "percentile_normalize", "reservoir_per_group",
-    "table_profile", "video_frame_stats", "approx_aggregates",
-    "cast_coerce_nulls", "cosine_ann_ivf", "cosine_ann_lsh",
-    "customer_order_histogram", "disjunctive_join_filter",
-    "dominant_suppliers", "dormant_customers",
-    "embedding_neardup_exact", "ewma_per_key", "forecast_revenue",
-    "heavy_hitters", "importance_resample", "important_parts",
-    "in_list_filter", "join_broadcast_dim", "join_normalized_key",
-    "json_payload_parse", "label_centroids", "large_volume_customer",
-    "market_share", "multi_key_sort_limit", "nation_trade_volume",
-    "null_handling", "order_priority_check", "parts_supplier_stats",
-    "pii_flag", "pricing_summary", "product_profit",
-    "promotion_effect", "returned_item_customers",
-    "scalar_functions", "distinct_sorted_keys", "exact_percentiles",
-    "group_share", "ranking_suite", "set_operations", "text_stats",
-    "top1_by_metric", "tz_convert", "unpivot_measures",
+    # (a) new registration, never externally checked (1)
+    "dedup_minhash_cross",
+    # (b) newest external green r12 — 4 rounds stale (1)
+    "time_range_window",
+    # (c) newest external green r13, weakest-evidence-first (48)
+    "lang_mismatch_audit", "filter_project", "pii_redact",
+    "quarantine_rows", "semi_anti_join", "shard_assignment",
+    "shipmode_priority", "shipping_priority", "sliding_window_agg",
+    "small_order_quantity", "sql_interface_revenue", "tfidf_topterms",
+    "time_range_filter", "time_rollup_hierarchy",
+    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
+    "chunk_documents", "corpus_curation", "data_quality_report",
+    "decontaminate", "dedup_exact", "distribution_rank",
+    "dup_cluster_keep", "incremental_agg_merge", "sequence_packing",
+    "skew_salted_join", "snapshot_diff_feed", "stratified_sample",
+    "trade_pagerank", "value_histogram", "vocab_topk",
+    "window_dedup", "winsorized_stats", "asof_join",
+    "cohort_retention", "gap_fill_forward", "grouped_zscore",
+    "lang_id", "latest_per_key", "max_drawdown",
+    "multimodal_features", "multimodal_frame_plan",
+    "ngram_jaccard_pairs", "pivot_daily_mean", "rolling_volatility",
+    "session_windows", "snapshot_join",
 )
-# Outside this window: the round-13 and round-14 cohorts (checked one
-# and zero rounds ago — the freshest evidence possible). After this
-# round no query's newest external green is older than round 13
-# (≤2 rounds stale) — inside the 3-round staleness ceiling the
-# rotation cycle is designed to hold. All registered queries are
-# re-checked by tests/test_oracle_parity.py every run, and
-# tests/test_scan_audit.py pins every query's physical scan counts.
+# Outside this window: text_fingerprint + text_quality (r13 greens,
+# 3 rounds stale after this round — they head r17) and the round-14
+# and round-15 cohorts (checked two/one/zero rounds ago). All
+# registered queries are re-checked by tests/test_oracle_parity.py
+# every run, and tests/test_scan_audit.py pins every query's
+# physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -1485,6 +1485,117 @@ def decontaminate_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_cross_oracle(
+    num_hashes: int = 64, bands: int = 16, n: int = 3,
+    threshold: float = 0.12, seed: int = 42,
+    pred_a: str = "doc_id % 10 = 0", pred_b: str = "doc_id % 10 <> 0",
+) -> str:
+    """DuckDB replay of the TWO-CORPUS MinHash+LSH pipeline
+    (:func:`..operators.dedup.minhash_lsh_pairs_cross`): same portable
+    md5 shingle hash, same permutations, same band keys — but the
+    candidate join is asymmetric (side-A buckets × side-B buckets, no
+    ``id_a < id_b`` ordering; ids are disjoint by the split), exactly
+    the incremental batch-vs-corpus-snapshot shape. Signatures are
+    per-doc, so computing them over the union table and predicating
+    inside ``cand`` is row-identical to the Spark side's per-corpus
+    artifact frames."""
+    p = D._MERSENNE
+    r = num_hashes // bands
+    sig_cols = ",\n".join(
+        f"    min((h*{a}+{b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(D._permute_params(num_hashes, seed))
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {bnd} AS band, {expr} AS bh FROM sig".format(
+            bnd=bnd,
+            expr="||','||".join(
+                f"m{bnd * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM toks,
+  UNNEST(list_distinct(list_transform(
+    range(1, greatest(len(t) - {n}, 0) + 2),
+    i -> array_to_string(t[i:i+{n - 1}], ' ')
+  ))) AS u(sh)
+), hp AS (
+  SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT % {p} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+{sig_cols}
+  FROM hp GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh
+  WHERE (a.{pred_a}) AND (b.{pred_b})
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= {threshold}
+"""
+
+
+@register(
+    "dedup_minhash_cross",
+    oracle=_sql_minhash_cross_oracle(),
+    survey="ext:dedup-minhash-cross",
+    description="Two-corpus MinHash+LSH near-dup pairs "
+    "(operators/dedup.py minhash_lsh_pairs_cross) — the production "
+    "incremental path: a new batch's band keys equi-joined against "
+    "an existing corpus snapshot's SIGNATURE ARTIFACTS (never a "
+    "corpus re-tokenize; SignatureStore persists posts/sig/sizes/"
+    "hot-buckets as delta-aware Parquet). Asymmetric candidates "
+    "(every A×B bucket pair, ids disjoint by construction), exact-"
+    "Jaccard verify through the two postings sides. Fixture derives "
+    "batch=doc_id%10=0 vs corpus=doc_id%10<>0 from one table; the "
+    "portable md5 pipeline lets the DuckDB oracle replay signatures "
+    "-> bands -> cross candidates -> verify bit-for-bit.",
+)
+def dedup_minhash_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    # materialize each side's postings BEFORE deriving its signature
+    # frame: sig_a/banded_a and the verify join both consume posts_a
+    # (likewise posts_b feeds banded_b, the sh_b probe side and the
+    # sz_b aggregate) — unmaterialized, Catalyst replays the
+    # tokenize→window→distinct subplan per consumer and the corpus
+    # scan count triples (the round-7 ngram_novelty regression shape;
+    # pinned at documents:2 in tests/test_scan_audit.py).
+    posts_a = D.hashed_postings(
+        batch, "doc_id", "text", 3, portable=True
+    ).transform(materialize)
+    posts_b = D.hashed_postings(
+        corpus, "doc_id", "text", 3, portable=True
+    ).transform(materialize)
+    sig_a = D._signatures_from_hashed(posts_a, 64, 42)
+    sig_b = D._signatures_from_hashed(posts_b, 64, 42)
+    return D.minhash_lsh_pairs_cross(
+        posts_a, sig_a, posts_b, sig_b,
+        num_hashes=64, bands=16, threshold=0.12,
+    )
+
+
 @register(
     "decontaminate_bloom",
     oracle="""
