@@ -502,6 +502,33 @@ class SignatureStore:
                 out.append(d)
         return sorted(out)
 
+    def _reserved_suffix_batches(self, path: str) -> list[str]:
+        """One-time migration check for stores written BEFORE
+        :meth:`_validate_batch_name` reserved the swap machinery's
+        ``__old`` / ``__staging`` suffixes: a delta committed under a
+        literal name like ``x__old`` is now silently REINTERPRETED by
+        :meth:`_delta_paths` as a parked copy of ``x`` (skipped when
+        ``x`` exists, folded/excluded under the bare name), and
+        ``x__staging`` as an uncommitted staging dir (never read) —
+        either way its rows quietly change meaning instead of erroring.
+        Returns the names of ``_SUCCESS``-complete delta dirs under
+        ``path``'s delta root bearing a reserved suffix, for the fsck
+        to surface. Genuine crash leftovers share this shape (a parked
+        dir IS a complete committed copy), so the caller reports a
+        WARNING for manual adjudication, not a failure."""
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        droot_s = self._delta_root(path)
+        droot = jvm.org.apache.hadoop.fs.Path(droot_s)
+        if not fs.exists(droot):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(droot)
+            if st.isDirectory()
+            and st.getPath().getName().endswith(("__old", "__staging"))
+            and self._is_complete(st.getPath().toString())
+        )
+
     # folded-batch markers: compact() publishes ``_folded/<batch>``
     # marker files INSIDE the new base directory in the same atomic
     # rename that publishes the folded rows, so "this delta is in the
@@ -2352,18 +2379,44 @@ class SignatureStore:
         foreign_live = [nm for nm in target_live if nm not in exempt]
         foreign_folded = sorted(tgt_folded - ledger - exempt)
         if foreign_live or foreign_folded:
-            # a foreign '<name>__old' is a mid-swap parked copy of a
-            # COMMITTED foreign epoch (its live dir is missing): its
-            # rows are as unreproducible as any foreign delta's, so
-            # it refuses like one — but the advice must name the
-            # recovery (rename back to the bare name), not suggest
-            # the dead-end exclude='<name>__old'
+            # a foreign '<name>__old' is a parked copy of a COMMITTED
+            # foreign epoch: its rows are as unreproducible as any
+            # foreign delta's, so it refuses like one — but the advice
+            # must name the RIGHT recovery per dir, not suggest the
+            # dead-end exclude='<name>__old'. Two distinct crash
+            # states (same split as _recover_parked_delta): bare dir
+            # MISSING → mid-swap parking, the __old is the epoch's
+            # only copy, rename it back; bare dir PRESENT → post-swap
+            # stale parking (crash after the second rename, before
+            # cleanup), the live dir is the NEWER complete copy, so
+            # renaming back would REGRESS the epoch — delete the
+            # stale parking instead.
+            tgt_set = set(target_live)
+            old_park = [
+                nm for nm in foreign_live
+                if nm.endswith("__old")
+                and nm[: -len("__old")] not in tgt_set
+            ]
+            old_stale = [
+                nm for nm in foreign_live
+                if nm.endswith("__old") and nm[: -len("__old")] in tgt_set
+            ]
             old_advice = (
-                " Names ending '__old' are mid-swap parked copies of "
-                "their epoch — rename each back to the bare epoch "
-                "name first (its live dir is missing), then re-run."
-                if any(nm.endswith("__old") for nm in foreign_live)
-                else ""
+                (
+                    f" Of these, {old_park} are mid-swap parked copies "
+                    "of their epoch (live dir missing) — rename each "
+                    "back to the bare epoch name first, then re-run."
+                    if old_park
+                    else ""
+                )
+                + (
+                    f" Of these, {old_stale} are post-swap STALE "
+                    "parkings (their live dir exists and is newer) — "
+                    "delete each '__old' dir (do NOT rename it back "
+                    "over the live copy), then re-run."
+                    if old_stale
+                    else ""
+                )
             )
             _refuse(
                 "holds epochs this rebuild from the source family "
@@ -2631,12 +2684,42 @@ class SignatureStore:
 
         Derived artifacts that were never materialized are reported
         as ``"absent"`` and not checked. Returns ``{"ok": bool,
-        "errors": [..], "counts": {...}}`` rather than raising, so a
-        scheduler can alert on it. Cost: a few narrow-artifact scans —
-        never touches corpus text.
+        "errors": [..], "warnings": [..], "counts": {...}}`` rather
+        than raising, so a scheduler can alert on it. ``warnings``
+        carries the reserved-suffix migration check
+        (:meth:`_reserved_suffix_batches`): committed delta dirs
+        whose names end in ``__old`` / ``__staging`` — either a
+        pre-reservation store whose literally-named batch the new
+        crash-suffix semantics silently reinterpret, or genuine swap
+        parking awaiting recovery; only the operator can tell which,
+        so the fsck surfaces them without failing. Cost: a few
+        narrow-artifact scans — never touches corpus text.
         """
         errors: list[str] = []
+        warnings: list[str] = []
         counts: dict[str, object] = {}
+        for label, apath in (
+            ("fingerprints", self.fingerprints_path(corpus)),
+            ("postings", self.postings_path(corpus, n, portable)),
+            ("signatures", self.signatures_path(
+                corpus, n, portable, num_hashes, seed)),
+            ("sizes", self.sizes_path(corpus, n, portable)),
+            ("band_census", self.band_census_path(
+                corpus, n, portable, num_hashes, seed)),
+            ("simhash", self.simhash_path(corpus, 64, portable)),
+        ):
+            legacy = self._reserved_suffix_batches(apath)
+            if legacy:
+                warnings.append(
+                    f"{label}: committed delta dirs with reserved "
+                    f"suffix {legacy} — if these predate the "
+                    "__old/__staging reservation they are literal "
+                    "batch names now reinterpreted as swap parking/"
+                    "staging (rows silently skipped or folded under "
+                    "the bare name); recommit each under an "
+                    "unreserved name. If they are crash leftovers, "
+                    "recover per the swap protocol instead."
+                )
         fps = self.fingerprints(None, corpus).select("id", "fp")
         posts = self.postings(None, corpus, n=n, portable=portable)
         sig = self.signatures(
@@ -2737,7 +2820,12 @@ class SignatureStore:
         else:
             counts["simhash"] = "absent"
 
-        return {"ok": not errors, "errors": errors, "counts": counts}
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "counts": counts,
+        }
 
     def validate_ivf(
         self,
@@ -2788,6 +2876,17 @@ class SignatureStore:
             )
         cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
         ipath = self.ivf_index_path(corpus, n_centroids, iters)
+        legacy = self._reserved_suffix_batches(ipath)
+        if legacy:
+            warnings.append(
+                f"ivf_index: committed epoch delta dirs with reserved "
+                f"suffix {legacy} — pre-reservation literal epoch "
+                "names are now reinterpreted as swap parking/staging "
+                "(rows silently skipped or folded under the bare "
+                "name); recommit each under an unreserved name, or "
+                "recover per the swap protocol if they are crash "
+                "leftovers."
+            )
         if not self._is_complete(cpath) or not self._is_complete(ipath):
             counts["centroids"] = "absent"
             counts["index"] = "absent"

@@ -238,8 +238,13 @@ def load_bench_history(repo: str = REPO) -> tuple[dict, dict]:
             continue
         found = _extract_timings(hist, headline)
         if found:
-            # complete local artifact supersedes the truncated tail
-            per_round[_artifact_round(path)] = found
+            # the local artifact supersedes the truncated tail on
+            # shared keys, but OVERLAYS rather than replaces: a
+            # partial local file (hand-edited, aborted run, an older
+            # headline set) must not silently drop timings the
+            # wrapper tail DOES carry for the round
+            merged = per_round.setdefault(_artifact_round(path), {})
+            merged.update(found)
     floors: dict[str, float] = {}
     prev: dict[str, float] = {}
     for n in sorted(per_round):  # numeric ascending: prev = latest

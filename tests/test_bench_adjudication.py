@@ -92,6 +92,24 @@ def test_local_artifact_restores_truncated_tail_floors(tmp_path):
     assert (floors2, prev2) == (floors, prev)
 
 
+def test_partial_local_artifact_overlays_wrapper_tail(tmp_path):
+    """r15 advice #2: a PARTIAL bench_local_r{N}.json (hand-edited,
+    aborted run, older headline set) must OVERLAY the wrapper tail's
+    timings for its round, not wholesale-replace them — local values
+    still win on shared keys, wrapper-only keys survive."""
+    q1, q2 = sorted(bench.HEADLINE)[:2]
+    _write_wrapper(
+        tmp_path / "BENCH_r02.json",
+        '{"queries": {"%s": 9.99, "%s": 0.45}}' % (q1, q2),
+    )
+    (tmp_path / "bench_local_r02.json").write_text(
+        json.dumps({"queries": {q1: 0.30}})  # partial: q2 missing
+    )
+    floors, prev = bench.load_bench_history(repo=str(tmp_path))
+    assert prev[q1] == 0.30 and floors[q1] == 0.30  # local wins shared key
+    assert prev[q2] == 0.45 and floors[q2] == 0.45  # wrapper-only survives
+
+
 def test_local_artifact_for_round_without_wrapper_counts(tmp_path):
     """The builder's own run lands bench_local_r{N}.json BEFORE the
     driver writes BENCH_r{N}.json; its round must still feed floors

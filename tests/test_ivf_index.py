@@ -1104,6 +1104,58 @@ def test_rescale_rerun_recovers_midswap_exclude_delta(spark, emb, ivf_store):
     assert store.validate_ivf("emb", n_centroids=32, iters=2)["ok"]
 
 
+def test_foreign_stale_old_refusal_advises_delete_not_rename(
+    spark, emb, ivf_store
+):
+    """r15 advice #1: a FOREIGN '<epoch>__old' whose live dir IS
+    present (crash after the swap's second rename, before cleanup)
+    must refuse with delete-the-stale-parking advice — the previous
+    unconditional 'its live dir is missing, rename each back' would
+    have the operator regress the epoch to its OLDER parked copy."""
+    import shutil
+
+    store = ivf_store
+    dim = len(emb.first()["embedding"])
+    store.ivf_rescale("emb", n_centroids=8, iters=2, new_n_centroids=32)
+    store.ivf_index(emb, "emb", n_centroids=8, iters=2)  # source back
+    epoch = local_df(
+        spark,
+        [(98500 + i, [float(j == i) for j in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    store.ivf_append(epoch, "emb", "ep-s", n_centroids=32, iters=2)
+    ndroot = store._delta_root(store.ivf_index_path("emb", 32, 2))
+    # post-swap stale parking: __old AND the (newer) live dir coexist
+    shutil.copytree(
+        os.path.join(ndroot, "ep-s"), os.path.join(ndroot, "ep-s__old")
+    )
+    with pytest.raises(ValueError) as ei:
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        )
+    msg = str(ei.value)
+    assert "delete each '__old' dir" in msg
+    assert "ep-s__old" in msg
+    # the mid-swap rename-back advice must NOT fire for this shape
+    assert "rename each back" not in msg
+    # nothing mutated: both dirs still on disk for the operator
+    assert os.path.exists(os.path.join(ndroot, "ep-s"))
+    assert os.path.exists(os.path.join(ndroot, "ep-s__old"))
+    # mixed shape: add a genuinely mid-swap foreign parking — the
+    # refusal must name BOTH recoveries, each against its own dirs
+    store.ivf_append(epoch, "emb", "ep-t", n_centroids=32, iters=2)
+    os.rename(
+        os.path.join(ndroot, "ep-t"), os.path.join(ndroot, "ep-t__old")
+    )
+    with pytest.raises(ValueError) as ei:
+        store.ivf_rescale(
+            "emb", n_centroids=8, iters=2, new_n_centroids=32,
+        )
+    msg = str(ei.value)
+    assert "rename each back" in msg and "ep-t__old" in msg
+    assert "delete each '__old' dir" in msg and "ep-s__old" in msg
+
+
 def test_retrain_recovers_midswap_parked_exclude(spark, emb, ivf_store):
     """ivf_retrain twin of the rescale recovery (r15 review): an
     exclude epoch parked at '<epoch>__old' by a crashed swap must be

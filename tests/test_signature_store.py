@@ -921,6 +921,52 @@ def test_simhash_delta_ride_along_and_validate_gap(
     assert any("simhash" in e for e in report["errors"])
 
 
+def test_validate_warns_on_legacy_reserved_suffix_delta(spark, docs_store):
+    """r15 advice #3: _validate_batch_name now reserves the
+    '__old'/'__staging' suffixes, but a store written BEFORE the
+    reservation can hold a committed batch literally named 'x__old' —
+    _delta_paths silently reinterprets it as swap parking (skipped
+    when 'x' exists, folded under the bare name) instead of reading it
+    as its own batch. validate() must surface such dirs as a WARNING
+    (not a failure: a genuine crash leftover has the same on-disk
+    shape, and only the operator can tell which)."""
+    store = docs_store
+    store.append_batch(
+        local_df(
+            spark,
+            [(900001, "a singular document about volcanic soil chemistry")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        "b1",
+    )
+    rep = store.validate("docs")
+    assert rep["ok"] and rep["warnings"] == []
+    # commits can no longer produce a reserved-suffix name, so forge
+    # the pre-reservation state with a raw rename (no bare 'b1x' twin:
+    # the dir now reads as a parked stand-in for batch 'b1x')
+    for apath in (
+        store.postings_path("docs"),
+        store.signatures_path("docs"),
+        store.fingerprints_path("docs"),
+    ):
+        droot = store._delta_root(apath)
+        os.rename(
+            os.path.join(droot, "b1"), os.path.join(droot, "b1x__old")
+        )
+    rep = store.validate("docs")
+    assert rep["ok"]  # rows unchanged — consistency checks stay green
+    assert any(
+        "b1x__old" in w and "reserved" in w for w in rep["warnings"]
+    )
+    # an uncommitted staging leftover (no _SUCCESS) is NOT flagged —
+    # it is invisible to readers and GC'd by the next swap
+    sdroot = store._delta_root(store.postings_path("docs"))
+    os.makedirs(os.path.join(sdroot, "b2__staging"))
+    rep2 = store.validate("docs")
+    assert not any("b2__staging" in w for w in rep2["warnings"])
+
+
 def test_compact_folds_simhash_family(spark, docs, docs_simhash_store):
     """compact() folds simhash + simhash-census deltas like the
     MinHash family: reads identical, delta trees cleared, census
