@@ -502,6 +502,29 @@ class SignatureStore:
                 out.append(d)
         return sorted(out)
 
+    def _recover_parked_base(self, path: str) -> None:
+        """Mid-swap recovery for an ARTIFACT BASE directory: a crash
+        between :func:`..sinks.files.replace_directory`'s two renames
+        leaves the last-committed base parked at ``<path>__old`` with
+        the live dir missing. Rename it back (the swap's documented
+        recovery) so a maintenance re-run sees the committed state —
+        found by the every-prefix crash fuzz (tests/test_crash_fuzz):
+        without this, a re-run of ``ivf_retrain`` refused with the
+        dead-end "no IVF index; build it first" and ``compact``
+        silently skipped the artifact as never-materialized. Post-swap
+        stale parking (live dir present) is left alone —
+        ``replace_directory`` itself sweeps it on the next swap.
+        Callers hold the corpus write lease."""
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        hp = jvm.org.apache.hadoop.fs.Path
+        old = hp(path.rstrip("/") + "__old")
+        live = hp(path.rstrip("/"))
+        if fs.exists(old) and not fs.exists(live):
+            if not fs.rename(old, live):
+                raise IOError(
+                    f"mid-swap base recovery rename {old} -> {live} failed"
+                )
+
     def _reserved_suffix_batches(self, path: str) -> list[str]:
         """One-time migration check for stores written BEFORE
         :meth:`_validate_batch_name` reserved the swap machinery's
@@ -1434,6 +1457,11 @@ class SignatureStore:
     ) -> int:
         """Fold one artifact's deltas into its base with the marker
         protocol (see :meth:`compact`). Returns #deltas folded."""
+        # a base parked mid-swap by a crashed earlier compact must be
+        # recovered BEFORE the completeness gate, or this pass would
+        # misread "crashed maintenance" as "never materialized" and
+        # silently skip the artifact (crash-fuzz finding)
+        self._recover_parked_base(path)
         if not self._is_complete(path):
             return 0  # derived artifact never materialized — skip
         jvm, fs, _ = _hadoop_fs(self.spark, path)
@@ -1934,6 +1962,13 @@ class SignatureStore:
 
         ipath = self.ivf_index_path(corpus, n_centroids, iters)
         cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
+        # a crashed earlier retrain can park EITHER base mid-swap
+        # (centroids swap first, index second); recover both before
+        # the completeness gate, or the documented recovery — re-run
+        # ivf_retrain — refuses with the dead-end "no IVF index;
+        # build it first" (crash-fuzz finding)
+        self._recover_parked_base(cpath)
+        self._recover_parked_base(ipath)
         if not self._is_complete(ipath):
             raise ValueError(
                 f"corpus {corpus!r} has no IVF index at {ipath}; build "

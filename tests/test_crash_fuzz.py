@@ -1,0 +1,404 @@
+"""Every-prefix crash fuzz over the signature store's COMMIT-PATH
+filesystem-op sequences (r15 verdict task 4).
+
+The store's crash story rests on a specific op ORDER (stage →
+atomic rename → GC; markers ride the swap; parked ``__old`` recovery
+before mutation). The unit scenarios pin individual crash STATES;
+this fuzz derives the states from the real sequences instead: it
+wraps the Hadoop ``FileSystem`` handle behind ``_hadoop_fs`` so that,
+for every prefix k of the MUTATING ops (rename / delete / mkdirs /
+create) a maintenance call performs, run k+1 dies at op k+1 — then
+runs the documented recovery (re-run the same call, same owner — the
+lease adoption path) and asserts the final on-disk state is
+byte-equivalent to a never-crashed run.
+
+Only driver-side fs ops are interceptable (Spark's own parquet task
+commits happen JVM-side) — which is exactly the surface under test:
+the staging write either completes with ``_SUCCESS`` or is never
+read (pinned by the ``_is_complete`` unit tests); everything
+crash-ORDER-sensitive is driver-side.
+
+Scenarios (the r15-verdict list — the fs-op machinery `1fe33c8`
+added or reshaped):
+
+- S1 ``append_batch``: the delta commit path (staging-suffix
+  reservation + per-family sequential commit + swap).
+- S2 ``compact``: marker-ledger publish riding the base swap,
+  physical delta-dir GC, and the folded-``__old`` leftover reclaim.
+- S3 ``ivf_append``: the second commit path (cell-partitioned epoch
+  delta, staging suffix + swap).
+- S4 ``ivf_retrain`` with the exclude epoch parked at ``__old``:
+  parked-exclude recovery, centroid+index double swap, post-swap
+  exclude re-assign.
+
+Soak tier: the enumeration runs each scenario's call 2×M times
+(M = mutating-op count, asserted < 120) — multi-minute by design.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from contextlib import contextmanager
+
+import pytest
+
+from conftest import local_df
+
+from b3_analytics_engine_spark.signature_store import SignatureStore
+
+pytestmark = pytest.mark.soak
+
+
+class _Killed(BaseException):
+    """Simulated hard kill. BaseException so no library ``except
+    Exception`` can swallow it — after the kill point, NOTHING else
+    may mutate the filesystem (a real SIGKILL stops the process)."""
+
+
+_MUTATORS = ("rename", "delete", "mkdirs", "create")
+
+
+class _KillFS:
+    """Proxy over a py4j Hadoop FileSystem: passes reads through,
+    counts mutating ops, and — once the shared budget is exhausted —
+    raises :class:`_Killed` on every further mutating op."""
+
+    def __init__(self, real, state: dict):
+        self._real = real
+        self._state = state
+
+    def __getattr__(self, name):
+        attr = getattr(self._real, name)
+        if name not in _MUTATORS:
+            return attr
+
+        def wrapped(*args):
+            st = self._state
+            if st["left"] is not None and st["left"] <= 0:
+                raise _Killed(f"killed before fs.{name}")
+            if st["left"] is not None:
+                st["left"] -= 1
+            st["ops"].append(name)
+            return attr(*args)
+
+        return wrapped
+
+
+@contextmanager
+def _fault_injected(state: dict):
+    """Patch the ``_hadoop_fs`` seam in BOTH modules that bound it
+    (signature_store imports it by value) so every driver-side fs
+    handle — swaps, markers, GC, lease release — goes through one
+    shared :class:`_KillFS` budget."""
+    import b3_analytics_engine_spark.sinks.files as files_mod
+    import b3_analytics_engine_spark.signature_store as store_mod
+
+    real = files_mod._hadoop_fs
+
+    def patched(spark, path):
+        jvm, fs, p = real(spark, path)
+        return jvm, _KillFS(fs, state), p
+
+    files_mod._hadoop_fs = patched
+    store_mod._hadoop_fs = patched
+    try:
+        yield
+    finally:
+        files_mod._hadoop_fs = real
+        store_mod._hadoop_fs = real
+
+
+def _fuzz_every_prefix(spark, pristine: str, work: str, op, probe):
+    """Reference-run ``op`` on a copy of ``pristine``, then for every
+    mutating-op prefix: copy, kill at that op, recover (re-run ``op``
+    unfaulted, same store instance → lease adoption), and assert the
+    probed state equals the reference. Returns the dry-run op list."""
+
+    def fresh(tag):
+        dst = os.path.join(work, tag)
+        shutil.copytree(pristine, dst)
+        return SignatureStore(spark, dst, owner="fuzz")
+
+    ref_store = fresh("ref")
+    op(ref_store)
+    ref = probe(ref_store)
+    spark.catalog.clearCache()
+
+    state = {"left": None, "ops": []}
+    with _fault_injected(state):
+        op(fresh("dry"))
+    ops = list(state["ops"])
+    spark.catalog.clearCache()
+    assert 0 < len(ops) < 120, ops
+
+    for k in range(len(ops)):
+        store = fresh(f"k{k}")
+        st = {"left": k, "ops": []}
+        died = False
+        try:
+            with _fault_injected(st):
+                op(store)
+        except _Killed:
+            died = True
+        assert died, (
+            f"kill budget {k} of {len(ops)} did not fire — "
+            f"non-deterministic op sequence? ran {st['ops']}"
+        )
+        op(store)  # the documented recovery: re-run, same owner
+        got = probe(store)
+        assert got == ref, (
+            f"state diverged after kill at fs-op {k} "
+            f"({ops[k]} in {ops}):\n got={got}\n ref={ref}"
+        )
+        spark.catalog.clearCache()
+        shutil.rmtree(store.root)
+    return ops
+
+
+# ------------------------------------------------------------------
+# fixtures: tiny pristine stores, built once, copied per iteration
+# ------------------------------------------------------------------
+
+_BASE_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "one two three four five six seven"),
+    (3, "red orange yellow green blue indigo"),
+    (4, "north south east west up down"),
+]
+_BATCH_ROWS = [
+    (10, "lorem ipsum dolor sit amet consectetur"),
+    (11, "sphinx of black quartz judge my vow"),
+]
+_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return local_df(spark, rows, _SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def text_pristine(spark, tmp_path_factory):
+    """Base-only store: fingerprints + postings + signatures for the
+    4-doc corpus (the append_batch precondition)."""
+    root = str(tmp_path_factory.mktemp("fuzz-text") / "store")
+    s = SignatureStore(spark, root, owner="fuzz")
+    docs = _docs(spark, _BASE_ROWS)
+    s.fingerprints(docs, "c")
+    s.postings(docs, "c")
+    s.signatures(docs, "c")
+    return root
+
+
+@pytest.fixture(scope="module")
+def compact_pristine(spark, text_pristine, tmp_path_factory):
+    """Store holding every pre-state compact's GC must reclaim: a
+    live delta (b2), plus a FOLDED batch (b1) whose physical dir
+    survived a crashed earlier GC both under its bare name and as a
+    parked ``__old`` copy."""
+    root = str(tmp_path_factory.mktemp("fuzz-compact") / "store")
+    shutil.copytree(text_pristine, root)
+    s = SignatureStore(spark, root, owner="fuzz")
+    s.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+    # stash b1's delta dirs, compact (folds b1 + GCs the dirs), then
+    # restore the dirs as crashed-GC leftovers: bare AND __old parked
+    fam_paths = [
+        s.fingerprints_path("c"),
+        s.postings_path("c"),
+        s.signatures_path("c"),
+    ]
+    stash_root = str(tmp_path_factory.mktemp("fuzz-compact-stash"))
+    stash = {}
+    for i, p in enumerate(fam_paths):
+        d = os.path.join(s._delta_root(p), "b1")
+        stash[p] = os.path.join(stash_root, str(i))  # OUTSIDE the delta root
+        shutil.copytree(d, stash[p])
+    assert s.compact("c") == 1
+    for p in fam_paths:
+        d = os.path.join(s._delta_root(p), "b1")
+        shutil.copytree(stash[p], d)
+        shutil.copytree(stash[p], d + "__old")
+        shutil.rmtree(stash[p])
+    s.append_batch(_docs(spark, [(20, "never gonna give you up")]), "c", "b2")
+    return root
+
+
+_DIM = 4
+_VECS = [
+    (100 + i, [float(i == j) + 0.1 * j for j in range(_DIM)])
+    for i in range(6)
+]
+_EPOCH = [
+    (900 + i, [2.0 + 0.1 * i * j for j in range(_DIM)]) for i in range(3)
+]
+_VSCHEMA = "vec_id long, embedding array<float>"
+
+
+@pytest.fixture(scope="module")
+def ivf_pristine(spark, tmp_path_factory):
+    """IVF index base (2 cells) — the ivf_append precondition."""
+    root = str(tmp_path_factory.mktemp("fuzz-ivf") / "store")
+    s = SignatureStore(spark, root, owner="fuzz")
+    s.ivf_index(
+        local_df(spark, _VECS, _VSCHEMA), "emb", n_centroids=2, iters=1
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def retrain_pristine(spark, ivf_pristine, tmp_path_factory):
+    """IVF store whose exclude epoch is parked at ``__old`` by a
+    crashed swap — the retrain-recovery pre-state."""
+    root = str(tmp_path_factory.mktemp("fuzz-retrain") / "store")
+    shutil.copytree(ivf_pristine, root)
+    s = SignatureStore(spark, root, owner="fuzz")
+    s.ivf_append(
+        local_df(spark, _EPOCH, _VSCHEMA), "emb", "ep1",
+        n_centroids=2, iters=1,
+    )
+    droot = s._delta_root(s.ivf_index_path("emb", 2, 1))
+    os.rename(os.path.join(droot, "ep1"), os.path.join(droot, "ep1__old"))
+    return root
+
+
+# ------------------------------------------------------------------
+# probes: the full observable state the recovery must restore
+# ------------------------------------------------------------------
+
+def _basenames(paths):
+    return sorted(p.rstrip("/").rsplit("/", 1)[-1] for p in paths)
+
+
+def _text_probe(s: SignatureStore):
+    fam = {
+        "fp": s.fingerprints_path("c"),
+        "posts": s.postings_path("c"),
+        "sig": s.signatures_path("c"),
+    }
+    rep = s.validate("c")
+    return {
+        "rows": {
+            "fp": sorted(
+                tuple(r) for r in s.fingerprints(None, "c").collect()
+            ),
+            "posts": sorted(
+                tuple(r) for r in s.postings(None, "c").collect()
+            ),
+            "sig": sorted(
+                tuple(r) for r in s.signatures(None, "c").collect()
+            ),
+        },
+        "deltas": {k: _basenames(s._delta_paths(p)) for k, p in fam.items()},
+        "folded": {k: sorted(s._folded_names(p)) for k, p in fam.items()},
+        "leftover_dirs": {
+            k: sorted(
+                nm
+                for nm in os.listdir(s._delta_root(p))
+                if os.path.isdir(os.path.join(s._delta_root(p), nm))
+            )
+            if os.path.isdir(s._delta_root(p))
+            else []
+            for k, p in fam.items()
+        },
+        "ok": rep["ok"],
+        "warnings": rep["warnings"],
+    }
+
+
+def _ivf_probe(s: SignatureStore):
+    idx = s.ivf_index(None, "emb", n_centroids=2, iters=1)
+    ipath = s.ivf_index_path("emb", 2, 1)
+    droot = s._delta_root(ipath)
+    rep = s.validate_ivf("emb", n_centroids=2, iters=1)
+    return {
+        "assign": sorted(
+            (r["id"], r["cell"]) for r in idx.select("id", "cell").collect()
+        ),
+        "deltas": _basenames(s._delta_paths(ipath)),
+        "folded": sorted(s._folded_names(ipath)),
+        "leftover_dirs": sorted(os.listdir(droot))
+        if os.path.isdir(droot)
+        else [],
+        "ok": rep["ok"],
+        "warnings": rep["warnings"],
+    }
+
+
+# ------------------------------------------------------------------
+# the four scenarios
+# ------------------------------------------------------------------
+
+def test_append_batch_survives_kill_at_every_fs_op(
+    spark, text_pristine, tmp_path
+):
+    ops = _fuzz_every_prefix(
+        spark,
+        text_pristine,
+        str(tmp_path),
+        lambda s: s.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1"),
+        _text_probe,
+    )
+    # the sequence must end in swap-shaped op runs (rename + delete
+    # per family commit), never a bare unstaged write
+    assert "rename" in ops
+
+
+def test_compact_gc_and_old_reclaim_survive_kill_at_every_fs_op(
+    spark, compact_pristine, tmp_path
+):
+    def probe(s):
+        got = _text_probe(s)
+        # the reclaim is the point: no b1 / b1__old leftovers, no
+        # fsck warning, b2 folded, nothing live
+        assert got["deltas"] == {"fp": [], "posts": [], "sig": []}
+        for k in got["leftover_dirs"]:
+            assert "b1" not in got["leftover_dirs"][k]
+            assert "b1__old" not in got["leftover_dirs"][k]
+        assert got["warnings"] == []
+        return got
+
+    ops = _fuzz_every_prefix(
+        spark,
+        compact_pristine,
+        str(tmp_path),
+        lambda s: s.compact("c"),
+        probe,
+    )
+    assert ops.count("delete") >= 6  # leftover sweep + per-family GC
+
+
+def test_ivf_append_survives_kill_at_every_fs_op(
+    spark, ivf_pristine, tmp_path
+):
+    _fuzz_every_prefix(
+        spark,
+        ivf_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_append(
+            local_df(spark, _EPOCH, _VSCHEMA), "emb", "ep1",
+            n_centroids=2, iters=1,
+        ),
+        _ivf_probe,
+    )
+
+
+def test_ivf_retrain_parked_exclude_survives_kill_at_every_fs_op(
+    spark, retrain_pristine, tmp_path
+):
+    def probe(s):
+        got = _ivf_probe(s)
+        # the parked epoch's vectors are served exactly once, under
+        # the NEW quantizer, with the parking reclaimed
+        assert [i for i, _ in got["assign"]].count(901) == 1
+        assert "ep1__old" not in got["leftover_dirs"]
+        assert got["ok"]
+        return got
+
+    _fuzz_every_prefix(
+        spark,
+        retrain_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_retrain("emb", n_centroids=2, iters=1,
+                                exclude="ep1"),
+        probe,
+    )
