@@ -150,6 +150,9 @@ HEADLINE = [
     # (bench-only callable — header-level probe + predicate split over
     # a mixed PPM/WAV/PVF/garbage corpus)
     "media_curation_pipeline",
+    # round 16: the registered two-corpus cross near-dup path
+    # (batch-vs-corpus banded join — the per-day production shape)
+    "dedup_minhash_cross",
 ]
 
 
