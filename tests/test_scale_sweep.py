@@ -43,6 +43,7 @@ FAMILY_SAMPLE = [
     "warehouse_metrics",      # SMA window suite
     "dedup_exact",            # fingerprint groupBy
     "dedup_minhash_lsh",      # banded LSH self-join + verify
+    "dedup_minhash_cross",    # asymmetric two-corpus banded join (r16)
     "ngram_novelty",          # shingle postings, one-pass window
     "char_entropy",           # char explode window-sum
     "cosine_topk",            # brute-force ANN verify frame

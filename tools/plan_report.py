@@ -51,6 +51,17 @@ PLAN_INTENT = {
         "streams through; eval sets are small by construction at any "
         "corpus scale"
     ),
+    "dedup_minhash_cross": (
+        "dominant stage: the asymmetric banded equi-join (batch band "
+        "keys x corpus band keys) + exact-Jaccard verify through the "
+        "two postings sides; no forced broadcast — AQE broadcasts "
+        "the small frames at test SF, SMJ at 100x where both sides "
+        "grow with their corpus. Per-side postings materialized once "
+        "(documents:2 pinned); the production path feeds the corpus "
+        "side from SignatureStore artifacts (posts/sig/sizes/"
+        "hot-buckets), dropping per-batch corpus cost to "
+        "scan+explode+probe — O(batch), not O(corpus-shuffle)"
+    ),
     "dup_cluster_keep": (
         "dominant stage: SMJ over the pair graph — correct, edges "
         "can exceed broadcast size at 100x; min-label propagation "
