@@ -502,6 +502,29 @@ class SignatureStore:
                 out.append(d)
         return sorted(out)
 
+    def _needs_build(self, path: str, corpus: str, refresh: bool) -> bool:
+        """The lazy-getter (re)build gate, with mid-swap base
+        recovery: an artifact base parked at ``<path>__old`` by a
+        crashed maintenance swap must be RECOVERED, never rebuilt —
+        :meth:`_write_atomic` clears the artifact's delta tree, so
+        rebuilding from the caller's corpus frame would silently DROP
+        every committed delta batch's rows (r16 crash-fuzz follow-up:
+        the reachable path is a compact killed between its base swap
+        renames, then any pipeline read that passes a frame).
+        Recovery takes the lease only when a parked copy actually
+        exists; the happy path stays one ``_SUCCESS`` probe."""
+        if refresh:
+            return True
+        if self._is_complete(path):
+            return False
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+        ):
+            with self.lock(corpus):
+                self._recover_parked_base(path)
+        return not self._is_complete(path)
+
     def _recover_parked_base(self, path: str) -> None:
         """Mid-swap recovery for an ARTIFACT BASE directory: a crash
         between :func:`..sinks.files.replace_directory`'s two renames
@@ -687,9 +710,9 @@ class SignatureStore:
         :func:`..operators.dedup.hashed_postings` (pinned by
         ``tests/test_signature_store.py``)."""
         path = self.postings_path(corpus, n, portable)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):  # double-checked first build
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self._write_atomic(
                         hashed_postings(df, id_col, text_col, n, portable),
                         path,
@@ -714,9 +737,9 @@ class SignatureStore:
         already exist) and itself persisted. Row-identical to
         :func:`..operators.dedup.minhash_signatures`."""
         path = self.signatures_path(corpus, n, portable, num_hashes, seed)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     posts = self.postings(
                         df, corpus, id_col, text_col, n, portable,
                         refresh=refresh,
@@ -761,9 +784,9 @@ class SignatureStore:
         cannot reconstruct batch documents (their text is not stored).
         ``validate()`` flags that inconsistency."""
         path = self.simhash_path(corpus, nbits, portable)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self._write_atomic(
                         simhash_signatures(
                             df, id_col, text_col, nbits, portable
@@ -910,9 +933,9 @@ class SignatureStore:
 
         path = self.simhash_census_path(corpus, nbits, portable)
         spath = self.simhash_path(corpus, nbits, portable)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self.simhash(
                         df, corpus, id_col, text_col, nbits, portable
                     )
@@ -942,9 +965,9 @@ class SignatureStore:
         batch's fingerprints against this instead of re-scanning the
         corpus text."""
         path = self.fingerprints_path(corpus)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self._write_atomic(
                         df.select(
                             F.col(id_col).alias("id"),
@@ -1233,9 +1256,9 @@ class SignatureStore:
         deltas, so the multi-path read needs no re-aggregation."""
         path = self.sizes_path(corpus, n, portable)
         ppath = self.postings_path(corpus, n, portable)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self.postings(df, corpus, id_col, text_col, n, portable)
                     self._write_atomic(
                         self._sizes_from_posts(
@@ -1278,9 +1301,9 @@ class SignatureStore:
 
         path = self.band_census_path(corpus, n, portable, num_hashes, seed, bands)
         spath = self.signatures_path(corpus, n, portable, num_hashes, seed)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     self.signatures(
                         df, corpus, id_col, text_col, n, portable,
                         num_hashes, seed,
@@ -1688,7 +1711,7 @@ class SignatureStore:
         import numpy as np
 
         path = self.ivf_centroids_path(corpus, n_centroids, iters)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             if df is None:
                 raise ValueError(
                     f"corpus {corpus!r} has no IVF centroids at {path} "
@@ -1696,7 +1719,7 @@ class SignatureStore:
                     "n_centroids/iters match the index you built"
                 )
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     C = kmeans_centroids(
                         df, n_centroids, id_col=id_col, vec_col=vec_col,
                         iters=iters,
@@ -1762,7 +1785,7 @@ class SignatureStore:
         and deltas alike. Vectors are stored cast to double so scores
         are bit-stable."""
         path = self.ivf_index_path(corpus, n_centroids, iters)
-        if refresh or not self._is_complete(path):
+        if self._needs_build(path, corpus, refresh):
             if df is None:
                 raise ValueError(
                     f"corpus {corpus!r} has no IVF index at {path} and no "
@@ -1770,7 +1793,7 @@ class SignatureStore:
                     "match the index you built"
                 )
             with self.lock(corpus):
-                if refresh or not self._is_complete(path):
+                if self._needs_build(path, corpus, refresh):
                     C = self.ivf_centroids(
                         df, corpus, id_col, vec_col, n_centroids, iters,
                         refresh=refresh,
@@ -2237,13 +2260,42 @@ class SignatureStore:
         cpath = self.ivf_centroids_path(corpus, n_centroids, iters)
         npath = self.ivf_index_path(corpus, new_n_centroids, iters)
         ncpath = self.ivf_centroids_path(corpus, new_n_centroids, iters)
+        jvm, fs, _ = _hadoop_fs(self.spark, ipath)
+        hp = jvm.org.apache.hadoop.fs.Path
+        # SOURCE bases parked mid-swap by a crashed rewrite
+        # (compact/retrain) are recovered like ivf_retrain recovers
+        # its own — a rescale entered on that state would otherwise
+        # refuse "no IVF index" on a recoverable store
+        self._recover_parked_base(cpath)
+        self._recover_parked_base(ipath)
         if not self._is_complete(ipath):
+            # distinguish "never built" from "a prior run of THIS
+            # rescale completed through activation and crashed inside
+            # the old-family GC" (source index gone or partial, target
+            # complete + provenance-markered + active) — the re-run
+            # must name the GC recovery, not tell the operator to
+            # rebuild a source index the rescale already replaced
+            # (every-prefix crash-fuzz finding, r16)
+            if (
+                self._is_complete(npath)
+                and fs.exists(hp(os.path.join(
+                    npath, f"_rescaled_from_{n_centroids}-{iters}")))
+                and self.ivf_active(corpus) == (new_n_centroids, iters)
+            ):
+                raise ValueError(
+                    f"source IVF family n_centroids={n_centroids}, "
+                    f"iters={iters} for corpus {corpus!r} is gone or "
+                    "partial, and the target family is published, "
+                    "provenance-marked and ACTIVE — a prior run of "
+                    "this rescale completed through activation and "
+                    "crashed inside the old-family GC. GC the "
+                    "leftover source dirs instead (see ivf_orphans) "
+                    "and keep serving from the published family."
+                )
             raise ValueError(
                 f"corpus {corpus!r} has no IVF index at {ipath}; build "
                 "it first (ivf_index with the corpus frame)"
             )
-        jvm, fs, _ = _hadoop_fs(self.spark, ipath)
-        hp = jvm.org.apache.hadoop.fs.Path
         # an INDEPENDENT completed family already living at the target
         # key must not be wholesale-replaced: its live delta tree
         # would survive the base swap and union into every read of

@@ -109,11 +109,16 @@ def _fault_injected(state: dict):
         store_mod._hadoop_fs = real
 
 
-def _fuzz_every_prefix(spark, pristine: str, work: str, op, probe):
+def _fuzz_every_prefix(spark, pristine: str, work: str, op, probe,
+                       recover=None):
     """Reference-run ``op`` on a copy of ``pristine``, then for every
-    mutating-op prefix: copy, kill at that op, recover (re-run ``op``
-    unfaulted, same store instance → lease adoption), and assert the
-    probed state equals the reference. Returns the dry-run op list."""
+    mutating-op prefix: copy, kill at that op, recover (default: the
+    documented recovery for every commit path — re-run ``op``
+    unfaulted, same store instance → lease adoption; ``recover``
+    overrides for ops whose recovery is state-dependent, e.g.
+    ivf_rescale's post-activation refusal), and assert the probed
+    state equals the reference. Returns the dry-run op list."""
+    recover = recover or op
 
     def fresh(tag):
         dst = os.path.join(work, tag)
@@ -145,7 +150,7 @@ def _fuzz_every_prefix(spark, pristine: str, work: str, op, probe):
             f"kill budget {k} of {len(ops)} did not fire — "
             f"non-deterministic op sequence? ran {st['ops']}"
         )
-        op(store)  # the documented recovery: re-run, same owner
+        recover(store)
         got = probe(store)
         assert got == ref, (
             f"state diverged after kill at fs-op {k} "
@@ -379,6 +384,102 @@ def test_ivf_append_survives_kill_at_every_fs_op(
             n_centroids=2, iters=1,
         ),
         _ivf_probe,
+    )
+
+
+@pytest.fixture(scope="module")
+def refresh_pristine(spark, text_pristine, tmp_path_factory):
+    """Store with the derived aggregates materialized and one
+    committed batch — the widest refresh_all surface (six artifact
+    rebuilds, delta trees to clear)."""
+    root = str(tmp_path_factory.mktemp("fuzz-refresh") / "store")
+    shutil.copytree(text_pristine, root)
+    s = SignatureStore(spark, root, owner="fuzz")
+    docs = _docs(spark, _BASE_ROWS)
+    s.sizes(docs, "c")
+    s.band_census(docs, "c")
+    s.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+    return root
+
+
+def test_refresh_all_survives_kill_at_every_fs_op(
+    spark, refresh_pristine, tmp_path
+):
+    """r16 extension: refresh_all is a six-swap cascade (fingerprints,
+    postings, signatures, sizes, census — each staged+swapped, each
+    clearing its delta tree). A kill anywhere must be repairable by
+    re-running the refresh; intermediate states may mix refreshed and
+    stale artifacts, but never silently lose the invalidation."""
+    bigger = _docs(spark, _BASE_ROWS + [(30, "completely new snapshot doc")])
+
+    def probe(s):
+        got = _text_probe(s)
+        # the refresh is the point: no deltas anywhere, batch rows
+        # gone (snapshot invalidation), new doc present
+        assert got["deltas"] == {"fp": [], "posts": [], "sig": []}
+        assert any(r[0] == 30 for r in got["rows"]["fp"])
+        assert not any(r[0] == 10 for r in got["rows"]["fp"])
+        assert got["ok"] and got["warnings"] == []
+        return got
+
+    _fuzz_every_prefix(
+        spark,
+        refresh_pristine,
+        str(tmp_path),
+        lambda s: s.refresh_all(bigger, "c"),
+        probe,
+    )
+
+
+def test_ivf_rescale_survives_kill_at_every_fs_op(
+    spark, ivf_pristine, tmp_path
+):
+    """r16 extension: the rescale's multi-swap sequence (new-family
+    staging, centroids publish, index publish, activation bump, old-
+    family GC). Pre-activation kills recover by re-running; post-
+    activation kills make the re-run REFUSE with the documented
+    'completed through activation — GC the leftover source family'
+    advice, and following that advice (delete the source family's
+    dirs) must land the same final state as a never-crashed run."""
+
+    def op(s):
+        s.ivf_rescale("emb", n_centroids=2, iters=1, new_n_centroids=4)
+
+    def recover(s):
+        try:
+            op(s)
+        except ValueError as e:
+            msg = str(e)
+            assert "GC the leftover" in msg, (
+                f"undocumented refusal on rescale re-run: {msg}"
+            )
+            # follow the advice verbatim: remove the leftover source
+            # family, keep serving the published one
+            for p in (
+                s.ivf_index_path("emb", 2, 1),
+                s.ivf_centroids_path("emb", 2, 1),
+            ):
+                for d in (p, s._delta_root(p), p + "__old"):
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
+
+    def probe(s):
+        idx = s.ivf_index(None, "emb", n_centroids=4, iters=1)
+        rep = s.validate_ivf("emb", n_centroids=4, iters=1)
+        return {
+            "active": s.ivf_active("emb"),
+            "families": s.ivf_families("emb"),
+            "orphans": s.ivf_orphans("emb"),
+            "assign": sorted(
+                (r["id"], r["cell"])
+                for r in idx.select("id", "cell").collect()
+            ),
+            "ok": rep["ok"],
+            "warnings": rep["warnings"],
+        }
+
+    _fuzz_every_prefix(
+        spark, ivf_pristine, str(tmp_path), op, probe, recover=recover
     )
 
 

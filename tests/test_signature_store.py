@@ -967,6 +967,43 @@ def test_validate_warns_on_legacy_reserved_suffix_delta(spark, docs_store):
     assert not any("b2__staging" in w for w in rep2["warnings"])
 
 
+def test_lazy_getter_recovers_parked_base_instead_of_rebuilding(
+    spark, docs, docs_store
+):
+    """r16 crash-fuzz follow-up: an artifact base parked at
+    '<path>__old' by a crashed maintenance swap (compact killed
+    between replace_directory's two renames) must be RECOVERED by the
+    next lazy read, not rebuilt — _write_atomic clears the delta
+    tree, so a rebuild from the caller's corpus frame would silently
+    DROP every committed delta batch's rows."""
+    store = docs_store
+    batch = local_df(
+        spark,
+        [(900001, "a singular document about volcanic soil chemistry")],
+        "doc_id long, text string",
+    )
+    store.append_batch(batch, "docs", "b1")
+    before = _sorted_rows(store.postings(None, "docs"))
+    assert any(r[0] == 900001 for r in before)  # delta rows visible
+    # park the base exactly as a mid-swap crash does
+    ppath = store.postings_path("docs")
+    os.rename(ppath, ppath + "__old")
+    # a pipeline read that passes the ORIGINAL corpus frame (no batch
+    # rows) — pre-fix this rebuilt the base from it and cleared b1
+    after = _sorted_rows(store.postings(docs, "docs"))
+    assert after == before
+    assert not os.path.exists(ppath + "__old")
+    assert [
+        d.rsplit("/", 1)[-1] for d in store._delta_paths(ppath)
+    ] == ["b1"]
+    # refresh=True still means rebuild-from-frame (clears deltas by
+    # design), parked or not
+    os.rename(ppath, ppath + "__old")
+    rebuilt = _sorted_rows(store.postings(docs, "docs", refresh=True))
+    assert not any(r[0] == 900001 for r in rebuilt)
+    assert store._delta_paths(ppath) == []
+
+
 def test_compact_folds_simhash_family(spark, docs, docs_simhash_store):
     """compact() folds simhash + simhash-census deltas like the
     MinHash family: reads identical, delta trees cleared, census
