@@ -503,3 +503,340 @@ def test_ivf_retrain_parked_exclude_survives_kill_at_every_fs_op(
                                 exclude="ep1"),
         probe,
     )
+
+
+# ------------------------------------------------------------------
+# r16 frontier 1: COMPOSED kills — crash the op, then crash the
+# RECOVERY run too, then recover. The single-kill fuzz proves every
+# crash state is repairable by one re-run; this proves the repair
+# itself is crash-safe (recovery ops are the same swap-shaped
+# machinery, so a kill inside them must leave another repairable
+# state, not a new dead end).
+# ------------------------------------------------------------------
+
+def _fuzz_double_kill(spark, pristine: str, work: str, op, probe,
+                      k1_stride: int = 1):
+    """For (a stride sample of) every first-kill prefix k1: learn the
+    recovery run's own mutating-op count m2 on one copy, then on
+    fresh copies kill the recovery at k2 ∈ {first, middle, last} of
+    ITS sequence, run a final unfaulted recovery, and assert the
+    probed state equals a never-crashed run's."""
+
+    def fresh(tag):
+        dst = os.path.join(work, tag)
+        shutil.copytree(pristine, dst)
+        return SignatureStore(spark, dst, owner="fuzz")
+
+    ref_store = fresh("ref")
+    op(ref_store)
+    ref = probe(ref_store)
+    spark.catalog.clearCache()
+
+    state = {"left": None, "ops": []}
+    with _fault_injected(state):
+        op(fresh("dry"))
+    ops = list(state["ops"])
+    spark.catalog.clearCache()
+    assert 0 < len(ops) < 120, ops
+
+    def killed_run(store, budget):
+        st = {"left": budget, "ops": []}
+        died = False
+        try:
+            with _fault_injected(st):
+                op(store)
+        except _Killed:
+            died = True
+        return died, st["ops"]
+
+    pairs_run = 0
+    for k1 in range(0, len(ops), k1_stride):
+        # copy A: first kill at k1, then COUNT the recovery's ops
+        a = fresh(f"a{k1}")
+        died, _ = killed_run(a, k1)
+        assert died
+        st2 = {"left": None, "ops": []}
+        with _fault_injected(st2):
+            op(a)
+        m2 = len(st2["ops"])
+        assert probe(a) == ref  # single-kill sanity on this copy
+        spark.catalog.clearCache()
+        shutil.rmtree(a.root)
+        if m2 == 0:
+            continue  # recovery is pure-read; nothing to compose
+        for k2 in sorted({0, m2 // 2, m2 - 1}):
+            b = fresh(f"b{k1}_{k2}")
+            died, _ = killed_run(b, k1)
+            assert died
+            died2, ran2 = killed_run(b, k2)
+            assert died2, (
+                f"recovery after kill@{k1} took {len(ran2)} ops "
+                f"(expected ≥{k2 + 1}: {ran2}) — nondeterministic "
+                "recovery sequence?"
+            )
+            op(b)  # second recovery, unfaulted
+            got = probe(b)
+            assert got == ref, (
+                f"state diverged after composed kills k1={k1} "
+                f"({ops[k1]}), k2={k2}:\n got={got}\n ref={ref}"
+            )
+            pairs_run += 1
+            spark.catalog.clearCache()
+            shutil.rmtree(b.root)
+    assert pairs_run > 0
+    return ops
+
+
+def test_append_batch_double_kill(spark, text_pristine, tmp_path):
+    """Both commit paths' recovery (idempotent same-name replay) must
+    itself survive a kill at any point — full first-kill coverage."""
+    _fuzz_double_kill(
+        spark,
+        text_pristine,
+        str(tmp_path),
+        lambda s: s.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1"),
+        _text_probe,
+    )
+
+
+def test_ivf_append_double_kill(spark, ivf_pristine, tmp_path):
+    _fuzz_double_kill(
+        spark,
+        ivf_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_append(
+            local_df(spark, _EPOCH, _VSCHEMA), "emb", "ep1",
+            n_centroids=2, iters=1,
+        ),
+        _ivf_probe,
+    )
+
+
+def test_compact_double_kill_strided(spark, compact_pristine, tmp_path):
+    """Compact's ~40-op sequence (marker-ledger publish riding the
+    base swap, physical-dir GC, folded-__old reclaim) composed-killed
+    at a stride-6 sample of first-kill points (full quadratic would
+    be ~400 compact invocations; the repair machinery is shared, so a
+    sample over distinct phases covers the shapes)."""
+
+    def probe(s):
+        got = _text_probe(s)
+        assert got["deltas"] == {"fp": [], "posts": [], "sig": []}
+        assert got["warnings"] == []
+        return got
+
+    _fuzz_double_kill(
+        spark,
+        compact_pristine,
+        str(tmp_path),
+        lambda s: s.compact("c"),
+        probe,
+        k1_stride=6,
+    )
+
+
+def test_ivf_retrain_double_kill_strided(spark, retrain_pristine, tmp_path):
+    """The centroid+index double swap plus parked-exclude recovery,
+    composed-killed at a stride-4 sample of first-kill points."""
+
+    def probe(s):
+        got = _ivf_probe(s)
+        assert [i for i, _ in got["assign"]].count(901) == 1
+        assert got["ok"]
+        return got
+
+    _fuzz_double_kill(
+        spark,
+        retrain_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_retrain("emb", n_centroids=2, iters=1,
+                                exclude="ep1"),
+        probe,
+        k1_stride=4,
+    )
+
+
+def test_append_batch_kill_states_read_atomically(
+    spark, text_pristine, tmp_path
+):
+    """Crash CONSISTENCY for readers, not just recoverability: at
+    every append_batch kill state, a bystander store (different
+    owner, NO recovery run) reading each artifact must see exactly
+    the pre-batch or the post-batch row set — never a torn mix within
+    one artifact (each delta lands by staging + atomic rename;
+    ``_delta_paths`` never reads ``__staging``) — and the families
+    must respect the documented sequential commit order (fingerprints
+    → postings → signatures): a later family carrying the batch
+    implies every earlier one does."""
+
+    def rows(s):
+        return {
+            "fp": sorted(
+                tuple(r) for r in s.fingerprints(None, "c").collect()
+            ),
+            "posts": sorted(
+                tuple(r) for r in s.postings(None, "c").collect()
+            ),
+            "sig": sorted(
+                tuple(r) for r in s.signatures(None, "c").collect()
+            ),
+        }
+
+    def fresh(tag):
+        dst = os.path.join(str(tmp_path), tag)
+        shutil.copytree(text_pristine, dst)
+        return SignatureStore(spark, dst, owner="fuzz")
+
+    pre = rows(fresh("pre"))
+    ref_store = fresh("ref")
+    ref_store.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+    post = rows(ref_store)
+    assert pre != post
+    spark.catalog.clearCache()
+
+    state = {"left": None, "ops": []}
+    with _fault_injected(state):
+        fresh("dry").append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+    ops = list(state["ops"])
+    spark.catalog.clearCache()
+
+    order = ("fp", "posts", "sig")
+    for k in range(len(ops)):
+        store = fresh(f"k{k}")
+        st = {"left": k, "ops": []}
+        try:
+            with _fault_injected(st):
+                store.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+        except _Killed:
+            pass
+        reader = SignatureStore(spark, store.root, owner="bystander")
+        got = rows(reader)
+        for fam in order:
+            assert got[fam] in (pre[fam], post[fam]), (
+                f"torn {fam} read after kill at op {k} "
+                f"({ops[k]} in {ops})"
+            )
+        seen = [got[fam] == post[fam] for fam in order]
+        # committed families form a PREFIX of the commit order
+        assert seen == sorted(seen, reverse=True), (
+            f"commit-order violation after kill at op {k}: "
+            f"{dict(zip(order, seen))}"
+        )
+        spark.catalog.clearCache()
+        shutil.rmtree(store.root)
+
+
+# ------------------------------------------------------------------
+# r16 frontier 2: the S3-lease seam under crash fuzz. The single-kill
+# fuzz runs over the default Hadoop backend, whose local-path
+# try_create (os.open O_EXCL) is NOT an interceptable fs op — so no
+# prior scenario ever killed BETWEEN lease acquisition and the first
+# mutation, or between the last mutation and the lease release. With
+# the S3 conditional-PUT fake as the backend, both lease ops join the
+# kill budget, and the fake (the "remote service") survives the
+# client crash — exactly the production shape the seam exists for.
+# ------------------------------------------------------------------
+
+class _KillLease:
+    """Kill-injecting proxy over a lease backend, sharing the fs
+    proxy's budget: ``try_create``/``delete`` are mutators (counted,
+    killable), ``read_owner`` passes through."""
+
+    def __init__(self, real, state: dict):
+        self._real = real
+        self._state = state
+
+    def read_owner(self, lock_path):
+        return self._real.read_owner(lock_path)
+
+    def _guard(self, name):
+        st = self._state
+        if st["left"] is not None and st["left"] <= 0:
+            raise _Killed(f"killed before lease.{name}")
+        if st["left"] is not None:
+            st["left"] -= 1
+        st["ops"].append(f"lease:{name}")
+
+    def try_create(self, lock_path, owner):
+        self._guard("try_create")
+        return self._real.try_create(lock_path, owner)
+
+    def delete(self, lock_path):
+        self._guard("delete")
+        self._real.delete(lock_path)
+
+
+def test_append_batch_s3_lease_survives_kill_at_every_op(
+    spark, text_pristine, tmp_path
+):
+    """append_batch over the S3 conditional-PUT fake, killed at every
+    prefix of the UNION sequence (lease try_create → fs commits →
+    lease delete). At each kill point: if the lease is left held, a
+    DIFFERENT owner must be refused (StoreLockedError naming the
+    holder) — never silently interleave; the SAME owner's re-run must
+    adopt the leaked lease, replay idempotently, land the reference
+    state, and leave the lease released."""
+    from test_signature_store import S3ConditionalPutLeaseFake
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    def fresh(tag):
+        dst = os.path.join(str(tmp_path), tag)
+        shutil.copytree(text_pristine, dst)
+        svc = S3ConditionalPutLeaseFake()  # one service per universe
+        return (
+            SignatureStore(spark, dst, owner="fuzz", lease_backend=svc),
+            svc,
+        )
+
+    def op(store, svc, state):
+        wrapped = _KillLease(svc, state)
+        store._lease = wrapped
+        try:
+            with _fault_injected(state):
+                store.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+        finally:
+            store._lease = svc
+
+    ref_store, ref_svc = fresh("ref")
+    op(ref_store, ref_svc, {"left": None, "ops": []})
+    ref = _text_probe(ref_store)
+    assert not ref_svc._obj  # lease released on the happy path
+    spark.catalog.clearCache()
+
+    state = {"left": None, "ops": []}
+    dry_store, dry_svc = fresh("dry")
+    op(dry_store, dry_svc, state)
+    ops = list(state["ops"])
+    spark.catalog.clearCache()
+    assert ops[0] == "lease:try_create" and ops[-1] == "lease:delete", ops
+    assert any(o in _MUTATORS for o in ops)  # fs commits in between
+
+    for k in range(len(ops)):
+        store, svc = fresh(f"k{k}")
+        st = {"left": k, "ops": []}
+        died = False
+        try:
+            op(store, svc, st)
+        except _Killed:
+            died = True
+        assert died, f"kill budget {k} did not fire (ran {st['ops']})"
+
+        lock = store._lock_file("c")
+        if svc.read_owner(lock) or svc.read_owner(lock):  # lag-proof
+            # leaked lease: a stranger is refused, loudly, by name
+            stranger = SignatureStore(
+                spark, store.root, owner="other-job", lease_backend=svc
+            )
+            with pytest.raises(StoreLockedError, match="fuzz"):
+                stranger.compact("c")
+
+        # same-owner recovery: adopt + idempotent replay
+        store.append_batch(_docs(spark, _BATCH_ROWS), "c", "b1")
+        got = _text_probe(store)
+        assert got == ref, (
+            f"state diverged after kill at op {k} ({ops[k]} in "
+            f"{ops}):\n got={got}\n ref={ref}"
+        )
+        assert not svc._obj, f"lease leaked past recovery at op {k}"
+        spark.catalog.clearCache()
+        shutil.rmtree(store.root)
