@@ -1361,6 +1361,45 @@ def test_first_build_is_lease_guarded_double_checked(spark, docs, tmp_path):
     assert a.validate("docs")["ok"]
 
 
+def test_bystander_read_of_midswap_parked_base(spark, docs, docs_store_dir):
+    """The bystander-read contract for a base parked at ``__old`` by a
+    crashed maintenance swap (compact killed between
+    ``replace_directory``'s two renames, lease left held): a
+    DIFFERENT-owner read that needs the recovery refuses loudly with
+    the holder's name — torn state is never served and never rebuilt
+    over — and once the dead holder's lease is broken, ANY owner's
+    read recovers the parked base under the lease and serves
+    base + committed deltas unchanged."""
+    from b3_analytics_engine_spark.signature_store import StoreLockedError
+
+    root = docs_store_dir
+    maint = SignatureStore(spark, root, owner="maint")
+    maint.append_batch(
+        local_df(spark,
+            [(900001, "a unique doc about kelp forest canopies")],
+            "doc_id long, text string",
+        ),
+        "docs", "b1",
+    )
+    expect = sorted(tuple(r) for r in maint.postings(None, "docs").collect())
+    # simulate the crash: base parked, live dir missing, lease held
+    ppath = maint.postings_path("docs")
+    os.rename(ppath, ppath + "__old")
+    maint._acquire("docs")
+
+    reader = SignatureStore(spark, root, owner="bystander")
+    with pytest.raises(StoreLockedError, match="maint"):
+        reader.postings(docs, "docs")
+    assert not os.path.exists(ppath)  # refused WITHOUT touching state
+
+    reader.break_lock("docs")  # the holder is known dead
+    got = sorted(tuple(r) for r in reader.postings(None, "docs").collect())
+    assert got == expect
+    assert not os.path.exists(ppath + "__old")
+    assert reader.validate("docs")["ok"]
+    assert reader._lock_owner("docs") is None  # recovery lease released
+
+
 def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     """maybe_compact is the self-scheduling compaction: a no-op (and
     lease-free) under the threshold, a full fold above it, honoring
