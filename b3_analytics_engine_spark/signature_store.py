@@ -1650,17 +1650,37 @@ class SignatureStore:
         hp = jvm.org.apache.hadoop.fs.Path
         if not fs.exists(hp(base)):
             return []
-        fams = []
+        fams = set()
         for st in fs.listStatus(hp(base)):
             nm = st.getPath().getName()
-            if not (st.isDirectory() and nm.startswith("c=")):
+            if not (
+                st.isDirectory() and re.fullmatch(r"c=\d+", nm)
+            ):
                 continue
+            # the swap machinery's sibling dirs live at the iters
+            # level (``iters=<i>__delta`` trees, ``__staging`` writes,
+            # and ``__old`` parking — mid-swap when the bare dir is
+            # missing, stale when a crash skipped the post-swap
+            # sweep): ``__delta``/``__staging`` are never committed
+            # state, and a COMPLETE parked copy stands in for its
+            # bare name, exactly as ``_delta_paths`` treats batch
+            # parking — the int parse crashed on ``iters=1__old``
+            # before this (found by the ivf_compact crash fuzz).
+            live: set[int] = set()
+            parked: set[int] = set()
             for st2 in fs.listStatus(st.getPath()):
                 nm2 = st2.getPath().getName()
-                if not (st2.isDirectory() and nm2.startswith("iters=")):
+                if not st2.isDirectory():
                     continue
-                if self._is_complete(st2.getPath().toString()):
-                    fams.append((int(nm[2:]), int(nm2[6:])))
+                if re.fullmatch(r"iters=\d+", nm2):
+                    if self._is_complete(st2.getPath().toString()):
+                        live.add(int(nm2[6:]))
+                    continue
+                m = re.fullmatch(r"iters=(\d+)__old", nm2)
+                if m and self._is_complete(st2.getPath().toString()):
+                    parked.add(int(m.group(1)))
+            for it in live | parked:
+                fams.add((int(nm[2:]), it))
         return sorted(fams)
 
     def ivf_orphans(self, corpus: str) -> list[tuple[int, int]]:

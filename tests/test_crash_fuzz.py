@@ -505,6 +505,71 @@ def test_ivf_retrain_parked_exclude_survives_kill_at_every_fs_op(
     )
 
 
+@pytest.fixture(scope="module")
+def ivf_delta_pristine(spark, ivf_pristine, tmp_path_factory):
+    """IVF base plus one committed epoch delta — the ivf_compact
+    precondition."""
+    root = str(tmp_path_factory.mktemp("fuzz-ivfc") / "store")
+    shutil.copytree(ivf_pristine, root)
+    s = SignatureStore(spark, root, owner="fuzz")
+    s.ivf_append(
+        local_df(spark, _EPOCH, _VSCHEMA), "emb", "ep1",
+        n_centroids=2, iters=1,
+    )
+    return root
+
+
+def test_ivf_compact_survives_kill_at_every_fs_op(
+    spark, ivf_delta_pristine, tmp_path
+):
+    """The last uncovered mutating entry point's fold: ivf_compact
+    shares _compact_one with the text compact fuzz but exercises the
+    CELL-partitioned rewrite (partition_by='cell'), whose staged base
+    layout the probes prune on."""
+
+    def probe(s):
+        got = _ivf_probe(s)
+        assert got["deltas"] == []  # epoch folded into the base
+        assert "ep1" in got["folded"]
+        assert got["ok"] and got["warnings"] == []
+        return got
+
+    _fuzz_every_prefix(
+        spark,
+        ivf_delta_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_compact("emb", n_centroids=2, iters=1),
+        probe,
+    )
+
+
+def test_ivf_set_active_survives_kill_at_every_fs_op(
+    spark, ivf_pristine, tmp_path
+):
+    """The active-marker bump (the pointer ivf_rescale publishes
+    BEFORE GC'ing the old family) is a staged swap of a one-row
+    artifact; a kill must never leave the pointer unreadable-forever
+    or the marker root littered — re-running the bump repairs it."""
+
+    def probe(s):
+        root = os.path.join(s.root, "ivf_active")
+        leftovers = sorted(
+            nm
+            for base, dirs, _ in os.walk(root)
+            for nm in dirs
+            if nm.endswith("__old") or nm.endswith("__staging")
+        )
+        return {"active": s.ivf_active("emb"), "leftovers": leftovers}
+
+    _fuzz_every_prefix(
+        spark,
+        ivf_pristine,
+        str(tmp_path),
+        lambda s: s.ivf_set_active("emb", 2, 1),
+        probe,
+    )
+
+
 # ------------------------------------------------------------------
 # r16 frontier 1: COMPOSED kills — crash the op, then crash the
 # RECOVERY run too, then recover. The single-kill fuzz proves every

@@ -1189,6 +1189,33 @@ def test_retrain_recovers_midswap_parked_exclude(spark, emb, ivf_store):
     assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
 
 
+def test_ivf_families_sees_through_swap_parking(spark, ivf_store):
+    """Family discovery over the on-disk layout must read the swap
+    machinery's sibling dirs as machinery, not families (found by the
+    ivf_compact crash fuzz: the int parse crashed on a stale
+    ``iters=2__old``): a COMPLETE parked copy stands in for its bare
+    name when the live dir is missing (mid-swap crash), is ignored
+    when the live dir is present (stale parking a crash left behind),
+    and ``__staging``/``__delta`` dirs never count as families."""
+    import shutil
+
+    store = ivf_store
+    ipath = store.ivf_index_path("emb", 8, 2)
+    # stale parking: live AND parked present -> one family, no crash
+    shutil.copytree(ipath, ipath + "__old")
+    assert store.ivf_families("emb") == [(8, 2)]
+    # a staging leftover is never committed state
+    shutil.copytree(ipath, ipath + "__staging")
+    assert store.ivf_families("emb") == [(8, 2)]
+    # mid-swap: live missing -> the parked copy stands in
+    shutil.rmtree(ipath + "__old")
+    os.rename(ipath, ipath + "__old")
+    assert store.ivf_families("emb") == [(8, 2)]
+    os.rename(ipath + "__old", ipath)
+    shutil.rmtree(ipath + "__staging")
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+
 def test_roundtrip_rescale_never_self_orphans(spark, emb, ivf_store):
     """A→B→A' round trip: carrying B's _rescaled_from_A marker into
     A' verbatim would stamp the new serving family as its own orphan
