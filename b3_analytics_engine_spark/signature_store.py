@@ -57,7 +57,11 @@ from .operators.dedup import (
     simhash_signatures,
 )
 from .operators.text import fingerprint
-from .sinks.files import _hadoop_fs, replace_directory
+from .sinks.files import (
+    _hadoop_fs,
+    recover_parked_directory,
+    replace_directory,
+)
 
 
 def _with_lease(fn):
@@ -538,15 +542,7 @@ class SignatureStore:
         stale parking (live dir present) is left alone —
         ``replace_directory`` itself sweeps it on the next swap.
         Callers hold the corpus write lease."""
-        jvm, fs, _ = _hadoop_fs(self.spark, path)
-        hp = jvm.org.apache.hadoop.fs.Path
-        old = hp(path.rstrip("/") + "__old")
-        live = hp(path.rstrip("/"))
-        if fs.exists(old) and not fs.exists(live):
-            if not fs.rename(old, live):
-                raise IOError(
-                    f"mid-swap base recovery rename {old} -> {live} failed"
-                )
+        recover_parked_directory(self.spark, path)
 
     def _reserved_suffix_batches(self, path: str) -> list[str]:
         """One-time migration check for stores written BEFORE

@@ -128,18 +128,61 @@ def replace_directory(spark, tmp: str, path: str) -> None:
     gap is the instant between the two renames — callers that cannot
     tolerate even that must quiesce readers or use a table format with
     snapshot isolation (Delta/Iceberg).
+
+    A leftover ``path__old`` from a PRIOR crashed swap is handled by
+    state, not unconditionally: live dir present → the parking is
+    stale (post-swap crash, live is newer) and is swept; live dir
+    MISSING → the parking is the only copy (mid-swap crash) and is
+    restored before this swap proceeds (found by the streaming
+    warehouse crash test — the sweep used to delete the whole
+    history). Callers that read ``path`` before staging must run
+    :func:`recover_parked_directory` themselves.
     """
     jvm, fs, p = _hadoop_fs(spark, path)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
-    if fs.exists(old):  # leftover from a crash after a prior swap
-        fs.delete(old, True)
+    if fs.exists(old):
+        if fs.exists(p):
+            # leftover from a crash AFTER a prior swap's second
+            # rename: the live dir is the newer table — sweep it
+            fs.delete(old, True)
+        else:
+            # a crash BETWEEN a prior swap's two renames parked the
+            # ONLY copy of the table at ``__old`` — deleting it here
+            # (the pre-fix behavior) destroyed the table. Restore it
+            # first; the normal swap below re-parks it safely.
+            if not fs.rename(old, p):
+                raise IOError(
+                    f"mid-swap recovery rename {old} -> {path} failed"
+                )
     if fs.exists(p):
         if not fs.rename(p, old):
             raise IOError(f"rename {path} -> {old} failed")
     if not fs.rename(tmp_p, p):
         raise IOError(f"rename {tmp} -> {path} failed")
     fs.delete(old, True)
+
+
+def recover_parked_directory(spark, path: str) -> bool:
+    """Restore a directory parked by a crashed
+    :func:`replace_directory`: a kill between its two renames leaves
+    ``path`` missing with the last-committed copy at ``path__old``.
+    Callers that READ ``path`` before their next swap (the streaming
+    warehouse's history read, :func:`compact_parquet`'s size probe)
+    must run this first — otherwise the missing path reads as
+    "table never existed" and the only copy is later swept as a
+    stale leftover. Post-swap stale parking (live dir present) is
+    left alone; the next swap sweeps it. Returns True if a parked
+    copy was restored."""
+    jvm, fs, p = _hadoop_fs(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(old) and not fs.exists(p):
+        if not fs.rename(old, p):
+            raise IOError(
+                f"mid-swap recovery rename {old} -> {path} failed"
+            )
+        return True
+    return False
 
 
 def compact_parquet(
@@ -164,6 +207,7 @@ def compact_parquet(
     a complete copy of the data). Partitioned layouts keep their
     partition columns. Returns the file count written.
     """
+    recover_parked_directory(spark, path)  # crashed prior swap
     _, fs, p = _hadoop_fs(spark, path)
     total = fs.getContentSummary(p).getLength()
     n_files = max(1, -(-total // target_file_bytes))  # ceil

@@ -191,8 +191,16 @@ def start_incremental(
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        from ..sinks.files import replace_directory
+        from ..sinks.files import recover_parked_directory, replace_directory
 
+        # An at-least-once retry after a crash BETWEEN the swap's two
+        # renames finds the warehouse path missing with the whole
+        # history parked at __old. Without restoring it first, the
+        # read below answers PATH_NOT_FOUND, the first-run branch
+        # rebuilds the table from this one micro-batch, and the swap
+        # sweeps the parked history as a stale leftover — permanent
+        # loss of the 40-day table.
+        recover_parked_directory(spark, warehouse_path)
         try:
             history = spark.read.parquet(warehouse_path).filter(
                 F.col("date")

@@ -791,6 +791,74 @@ def test_append_batch_kill_states_read_atomically(
         shutil.rmtree(store.root)
 
 
+def test_warehouse_swap_survives_kill_at_every_fs_op(spark, tmp_path):
+    """The streaming warehouse's commit path (merge history ∪ batch →
+    stage → replace_directory swap) killed at every fs-op prefix;
+    recovery = the documented at-least-once retry
+    (recover_parked_directory, recompute the merge from the LIVE
+    history, fresh stage, swap). The load-bearing assertion: at every
+    kill state the recovered history read must yield the pre- or
+    post-commit table — never PATH_NOT_FOUND, which the streaming
+    first-run branch would misread as 'table never existed' and
+    rebuild the warehouse from one micro-batch (the data-loss bug
+    this fuzz's scenario found)."""
+    from b3_analytics_engine_spark.sinks.files import (
+        recover_parked_directory,
+        replace_directory,
+    )
+
+    def build(tag):
+        wh = os.path.join(str(tmp_path), tag, "wh")
+        spark.range(0, 100).withColumnRenamed("id", "k").write.parquet(wh)
+        return wh
+
+    def commit(wh):  # one micro-batch: history ∪ new rows, swapped in
+        hist = spark.read.parquet(wh)
+        out = hist.unionByName(
+            spark.range(100, 110).withColumnRenamed("id", "k")
+        ).distinct()
+        staging = wh + "__staging"
+        out.write.mode("overwrite").parquet(staging)
+        replace_directory(spark, staging, wh)
+
+    def table(wh):
+        return sorted(r["k"] for r in spark.read.parquet(wh).collect())
+
+    wh = build("ref")
+    commit(wh)
+    ref = table(wh)
+    pre = list(range(100))
+    assert ref == list(range(110))
+
+    state = {"left": None, "ops": []}
+    wh = build("dry")
+    with _fault_injected(state):
+        commit(wh)
+    ops = list(state["ops"])
+    spark.catalog.clearCache()
+    assert "rename" in ops and 0 < len(ops) < 20, ops
+
+    for k in range(len(ops)):
+        wh = build(f"k{k}")
+        st = {"left": k, "ops": []}
+        died = False
+        try:
+            with _fault_injected(st):
+                commit(wh)
+        except _Killed:
+            died = True
+        assert died, f"kill budget {k} did not fire (ran {st['ops']})"
+        # the retry: recovery makes the history READABLE, and it is
+        # exactly the pre- or post-commit table (atomic, never torn)
+        recover_parked_directory(spark, wh)
+        hist = table(wh)
+        assert hist in (pre, ref), f"torn history after kill at op {k}"
+        commit(wh)  # idempotent re-commit lands the reference state
+        assert table(wh) == ref, f"diverged after kill at op {k}"
+        spark.catalog.clearCache()
+        shutil.rmtree(os.path.dirname(wh))
+
+
 # ------------------------------------------------------------------
 # r16 frontier 2: the S3-lease seam under crash fuzz. The single-kill
 # fuzz runs over the default Hadoop backend, whose local-path

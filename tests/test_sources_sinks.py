@@ -128,6 +128,42 @@ def test_replace_directory_swaps_and_cleans_stale_old(spark, tmp_path):
     assert not (tmp_path / "t__staging").exists()
 
 
+def test_replace_directory_restores_midswap_parked_table(spark, tmp_path):
+    """A crash BETWEEN a prior swap's two renames leaves the ONLY copy
+    of the table parked at ``__old`` with the live dir missing — a
+    state the pre-fix sweep deleted as a stale leftover, destroying
+    the table. The swap must restore it first (then re-park it
+    normally), and ``recover_parked_directory`` is the read-path form
+    of the same recovery."""
+    import os
+
+    from b3_analytics_engine_spark.sinks.files import (
+        recover_parked_directory,
+        replace_directory,
+    )
+
+    live, tmp = str(tmp_path / "t"), str(tmp_path / "t__staging")
+    spark.range(5).write.parquet(live)
+    os.rename(live, live + "__old")  # mid-swap crash state
+
+    # read-path recovery: restore + report, idempotent second call
+    assert recover_parked_directory(spark, live) is True
+    got = sorted(r["id"] for r in spark.read.parquet(live).collect())
+    assert got == [0, 1, 2, 3, 4]
+    assert recover_parked_directory(spark, live) is False
+
+    # swap-path recovery: parked again, the next swap restores it
+    # (never deletes — every crash point inside THIS swap must still
+    # hold a complete copy) and installs the new table
+    os.rename(live, live + "__old")
+    spark.range(10, 13).write.parquet(tmp)
+    replace_directory(spark, tmp, live)
+    got = sorted(r["id"] for r in spark.read.parquet(live).collect())
+    assert got == [10, 11, 12]
+    assert not (tmp_path / "t__old").exists()
+    assert not (tmp_path / "t__staging").exists()
+
+
 def test_overwrite_warehouse_replaces_only_written_partitions(spark, tmp_path):
     """K3 dynamic-partition contract: overwriting ONE date partition
     must leave the others intact. The bounded-re-statement behavior

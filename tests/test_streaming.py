@@ -143,6 +143,64 @@ def test_incremental_stream_end_to_end(spark, tmpdir):
     assert dupes == 0
 
 
+def test_incremental_stream_recovers_midswap_parked_warehouse(spark, tmpdir):
+    """T5 crash contract: a kill between the warehouse swap's two
+    renames leaves the ONLY copy of the history parked at
+    ``warehouse__old`` with the live path missing. The restarted
+    stream's next micro-batch must restore it BEFORE its history read
+    — the pre-fix path read PATH_NOT_FOUND, took the first-run
+    branch, rebuilt the warehouse from that single micro-batch, and
+    the swap then swept the parked history as a stale leftover:
+    silent, permanent loss of the whole table."""
+    import os
+
+    from b3_analytics_engine_spark.streaming.pipeline import start_incremental
+
+    src = f"{tmpdir}/feeds"
+    tagged = _write_feed_files(spark, src)
+    wh, ckpt = f"{tmpdir}/warehouse", f"{tmpdir}/ckpt"
+    q = start_incremental(
+        spark,
+        stream_parquet_dir(spark, f"{src}/*", tagged.schema),
+        warehouse_path=wh,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+    before = {
+        (r["symbol"], r["date"])
+        for r in spark.read.parquet(wh).select("symbol", "date").collect()
+    }
+    assert before
+
+    os.rename(wh, wh + "__old")  # the mid-swap crash state
+
+    # a SMALLER second batch arrives (one symbol): under the bug the
+    # restarted warehouse would hold only this symbol's rows
+    b1 = spark.read.parquet(f"{src}/batch1.parquet")
+    sym = b1.filter(F.col("_feed") == "brapi").select("symbol").first()[0]
+    b1.filter(
+        (F.col("symbol") == sym) | (F.col("symbol") == sym + ".SA")
+    ).write.parquet(f"{src}/batch2.parquet")
+
+    q2 = start_incremental(
+        spark,
+        stream_parquet_dir(spark, f"{src}/*", tagged.schema),
+        warehouse_path=wh,
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination(180)
+
+    after = {
+        (r["symbol"], r["date"])
+        for r in spark.read.parquet(wh).select("symbol", "date").collect()
+    }
+    assert before <= after, (
+        f"history lost: {len(before - after)} of {len(before)} "
+        "(symbol, date) keys vanished across the crash-restart"
+    )
+    assert not os.path.exists(wh + "__old")
+
+
 def test_stream_dedup_drops_cross_batch_duplicates(spark, tmpdir):
     """T3: watermarked dropDuplicates — the streaming-native form of
     the reference's downstream idempotence. The same events arrive in
