@@ -521,12 +521,7 @@ class SignatureStore:
             return True
         if self._is_complete(path):
             return False
-        jvm, fs, _ = _hadoop_fs(self.spark, path)
-        if fs.exists(
-            jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
-        ):
-            with self.lock(corpus):
-                self._recover_parked_base(path)
+        self._recover_if_parked(path, corpus)
         return not self._is_complete(path)
 
     def _recover_parked_base(self, path: str) -> None:
@@ -543,6 +538,22 @@ class SignatureStore:
         ``replace_directory`` itself sweeps it on the next swap.
         Callers hold the corpus write lease."""
         recover_parked_directory(self.spark, path)
+
+    def _recover_if_parked(self, path: str, corpus: str) -> None:
+        """Lease-taking form of :meth:`_recover_parked_base` for
+        entry points whose PRECONDITION checks would otherwise
+        misread a mid-swap-parked base as "never built" and refuse
+        with dead-end advice (append_batch / ivf_append arriving
+        after a sibling maintenance op crashed mid-swap — the
+        streaming ingest's compact_every path makes that ordering
+        routine). The happy path stays one exists() probe; the lease
+        is re-entrant, so callers already holding it are unaffected."""
+        jvm, fs, _ = _hadoop_fs(self.spark, path)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+        ):
+            with self.lock(corpus):
+                self._recover_parked_base(path)
 
     def _reserved_suffix_batches(self, path: str) -> list[str]:
         """One-time migration check for stores written BEFORE
@@ -1076,6 +1087,9 @@ class SignatureStore:
                 "artifacts and should skip the check"
             )
         path = self.fingerprints_path(corpus)
+        # a fingerprint base parked by a crashed maintenance swap must
+        # not be misread as "store predates fingerprints" below
+        self._recover_if_parked(path, corpus)
         if not self._is_complete(path):
             stale = self._nonfingerprint_artifact_roots(corpus)
             if stale:
@@ -1609,7 +1623,15 @@ class SignatureStore:
         falls back to its explicit/default key)."""
         path = self.ivf_active_path(corpus)
         if not self._is_complete(path):
-            return None
+            # a marker parked by a crashed ivf_set_active swap still
+            # names the active family — answering "no marker" here
+            # would silently redirect n_centroids=None consumers to
+            # the DEFAULT key mid-crash. Pure read, no lease: the
+            # parked copy stands in until a writer recovers it.
+            parked = path.rstrip("/") + "__old"
+            if not self._is_complete(parked):
+                return None
+            path = parked
         r = self.spark.read.parquet(path).first()
         return (int(r["n_centroids"]), int(r["iters"]))
 
@@ -1867,6 +1889,10 @@ class SignatureStore:
         re-commit, folded-name refusal, ``exclude_batch``-hideable."""
         self._validate_batch_name(batch)
         path = self.ivf_index_path(corpus, n_centroids, iters)
+        self._recover_if_parked(path, corpus)
+        self._recover_if_parked(
+            self.ivf_centroids_path(corpus, n_centroids, iters), corpus
+        )
         if not self._is_complete(path):
             raise ValueError(
                 f"corpus {corpus!r} has no IVF index at {path}; build it "
@@ -2684,6 +2710,7 @@ class SignatureStore:
             self.postings_path(corpus, n, portable),
             self.signatures_path(corpus, n, portable, num_hashes, seed),
         ):
+            self._recover_if_parked(path, corpus)
             if not self._is_complete(path):
                 raise ValueError(
                     f"corpus {corpus!r} has no base artifact at {path}; "

@@ -1189,6 +1189,46 @@ def test_retrain_recovers_midswap_parked_exclude(spark, emb, ivf_store):
     assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
 
 
+def test_ivf_append_recovers_parked_base_precondition(spark, emb, ivf_store):
+    """ivf_append on an index base parked by a crashed maintenance
+    swap must recover it and commit the epoch — not refuse with the
+    dead-end "no IVF index; build it first" (the streaming vector
+    ingest's compact_every path makes a crashed compact followed by
+    the next epoch's append routine)."""
+    store = ivf_store
+    ipath = store.ivf_index_path("emb", 8, 2)
+    os.rename(ipath, ipath + "__old")
+
+    epoch = emb.limit(3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    store.ivf_append(epoch, "emb", "ep1", n_centroids=8, iters=2)
+    assert not os.path.exists(ipath + "__old")
+    idx = store.ivf_index(None, "emb", n_centroids=8, iters=2)
+    assert idx.filter(F.col("id") >= 900000).count() == 3
+    assert store.validate_ivf("emb", n_centroids=8, iters=2)["ok"]
+
+
+def test_ivf_active_reads_parked_marker(spark, ivf_store):
+    """A crashed ivf_set_active swap can leave the active-family
+    marker parked at ``__old`` with the live dir missing. ivf_active
+    must read the parked copy (pure read, no lease) — answering
+    "no marker" would silently redirect n_centroids=None consumers to
+    the DEFAULT family key mid-crash. A later writer re-stamp
+    restores the live marker."""
+    store = ivf_store
+    active = store.ivf_active("emb")
+    assert active == (8, 2)  # first-build stamp
+    mpath = store.ivf_active_path("emb")
+    os.rename(mpath, mpath + "__old")
+
+    assert store.ivf_active("emb") == active  # parked copy stands in
+
+    store.ivf_set_active("emb", *active)  # writer recovers + re-stamps
+    assert store.ivf_active("emb") == active
+    assert os.path.exists(mpath) and not os.path.exists(mpath + "__old")
+
+
 def test_ivf_families_sees_through_swap_parking(spark, ivf_store):
     """Family discovery over the on-disk layout must read the swap
     machinery's sibling dirs as machinery, not families (found by the

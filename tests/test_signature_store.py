@@ -1400,6 +1400,44 @@ def test_bystander_read_of_midswap_parked_base(spark, docs, docs_store_dir):
     assert reader._lock_owner("docs") is None  # recovery lease released
 
 
+def test_append_batch_recovers_parked_base_precondition(
+    spark, docs_store_dir
+):
+    """append_batch arriving after a sibling maintenance op crashed
+    mid-swap (base parked at ``__old``, live dir missing) must
+    recover the base and commit — not refuse with the dead-end
+    "no base artifact; build the snapshot first". The streaming
+    ingest's compact_every path makes that ordering routine."""
+    root = docs_store_dir
+    s = SignatureStore(spark, root, owner="m")
+    fp = s.fingerprints_path("docs")
+    os.rename(fp, fp + "__old")
+
+    batch = local_df(spark,
+        [(900001, "a unique doc about kelp forest canopies")],
+        "doc_id long, text string",
+    )
+    s.append_batch(batch, "docs", "b1")  # must not raise
+    assert not os.path.exists(fp + "__old")
+    assert any(
+        r["id"] == 900001 for r in s.fingerprints(None, "docs").collect()
+    )
+    assert s.validate("docs")["ok"]
+
+
+def test_assert_fresh_recovers_parked_fingerprints(spark, docs, docs_store_dir):
+    """assert_fresh on a store whose fingerprint base was parked by a
+    crashed maintenance swap must recover it and verify — not misread
+    the crash as "store predates fingerprints" and demand a
+    refresh_all."""
+    root = docs_store_dir
+    s = SignatureStore(spark, root, owner="m")
+    fp = s.fingerprints_path("docs")
+    os.rename(fp, fp + "__old")
+    s.assert_fresh(docs.select("doc_id", "text"), "docs")  # must not raise
+    assert not os.path.exists(fp + "__old")
+
+
 def test_maybe_compact_triggers_on_delta_count(spark, docs, docs_store):
     """maybe_compact is the self-scheduling compaction: a no-op (and
     lease-free) under the threshold, a full fold above it, honoring

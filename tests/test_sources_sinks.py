@@ -230,6 +230,26 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert rows_after == rows_before
 
 
+def test_compact_parquet_retry_on_midswap_parked_table(spark, tmp_path):
+    """A compaction killed between its swap's two renames parks the
+    ONLY copy of the table at ``__old``; the retry must restore it
+    (entry-point ``recover_parked_directory``) instead of failing its
+    size probe on the missing path — and must compact the restored
+    rows, not an empty table."""
+    import os
+
+    from b3_analytics_engine_spark.sinks.files import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(1000).repartition(16).write.parquet(path)
+    rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    os.rename(path, path + "__old")  # mid-swap crash state
+    compact_parquet(spark, path, target_file_bytes=512 * 1024 * 1024)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(path + "__old")
+
+
 def test_write_training_shards_matches_manifest(spark, tmp_path):
     """The physical shard writer must realize exactly the layout the
     shard_assignment manifest describes: same shard membership, pos
