@@ -99,6 +99,14 @@ def main():
             "quarantine_rows",
         ]
 
+    unknown = sorted(set(names) - set(qs))
+    if unknown:
+        sys.exit(
+            f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+            f"{', '.join(unknown)} — names come from "
+            "__spark_entry__.queries(); run with no args for the "
+            "default sample or --all for the full registry"
+        )
     bad = []
     for n in names:
         sdf = qs[n](spark, SF_DIR)
