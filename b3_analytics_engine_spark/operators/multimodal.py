@@ -259,23 +259,56 @@ def _png_unfilter(raw, off: int, nrows: int, rowbytes: int, nch: int):
     return rows
 
 
+# spec-valid (color type -> bit depths) combinations, PNG §11.2.2
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unpack(line, wp: int, nch: int, depth: int, color: int) -> bytes:
+    """Normalize one unfiltered scanline to 8-bit samples
+    (``wp * nch`` bytes). 16-bit samples keep the high byte (the
+    spec's sample-depth reduction); sub-8-bit GRAY samples scale to
+    full range (``v * 255 // (2^depth - 1)``); sub-8-bit PALETTE
+    indices are used raw (they index PLTE, they are not intensities).
+    Sub-8 depths only occur on single-channel rows (color 0 or 3 per
+    :data:`_PNG_DEPTHS`), so bit unpacking never crosses channels."""
+    n = wp * nch
+    if depth == 8:
+        return bytes(line[:n])
+    if depth == 16:
+        return bytes(line[2 * i] for i in range(n))
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    scale = 255 // mask if color == 0 else 1
+    return bytes(
+        ((line[x // per] >> (8 - depth * (x % per + 1))) & mask) * scale
+        for x in range(wp)
+    )
+
+
 def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL decoder for 8-bit PNG: stdlib-only (``zlib`` inflate +
+    """REAL decoder for PNG: stdlib-only (``zlib`` inflate +
     ``struct``), no codec libs.
 
-    Supports the four 8-bit color types a training corpus actually
-    holds — 0 (grayscale, replicated to RGB), 2 (truecolor RGB),
-    3 (palette-indexed, mapped through PLTE) and 6 (RGBA, alpha
-    dropped) — progressive (Adam7 interlaced) as well as sequential,
-    and implements the full per-scanline unfiltering grammar
-    (None/Sub/Up/Average/Paeth; each interlace pass filtered
-    independently per spec). Chunk CRCs are verified, so a
-    bit-flipped blob quarantines instead of decoding to garbage.
-    Returns ``(width, height, 3, rgb_bytes)`` — the same contract as
-    :func:`_parse_ppm`/:func:`_parse_bmp`, so every stats path
-    downstream is codec-agnostic. Raises ``ValueError`` on anything
-    malformed or unsupported (16-bit, sub-8-bit palette, missing or
-    short PLTE, out-of-range palette index).
+    Supports the FULL spec depth matrix (:data:`_PNG_DEPTHS`): all
+    five color types — 0 (grayscale, replicated to RGB), 2
+    (truecolor RGB), 3 (palette-indexed, mapped through PLTE), 4
+    (gray+alpha, alpha dropped) and 6 (RGBA, alpha dropped) — at
+    every depth the spec permits for each (1/2/4/8/16 gray,
+    1/2/4/8 palette, 8/16 for the multi-channel types), progressive
+    (Adam7 interlaced) as well as sequential, with the full
+    per-scanline unfiltering grammar (None/Sub/Up/Average/Paeth at
+    the source depth's byte-per-pixel distance; each interlace pass
+    filtered independently per spec). Samples normalize to 8 bits
+    (:func:`_png_unpack`: 16-bit keeps the high byte, sub-8 gray
+    scales to full range, sub-8 palette indices stay raw). Chunk
+    CRCs are verified, so a bit-flipped blob quarantines instead of
+    decoding to garbage. Returns ``(width, height, 3, rgb_bytes)`` —
+    the same contract as :func:`_parse_ppm`/:func:`_parse_bmp`, so
+    every stats path downstream is codec-agnostic. Raises
+    ``ValueError`` on anything malformed (spec-invalid depth/color
+    combination, missing or short PLTE, out-of-range palette index,
+    bad CRC, truncated or oversized deflate stream).
     """
     import struct
     import zlib
@@ -298,15 +331,17 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth} (need 8)")
-            if color not in (0, 2, 3, 6):
+            if color not in _PNG_DEPTHS:
                 raise ValueError(f"unsupported color type {color}")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"invalid bit depth {depth} for color type {color}"
+                )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace")
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            ihdr = (w, h, color, interlace)
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             if ihdr is None:
                 raise ValueError("PLTE before IHDR")
@@ -325,11 +360,18 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if ihdr is None or not idat or not ended:
         raise ValueError("missing IHDR, IDAT or IEND")
-    w, h, color, interlace = ihdr
+    w, h, depth, color, interlace = ihdr
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * nch
+    # filtered-scanline geometry at the SOURCE depth: rows are
+    # bit-packed (sub-8) or two bytes per sample (16); the filter's
+    # left-neighbor distance is in whole bytes, min 1 (PNG §9.2)
+    def rowbytes(wp):
+        return (wp * nch * depth + 7) // 8
+
+    bpp = max(1, nch * depth // 8)
     if interlace == 0:
         passes = [(0, 0, 1, 1, w, h)]
     else:
@@ -339,7 +381,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
             hp = (h - y0 + dy - 1) // dy if h > y0 else 0
             if wp and hp:
                 passes.append((x0, y0, dx, dy, wp, hp))
-    expected = sum(hp * (wp * nch + 1) for *_, wp, hp in passes)
+    expected = sum(hp * (rowbytes(wp) + 1) for *_, wp, hp in passes)
     # cap inflation at the declared raster size so a crafted
     # decompression bomb can't allocate beyond it, and surface any
     # corrupt deflate stream as the documented ValueError
@@ -361,8 +403,11 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     raster = bytearray(h * stride)
     off = 0
     for x0, y0, dx, dy, wp, hp in passes:
-        rows = _png_unfilter(raw, off, hp, wp * nch, nch)
-        off += hp * (wp * nch + 1)
+        rows = _png_unfilter(raw, off, hp, rowbytes(wp), bpp)
+        off += hp * (rowbytes(wp) + 1)
+        # normalize to one byte per sample before the pass merge, so
+        # raster geometry is depth-independent downstream
+        rows = [_png_unpack(line, wp, nch, depth, color) for line in rows]
         if interlace == 0:
             for y, line in enumerate(rows):
                 raster[y * stride : (y + 1) * stride] = line
@@ -388,6 +433,10 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"({len(plte) // 3} entries)"
                     )
                 out += plte[idx * 3 : idx * 3 + 3]
+        elif color == 4:  # gray+alpha -> replicate gray, drop alpha
+            for i in range(0, stride, 2):
+                g = line[i]
+                out += bytes((g, g, g))
         else:  # RGBA -> drop alpha
             for i in range(0, stride, 4):
                 out += line[i : i + 3]
@@ -2622,15 +2671,17 @@ def _probe_png_header(payload: bytes) -> tuple[int, int, int, int, int]:
             w, h, depth, color, comp, filt, interlace = struct.unpack_from(
                 ">IIBBBBB", payload, pos + 8
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth} (need 8)")
-            if color not in (0, 2, 3, 6):
+            if color not in _PNG_DEPTHS:
                 raise ValueError(f"unsupported color type {color}")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"invalid bit depth {depth} for color type {color}"
+                )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace")
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            ihdr = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[color], color,
+            ihdr = (w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color], color,
                     interlace)
         elif ctype == b"PLTE":
             if ihdr is None:

@@ -1250,9 +1250,148 @@ def test_png_codec_roundtrip_and_color_types(spark):
     assert abs(out["mean_r"] - a[:, 0].mean()) < 1e-9
 
 
+def test_png_full_depth_matrix():
+    """r16: the decoder covers the FULL spec (depth, color) matrix —
+    previously a documented extension boundary (16-bit and sub-8-bit
+    rejected, gray+alpha unsupported). 16-bit samples keep the high
+    byte; sub-8 gray scales to full range; sub-8 palette indices map
+    through PLTE unscaled; gray+alpha drops alpha; scanline filters
+    run at the source depth's byte-per-pixel distance (Paeth at
+    bpp=6 for RGB16); Adam7 interlacing works at 1-bit with per-pass
+    bit padding; and the header probe accepts what the decoder
+    decodes."""
+    import struct
+    import zlib
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_MAGIC,
+        _parse_png,
+        _png_paeth,
+        _probe_png_header,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, raw, plte=None, interlace=0):
+        parts = [chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                                 interlace)
+        )]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte))
+        parts.append(chunk(b"IDAT", zlib.compress(raw)))
+        parts.append(chunk(b"IEND", b""))
+        return _PNG_MAGIC + b"".join(parts)
+
+    # 16-bit grayscale 2x2: high byte survives, low byte dropped
+    raw = (
+        b"\x00" + struct.pack(">HH", 0x1234, 0xABCD)
+        + b"\x00" + struct.pack(">HH", 0x0000, 0xFFFF)
+    )
+    assert _parse_png(png(2, 2, 16, 0, raw)) == (
+        2, 2, 3,
+        bytes([0x12] * 3 + [0xAB] * 3 + [0x00] * 3 + [0xFF] * 3),
+    )
+
+    # 16-bit truecolor 2x2, second row Paeth-filtered at bpp=6
+    px = [
+        [(0x0102, 0x0304, 0x0506), (0x0708, 0x090A, 0x0B0C)],
+        [(0x1112, 0x1314, 0x1516), (0x2122, 0x2324, 0x2526)],
+    ]
+    rows_raw = [
+        b"".join(struct.pack(">HHH", *p) for p in row) for row in px
+    ]
+    bpp, prev, line = 6, rows_raw[0], rows_raw[1]
+    filt = bytes(
+        (line[i] - _png_paeth(
+            line[i - bpp] if i >= bpp else 0,
+            prev[i],
+            prev[i - bpp] if i >= bpp else 0,
+        )) & 0xFF
+        for i in range(len(line))
+    )
+    raw = b"\x00" + rows_raw[0] + b"\x04" + filt
+    expect = bytes(
+        b for row in px for p in row for b in
+        (p[0] >> 8, p[1] >> 8, p[2] >> 8)
+    )
+    assert _parse_png(png(2, 2, 16, 2, raw))[3] == expect
+
+    # 1-bit gray 10x2: bit packing with 6 pad bits per row, 1 -> 255
+    raw = (
+        b"\x00" + bytes([0b10101010, 0b10000000])
+        + b"\x00" + bytes([0b01010101, 0b01000000])
+    )
+    exp = [255, 0] * 5 + [0, 255] * 5
+    assert _parse_png(png(10, 2, 1, 0, raw))[3] == bytes(
+        v for s in exp for v in (s, s, s)
+    )
+
+    # 2-bit gray 4x1: 0..3 scale to 0/85/170/255
+    raw = b"\x00" + bytes([0b00011011])
+    assert _parse_png(png(4, 1, 2, 0, raw))[3] == bytes(
+        v for s in (0, 85, 170, 255) for v in (s, s, s)
+    )
+
+    # 4-bit palette 3x1: nibble indices 0,1,2 -> PLTE triples, raw
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0x01, 0x20])
+    assert _parse_png(png(3, 1, 4, 3, raw, plte=plte))[3] == plte
+
+    # gray+alpha, 8- and 16-bit: gray replicated, alpha dropped
+    raw = b"\x00" + bytes([100, 255, 200, 0])
+    assert _parse_png(png(2, 1, 8, 4, raw))[3] == bytes(
+        [100] * 3 + [200] * 3
+    )
+    raw = b"\x00" + struct.pack(">HHHH", 0xAA01, 0xFFFF, 0x5502, 0x0000)
+    assert _parse_png(png(2, 1, 16, 4, raw))[3] == bytes(
+        [0xAA] * 3 + [0x55] * 3
+    )
+
+    # Adam7 1-bit gray 3x3: build the interlaced stream pass by pass
+    # (each pass row bit-packed and padded independently) and compare
+    # against the plain sequential decode of the same image
+    img = [[1, 0, 1], [0, 1, 0], [1, 1, 0]]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (3 - x0 + dx - 1) // dx if 3 > x0 else 0
+        hp = (3 - y0 + dy - 1) // dy if 3 > y0 else 0
+        if not (wp and hp):
+            continue
+        for ry in range(hp):
+            y = y0 + ry * dy
+            packed, acc = bytearray(), 0
+            for i in range(wp):
+                acc |= img[y][x0 + i * dx] << (7 - i % 8)
+                if i % 8 == 7:
+                    packed.append(acc)
+                    acc = 0
+            if wp % 8:
+                packed.append(acc)
+            raw += b"\x00" + bytes(packed)
+    exp = bytes(
+        255 * v for row in img for v in row for _ in range(3)
+    )
+    assert _parse_png(png(3, 3, 1, 0, bytes(raw), interlace=1))[3] == exp
+
+    # the metadata probe accepts every decodable combination
+    for w, h, depth, color, nch in (
+        (2, 2, 16, 0, 1), (2, 2, 16, 2, 3), (4, 1, 2, 0, 1),
+        (3, 1, 4, 3, 1), (2, 1, 8, 4, 2), (2, 1, 16, 6, 4),
+    ):
+        hdr = png(w, h, depth, color, b"", plte=plte if color == 3 else None)
+        assert _probe_png_header(hdr)[:4] == (w, h, nch, color)
+
+
 def test_png_parser_rejects_malformed():
-    """Bit-flips fail CRC; palette/16-bit/interlaced/truncated inputs
-    all raise ValueError (→ quarantine rows, never garbage decodes)."""
+    """Bit-flips fail CRC; spec-invalid depth/color combos, missing
+    PLTE, truncated and corrupt inputs all raise ValueError
+    (→ quarantine rows, never garbage decodes)."""
     import struct
     import zlib
 
@@ -1283,7 +1422,17 @@ def test_png_parser_rejects_malformed():
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+    # r16: 16-bit/sub-8 depths are now DECODED, so the rejects here
+    # are the spec-INVALID (depth, color) combos plus structural
+    # faults (palette without PLTE; IDAT shorter than the interlaced
+    # raster needs)
+    for depth, color, interlace in (
+        (16, 3, 0),  # 16-bit palette: spec-invalid
+        (3, 0, 0),   # depth 3: not a PNG depth
+        (4, 2, 0),   # sub-8 truecolor: spec-invalid
+        (8, 3, 0),   # palette missing PLTE
+        (8, 2, 1),   # interlaced with short IDAT
+    ):
         hdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
         payload = (
             _PNG_MAGIC
