@@ -274,7 +274,7 @@ def _png_unpack(line, wp: int, nch: int, depth: int, color: int) -> bytes:
     :data:`_PNG_DEPTHS`), so bit unpacking never crosses channels."""
     n = wp * nch
     if depth == 8:
-        return bytes(line[:n])
+        return line  # rowbytes == wp*nch exactly — no copy needed
     if depth == 16:
         return bytes(line[2 * i] for i in range(n))
     mask = (1 << depth) - 1
