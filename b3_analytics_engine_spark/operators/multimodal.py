@@ -608,7 +608,8 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     contract, so downstream stats stay codec-agnostic. Progressive
     streams (SOF2) are dispatched to :func:`_parse_jpeg_progressive`.
     Raises ``ValueError`` on anything else malformed or unsupported
-    (arithmetic coding, 12-bit, hierarchical, 16-bit quant tables),
+    (arithmetic coding, 12-bit samples, hierarchical; 16-bit quant
+    tables ARE supported per §B.2.4.1 Pq=1),
     routing bad blobs to quarantine instead of garbage.
     """
     import struct
@@ -641,16 +642,22 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("segment length past EOF")
         body = payload[pos + 2 : pos + seglen]
         pos += seglen
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (8- or 16-bit entries per Pq, §B.2.4.1)
             bp = 0
             while bp < len(body):
                 pq, tq = body[bp] >> 4, body[bp] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if bp + 65 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                step = 1 + 64 * (pq + 1)
+                if bp + step > len(body):
                     raise ValueError("truncated DQT")
-                qtabs[tq] = list(body[bp + 1 : bp + 65])
-                bp += 65
+                if pq == 0:
+                    qtabs[tq] = list(body[bp + 1 : bp + 65])
+                else:
+                    qtabs[tq] = list(
+                        struct.unpack_from(">64H", body, bp + 1)
+                    )
+                bp += step
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -1175,16 +1182,22 @@ def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("segment length past EOF")
         body = payload[pos + 2 : pos + seglen]
         pos += seglen
-        if marker == 0xDB:  # DQT (same grammar as baseline)
+        if marker == 0xDB:  # DQT (same grammar as baseline; Pq 0/1)
             bp = 0
             while bp < len(body):
                 pq, tq = body[bp] >> 4, body[bp] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if bp + 65 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                step = 1 + 64 * (pq + 1)
+                if bp + step > len(body):
                     raise ValueError("truncated DQT")
-                qtabs[tq] = list(body[bp + 1 : bp + 65])
-                bp += 65
+                if pq == 0:
+                    qtabs[tq] = list(body[bp + 1 : bp + 65])
+                else:
+                    qtabs[tq] = list(
+                        struct.unpack_from(">64H", body, bp + 1)
+                    )
+                bp += step
         elif marker == 0xC2:  # SOF2
             if sof is not None:
                 raise ValueError("multiple SOF segments")

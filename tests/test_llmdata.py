@@ -1640,6 +1640,68 @@ def test_jpeg_codec_roundtrip_all_modes(spark):
     assert abs(row["mean_r"] - 200) <= 3
 
 
+def test_jpeg_16bit_quant_tables():
+    """r16: DQT precision Pq=1 (16-bit table entries, JPEG §B.2.4.1)
+    — previously rejected as unsupported. Re-encoding an 8-bit
+    stream's tables at 16-bit precision (same values, wider storage)
+    must decode bit-identically, for BOTH the baseline and the
+    progressive decoder; and a table entry with a nonzero HIGH byte
+    must change dequantization (the high byte is read, not skipped)."""
+    import random
+    import struct
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    def widen_dqt(jp, bump=0):
+        """Rewrite every DQT segment with Pq=1 entries; optionally add
+        ``bump`` to entry 0 of table 0 (to flip the high byte)."""
+        out = bytearray(jp[:2])  # SOI
+        pos = 2
+        while pos < len(jp):
+            assert jp[pos] == 0xFF
+            marker = jp[pos + 1]
+            if marker == 0xDA or marker == 0xD9:  # SOS/EOI: copy rest
+                out += jp[pos:]
+                break
+            (seglen,) = struct.unpack_from(">H", jp, pos + 2)
+            body = jp[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                nb = bytearray()
+                bp = 0
+                while bp < len(body):
+                    pq, tq = body[bp] >> 4, body[bp] & 15
+                    assert pq == 0  # encoder writes 8-bit tables
+                    vals = list(body[bp + 1 : bp + 65])
+                    if bump and tq == 0:
+                        vals[0] += bump
+                    nb += bytes([0x10 | tq]) + b"".join(
+                        struct.pack(">H", v) for v in vals
+                    )
+                    bp += 65
+                out += b"\xff\xdb" + struct.pack(">H", len(nb) + 2) + nb
+            else:
+                out += jp[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+        return bytes(out)
+
+    w, h = 21, 13
+    random.seed(11)
+    rgb = bytes(random.randint(0, 255) for _ in range(w * h * 3))
+    for enc in (encode_jpeg_baseline, encode_jpeg_progressive):
+        jp = enc(w, h, rgb, q=16)
+        ref = _parse_jpeg(jp)
+        assert _parse_jpeg(widen_dqt(jp)) == ref, enc.__name__
+        # nonzero high byte (16 + 256 = 0x0110) must alter the DC
+        # dequantization of every luma block
+        assert _parse_jpeg(widen_dqt(jp, bump=256))[3] != ref[3], (
+            enc.__name__
+        )
+
+
 def test_jpeg_parser_rejects_malformed_valueerror_only():
     """Every reachable malformed path raises the documented ValueError
     (the quarantine contract): missing SOI, truncation at EVERY byte
@@ -1694,11 +1756,16 @@ def test_jpeg_parser_rejects_malformed_valueerror_only():
     with pytest.raises(ValueError, match="Se=0"):
         _parse_jpeg(prog)
 
-    # 16-bit quant table (Pq=1)
+    # r16: Pq=1 is now DECODED — but a Pq=1 header over an 8-bit
+    # body is short by 64 bytes and must fail as truncated, and a
+    # precision nibble outside {0,1} is flatly invalid
     i = good.index(b"\xff\xdb")
-    bad_dqt = good[: i + 4] + b"\x10" + good[i + 5 :]
-    with pytest.raises(ValueError, match="16-bit"):
-        _parse_jpeg(bad_dqt)
+    short_dqt = good[: i + 4] + b"\x10" + good[i + 5 :]
+    with pytest.raises(ValueError, match="truncated DQT"):
+        _parse_jpeg(short_dqt)
+    bad_pq = good[: i + 4] + b"\x20" + good[i + 5 :]
+    with pytest.raises(ValueError, match="DQT precision"):
+        _parse_jpeg(bad_pq)
 
     # out-of-sequence restart marker (RST0 -> RST5)
     j = good.index(b"\xff\xd0")
