@@ -572,9 +572,12 @@ def _jpeg_canonical_codes(bits: list[int], vals: bytes | list[int]):
     return table
 
 
-def _jpeg_idct_block(coef: list[float]) -> list[int]:
+def _jpeg_idct_block(coef: list[float], prec: int = 8) -> list[int]:
     """Separable 2-D inverse DCT of one natural-order 8x8 block,
-    +128 level shift, clamped to [0, 255]."""
+    level-shifted by ``2^(prec-1)`` and clamped to the sample range.
+    12-bit samples (extended sequential / progressive, T.81 §4.11)
+    come back DOWNSCALED to 8 bits (``>> 4`` — the display mapping)
+    so every plane/upsample/YCbCr path downstream stays 8-bit."""
     A = _jpeg_dct_basis()
     # rows: tmp[v][x] = sum_u a(u,x) * coef[v][u]
     tmp = [[0.0] * 8 for _ in range(8)]
@@ -587,13 +590,17 @@ def _jpeg_idct_block(coef: list[float]) -> list[int]:
                     s += A[u][x] * row[u]
             tmp[v][x] = s
     out = [0] * 64
+    level = 1 << (prec - 1)
+    top = (1 << prec) - 1
+    shift = prec - 8
     for y in range(8):
         for x in range(8):
             s = 0.0
             for v in range(8):
                 s += A[v][y] * tmp[v][x]
-            px = int(round(s + 128.0))
-            out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+            px = int(round(s + level))
+            px = 0 if px < 0 else (top if px > top else px)
+            out[y * 8 + x] = px >> shift if shift else px
     return out
 
 
@@ -608,8 +615,10 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     contract, so downstream stats stay codec-agnostic. Progressive
     streams (SOF2) are dispatched to :func:`_parse_jpeg_progressive`.
     Raises ``ValueError`` on anything else malformed or unsupported
-    (arithmetic coding, 12-bit samples, hierarchical; 16-bit quant
-    tables ARE supported per §B.2.4.1 Pq=1),
+    (arithmetic coding, hierarchical; 16-bit quant tables ARE
+    supported per §B.2.4.1 Pq=1, and 12-bit samples per §4.11 —
+    SOF1/SOF2 only, decoded through a 2048 level shift and the
+    ``>> 4`` display mapping to 8-bit output),
     routing bad blobs to quarantine instead of garbage.
     """
     import struct
@@ -660,8 +669,10 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 bp += step
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported sample precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit samples need SOF1, not baseline")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
             if w == 0 or h == 0:
@@ -673,7 +684,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(f"sampling {hi}x{vi} unsupported")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            sof = (w, h, comps)
+            sof = (w, h, comps, prec)
         elif marker == 0xC2:
             # progressive needs coefficient buffers + multi-scan state;
             # handled by a dedicated parser that re-walks from SOI
@@ -702,7 +713,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            w, h, comps = sof
+            w, h, comps, _ = sof
             if ns != len(comps):
                 raise ValueError("multi-scan baseline unsupported")
             sel = {}
@@ -724,7 +735,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         # APPn / COM / others: skipped
     if sof is None or scan is None:
         raise ValueError("missing SOF or SOS")
-    w, h, comps = sof
+    w, h, comps, prec = sof
     if len(comps) == 1:
         # T.81 §A.2: a scan with exactly one component is always
         # NON-interleaved — one 8x8 block per MCU, ceil(w/8)*ceil(h/8)
@@ -818,7 +829,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 for bx in range(c["h"]):
                     coef = [0.0] * 64
                     s = decode_sym(dc_tbl)
-                    if s > 11:
+                    if s > (11 if prec == 8 else 15):
                         raise ValueError(f"DC category {s} out of range")
                     preds[ci] += receive_extend(s)
                     coef[0] = preds[ci] * qt[0]
@@ -836,7 +847,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                             raise ValueError("AC run past block end")
                         coef[_JPEG_ZZ[k]] = receive_extend(s) * qt[k]
                         k += 1
-                    px = _jpeg_idct_block(coef)
+                    px = _jpeg_idct_block(coef, prec)
                     plane, pw = planes[ci], c["pw"]
                     ox = (mx * c["h"] + bx) * 8
                     oy = (my * c["v"] + by) * 8
@@ -915,6 +926,7 @@ def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    prec = 8  # sample precision; SOF2 may set 12
     dri = 0
     comps: list[dict] = []
     hmax = vmax = mcus_x = mcus_y = 0
@@ -1012,7 +1024,7 @@ def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
         # ---- the four progressive block decoders (T.81 G.2) ----
         def dc_first(blk: list[int], ci_in_scan: int, dc_tbl) -> None:
             s = decode_sym(dc_tbl)
-            if s > 11:
+            if s > (11 if prec == 8 else 15):
                 raise ValueError(f"DC category {s} out of range")
             preds[ci_in_scan] += receive_extend(s)
             blk[0] = preds[ci_in_scan] << al
@@ -1202,7 +1214,7 @@ def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             if sof is not None:
                 raise ValueError("multiple SOF segments")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported sample precision {prec}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
@@ -1283,7 +1295,7 @@ def _parse_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             for k in range(64):
                 if zz[k]:
                     nat[_JPEG_ZZ[k]] = zz[k] * qt[k]
-            px = _jpeg_idct_block(nat)
+            px = _jpeg_idct_block(nat, prec)
             by, bx = divmod(bi, c["bwp"])
             ox, oy = bx * 8, by * 8
             for yy in range(8):
@@ -1345,16 +1357,20 @@ def _jpeg_block_at(plane, pw: int, ph: int, ox: int, oy: int) -> list[int]:
     return blk
 
 
-def _jpeg_fdct_quant(samples: list[int], q: int) -> list[int]:
+def _jpeg_fdct_quant(samples: list[int], q: int, prec: int = 8) -> list[int]:
     """FDCT one 8x8 block and quantize by the flat table ``q``;
-    returns the 64 quantized coefficients in ZIGZAG order."""
+    returns the 64 quantized coefficients in ZIGZAG order. At
+    ``prec=12`` the 8-bit input samples are scaled to the 12-bit
+    range (``<< 4``) and level-shifted by 2048 — the writer-side
+    mirror of the decoder's 12-bit ``>> 4`` display mapping."""
     A = _jpeg_dct_basis()
+    shift, level = prec - 8, 1 << (prec - 1)
     tmp = [[0.0] * 8 for _ in range(8)]
     for v in range(8):
         for x in range(8):
             s = 0.0
             for y in range(8):
-                s += A[v][y] * (samples[y * 8 + x] - 128)
+                s += A[v][y] * ((samples[y * 8 + x] << shift) - level)
             tmp[v][x] = s
     for v in range(8):
         row = list(tmp[v])
@@ -1375,6 +1391,7 @@ def encode_jpeg_baseline(
     subsample: str = "444",
     gray: bool = False,
     restart_interval: int = 0,
+    prec: int = 8,
 ) -> bytes:
     """REAL baseline-JPEG writer: stdlib-only, spec-valid output any
     external viewer opens. Flat quantization table (all entries
@@ -1397,6 +1414,8 @@ def encode_jpeg_baseline(
         raise ValueError("subsample must be '444' or '420'")
     if not (1 <= q <= 255):
         raise ValueError("q must fit an 8-bit quant table")
+    if prec not in (8, 12):
+        raise ValueError("prec must be 8 or 12")
     planes = _jpeg_build_planes(width, height, rgb, subsample, gray)
     hmax = max(p[3] for p in planes)
     vmax = max(p[4] for p in planes)
@@ -1404,14 +1423,20 @@ def encode_jpeg_baseline(
     mcus_y = -(-height // (8 * vmax))
 
     # writer Huffman tables (canonical; all-ones word unused):
-    # DC: 12 categories at 4 bits; AC: all 162 symbols at 8 bits
-    dc_bits = [0, 0, 0, 12] + [0] * 12
-    dc_vals = list(range(12))
+    # 8-bit — DC: 12 categories at 4 bits; AC: 162 symbols at 8 bits.
+    # 12-bit (T.81 §F.1.2) — DC categories reach 15, AC sizes 14:
+    # 16 DC codes at 5 bits, 226 AC symbols still fit 8-bit codes.
+    dc_cats = 12 if prec == 8 else 16
+    ac_smax = 10 if prec == 8 else 14
+    dc_bits = [0] * 16
+    dc_bits[3 if prec == 8 else 4] = dc_cats
+    dc_vals = list(range(dc_cats))
     ac_vals = sorted(
-        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, ac_smax + 1)]
     )
     ac_bits = [0] * 16
-    ac_bits[7] = len(ac_vals)  # 162 codes of length 8
+    ac_bits[7] = len(ac_vals)  # all AC codes at length 8
     dc_codes = {v: k for k, v in _jpeg_canonical_codes(dc_bits, dc_vals).items()}
     ac_codes = {v: k for k, v in _jpeg_canonical_codes(ac_bits, ac_vals).items()}
 
@@ -1431,11 +1456,11 @@ def encode_jpeg_baseline(
         bitbuf &= (1 << bitlen) - 1
 
     def encode_block(samples: list[int], pred: int) -> int:
-        zz = _jpeg_fdct_quant(samples, q)
+        zz = _jpeg_fdct_quant(samples, q, prec)
         diff = zz[0] - pred
         s = abs(diff).bit_length()
-        if s > 11:
-            raise ValueError("DC difference out of baseline range")
+        if s >= dc_cats:
+            raise ValueError("DC difference out of range")
         length, code = dc_codes[s]
         put_bits(code, length)
         if s:
@@ -1451,8 +1476,8 @@ def encode_jpeg_baseline(
                 put_bits(code, length)
                 run -= 16
             s = abs(v).bit_length()
-            if s > 10:
-                raise ValueError("AC coefficient out of baseline range")
+            if s > ac_smax:
+                raise ValueError("AC coefficient out of range")
             length, code = ac_codes[(run << 4) | s]
             put_bits(code, length)
             put_bits(v if v >= 0 else v + (1 << s) - 1, s)
@@ -1470,8 +1495,9 @@ def encode_jpeg_baseline(
     hdr += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, no thumbnail
     hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
-    hdr += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    # 12-bit samples are extended sequential -> SOF1, never SOF0
+    hdr += (b"\xff\xc0" if prec == 8 else b"\xff\xc1") + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, prec, height, width, ncomp
     )
     for cid, (_, _, _, hi, vi) in zip(range(1, ncomp + 1), planes):
         hdr += bytes([cid, (hi << 4) | vi, 0])
@@ -1517,6 +1543,7 @@ def encode_jpeg_progressive(
     subsample: str = "444",
     gray: bool = False,
     restart_interval: int = 0,
+    prec: int = 8,
 ) -> bytes:
     """REAL progressive-JPEG (SOF2) writer: stdlib-only, spec-valid,
     using the standard simple progression script (DC first at Al=1 →
@@ -1539,6 +1566,8 @@ def encode_jpeg_progressive(
         raise ValueError("subsample must be '444' or '420'")
     if not (1 <= q <= 255):
         raise ValueError("q must fit an 8-bit quant table")
+    if prec not in (8, 12):
+        raise ValueError("prec must be 8 or 12")
     planes = _jpeg_build_planes(width, height, rgb, subsample, gray)
     ncomp = len(planes)
     hmax = max(p[3] for p in planes)
@@ -1553,7 +1582,7 @@ def encode_jpeg_progressive(
         bwp, bhp = mcus_x * hi, mcus_y * vi
         blocks = [
             _jpeg_fdct_quant(
-                _jpeg_block_at(plane, pw, ph, bx * 8, by * 8), q
+                _jpeg_block_at(plane, pw, ph, bx * 8, by * 8), q, prec
             )
             for by in range(bhp)
             for bx in range(bwp)
@@ -1562,13 +1591,17 @@ def encode_jpeg_progressive(
             (blocks, bwp, -(-pw // 8), -(-ph // 8), hi, vi)
         )
 
-    # writer Huffman tables: DC as baseline; AC additionally carries
-    # EOB1..EOB3 (0x10/0x20/0x30) for the capped EOB runs
-    dc_bits = [0, 0, 0, 12] + [0] * 12
-    dc_vals = list(range(12))
+    # writer Huffman tables: DC as baseline (16 categories at 12-bit
+    # precision, T.81 §F.1.2); AC additionally carries EOB1..EOB3
+    # (0x10/0x20/0x30) for the capped EOB runs
+    dc_cats = 12 if prec == 8 else 16
+    ac_smax = 10 if prec == 8 else 14
+    dc_bits = [0] * 16
+    dc_bits[3 if prec == 8 else 4] = dc_cats
+    dc_vals = list(range(dc_cats))
     ac_vals = sorted(
         [0x00, 0x10, 0x20, 0x30, 0xF0]
-        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [(r << 4) | s for r in range(16) for s in range(1, ac_smax + 1)]
     )
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_vals)
@@ -1633,7 +1666,7 @@ def encode_jpeg_progressive(
                             diff = v - preds[ci]
                             preds[ci] = v
                             s = abs(diff).bit_length()
-                            if s > 11:
+                            if s >= dc_cats:
                                 raise ValueError("DC difference out of range")
                             put_sym(dc_codes, s)
                             if s:
@@ -1678,7 +1711,7 @@ def encode_jpeg_progressive(
                     put_sym(ac_codes, 0xF0)
                     r -= 16
                 s = t.bit_length()
-                if s > 10:
+                if s > ac_smax:
                     raise ValueError("AC coefficient out of range")
                 put_sym(ac_codes, (r << 4) | s)
                 v = t if zz[k] > 0 else -t
@@ -1758,7 +1791,7 @@ def encode_jpeg_progressive(
         + struct.pack(">HHBB", 1, 1, 0, 0)
     hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
     hdr += b"\xff\xc2" + struct.pack(
-        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+        ">HBHHB", 8 + 3 * ncomp, prec, height, width, ncomp
     )
     for cid, (_, _, _, hi, vi) in zip(range(1, ncomp + 1), planes):
         hdr += bytes([cid, (hi << 4) | vi, 0])
@@ -2759,7 +2792,7 @@ def _probe_jpeg_header(payload: bytes) -> tuple[int, int, int]:
             if body_len < 6:
                 raise ValueError("truncated SOF")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, body_at)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported sample precision {prec}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")

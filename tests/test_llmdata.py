@@ -1640,6 +1640,64 @@ def test_jpeg_codec_roundtrip_all_modes(spark):
     assert abs(row["mean_r"] - 200) <= 3
 
 
+def test_jpeg_12bit_samples():
+    """r16: 12-bit sample precision (T.81 §4.11 extended sequential /
+    progressive) — previously rejected. The writers scale 8-bit input
+    to the 12-bit range (<<4, 2048 level shift, DC categories to 15 /
+    AC sizes to 14 per §F.1.2); the decoders IDCT at 12 bits and
+    apply the >>4 display mapping, so a 12-bit round trip of an
+    8-bit image reconstructs at least as accurately as the 8-bit
+    round trip (the quantization step is 16x finer in sample units).
+    12-bit under the BASELINE marker (SOF0) stays rejected — the spec
+    allows it only for extended sequential (SOF1) and progressive."""
+    import random
+
+    import pytest
+
+    from b3_analytics_engine_spark.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 21, 13
+    random.seed(5)
+    base = [[random.randint(0, 255) for _ in range(w // 4 + 2)]
+            for _ in range(h // 4 + 2)]
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = base[y // 4][x // 4]
+            rgb += bytes((v, (v * 3) % 256, 255 - v))
+    rgb = bytes(rgb)
+
+    for enc in (encode_jpeg_baseline, encode_jpeg_progressive):
+        for kw in ({}, {"subsample": "420"}, {"restart_interval": 2},
+                   {"gray": True}):
+            jp12 = enc(w, h, rgb, q=16, prec=12, **kw)
+            w2, h2, ch, out12 = _parse_jpeg(jp12)
+            assert (w2, h2, ch) == (w, h, 3), (enc.__name__, kw)
+            _, _, _, out8 = _parse_jpeg(enc(w, h, rgb, q=16, **kw))
+            e12 = max(abs(a - b) for a, b in zip(out12, rgb)) \
+                if not kw.get("gray") else None
+            e8 = max(abs(a - b) for a, b in zip(out8, rgb)) \
+                if not kw.get("gray") else None
+            if e12 is not None:
+                # finer quantization in sample units -> error can only
+                # shrink (small slack for the >>4 floor)
+                assert e12 <= e8 + 1, (enc.__name__, kw, e12, e8)
+        # golden property carries to 12-bit: progressive == baseline
+    b12 = _parse_jpeg(encode_jpeg_baseline(w, h, rgb, q=16, prec=12))
+    p12 = _parse_jpeg(encode_jpeg_progressive(w, h, rgb, q=16, prec=12))
+    assert b12 == p12
+
+    # SOF0 + 12-bit is spec-invalid: patch the SOF1 marker to SOF0
+    jp = encode_jpeg_baseline(w, h, rgb, q=16, prec=12)
+    assert b"\xff\xc1" in jp
+    with pytest.raises(ValueError, match="SOF1"):
+        _parse_jpeg(jp.replace(b"\xff\xc1", b"\xff\xc0", 1))
+
+
 def test_jpeg_16bit_quant_tables():
     """r16: DQT precision Pq=1 (16-bit table entries, JPEG §B.2.4.1)
     — previously rejected as unsupported. Re-encoding an 8-bit
