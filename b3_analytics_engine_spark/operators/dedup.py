@@ -336,13 +336,17 @@ def minhash_signatures(
 def _signatures_from_hashed(
     posts: DataFrame, num_hashes: int, seed: int
 ) -> DataFrame:
-    hashed = posts.select(
-        "id", F.pmod(F.col("sh"), F.lit(_MERSENNE)).alias("h")
-    )
+    # Each permutation aggregate is built as ONE SQL string (F.expr)
+    # instead of ~6 nested Column operations: the Column algebra costs
+    # a py4j round trip per operator, and at 64 permutations that is
+    # ~400 driver round trips PER PLAN BUILD — measured 1.8 s vs
+    # 0.28 s on the r16 box (plans are rebuilt per run; bench pays the
+    # build every time). The parsed expression tree — and therefore
+    # the physical plan and every output value — is identical
+    # (min/pmod over the same long literals; r16 identity-checked).
+    hashed = posts.selectExpr("id", f"pmod(sh, {_MERSENNE}L) AS h")
     aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"m{i}"
-        )
+        F.expr(f"min(pmod(h * {a}L + {b}L, {_MERSENNE}L)) AS m{i}")
         for i, (a, b) in enumerate(_permute_params(num_hashes, seed))
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -354,23 +358,23 @@ def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     slice of the band (collision-free and engine-neutral; see
     :func:`minhash_lsh_pairs`). One narrow projection + explode, no
     shuffle."""
+    # single SQL string instead of bands × (struct + concat_ws + k col
+    # refs) Column calls — py4j round trips dominate plan-build time
+    # on the bench box (see _signatures_from_hashed); parsed plan and
+    # rows are identical.
     rows_per_band = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{bnd * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("bh"),
+    band_structs = ", ".join(
+        "named_struct('band', {bnd}, 'bh', concat_ws(',', {cols}))".format(
+            bnd=bnd,
+            cols=", ".join(
+                f"m{bnd * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for bnd in range(bands)
-    ]
-    return sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band", "bk.bh")
+    )
+    return sig.selectExpr(
+        "id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("id", "bk.band AS band", "bk.bh AS bh")
 
 
 def minhash_lsh_pairs(
@@ -450,7 +454,18 @@ def minhash_lsh_pairs(
         posts = hashed_postings(df, id_col, text_col, n, portable)
     posts = posts.transform(materialize)
     if sig is None:
-        sig = _signatures_from_hashed(posts, num_hashes, seed)
+        # materialized: the band self-join reads `banded` (and through
+        # it the 64-min signature aggregate) TWICE — once for the
+        # probe side, once inside the broadcast build — and a
+        # broadcast exchange never reuses a shuffle exchange, so the
+        # aggregate runs per side unmaterialized (measured: the two
+        # heaviest stages of the r16 steady-state profile were this
+        # one aggregate, twice). The production path persists the
+        # signature artifact anyway (SignatureStore); store-provided
+        # `sig` is already a Parquet scan and is left untouched.
+        sig = _signatures_from_hashed(posts, num_hashes, seed).transform(
+            materialize
+        )
     banded = _banded_keys(sig, num_hashes, bands)
     if max_band_bucket is not None:
         # two consumers of the signature frame (bucket census + the
@@ -689,21 +704,22 @@ def simhash_signatures(
     h = tok.select("id", hash_fn(F.col("tok")).alias("h"))
     # per-bit ONES count (branch-free bit arithmetic per row); the ±1
     # sum is recovered after the aggregate as 2·ones − n, which is
-    # integer-exact — same signature as summing ±1 directly
+    # integer-exact — same signature as summing ±1 directly.
+    # Aggregates and the bit-packing chain are built as SQL strings
+    # (one F.expr each / one packing expr) instead of ~5 Column calls
+    # per bit: at 60 bits the Column algebra costs ~600 py4j round
+    # trips per plan build (~2 s measured on the r16 box, paid per
+    # bench run); the parsed trees are identical.
     aggs = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(nbits)
+        F.expr(f"sum(shiftright(h, {i}) & 1) AS b{i}") for i in range(nbits)
     ] + [F.count(F.lit(1)).alias("n_")]
     sums = h.groupBy("id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(nbits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") * 2 > F.col("n_"),
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("id", sig.alias("sig"))
+    packed = " | ".join(
+        f"(CASE WHEN b{i} * 2 > n_ THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
+    )
+    return sums.selectExpr("id", f"CAST(0 AS BIGINT) | {packed} AS sig")
 
 
 def simhash_pairs(

@@ -1573,21 +1573,22 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= {threshold}
 )
 def dedup_minhash_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 10 == 0)
-    corpus = d.filter(F.col("doc_id") % 10 != 0)
-    # materialize each side's postings BEFORE deriving its signature
-    # frame: sig_a/banded_a and the verify join both consume posts_a
-    # (likewise posts_b feeds banded_b, the sh_b probe side and the
-    # sz_b aggregate) — unmaterialized, Catalyst replays the
-    # tokenize→window→distinct subplan per consumer and the corpus
-    # scan count triples (the round-7 ngram_novelty regression shape;
-    # pinned at documents:2 in tests/test_scan_audit.py).
-    posts_a = D.hashed_postings(
-        batch, "doc_id", "text", 3, portable=True
+    # ONE tokenize→window→distinct pass over the whole table, split by
+    # the id predicate afterwards: postings are per-doc rows, so
+    # filtering the shared postings frame is row-identical to building
+    # postings per side — but the fixture's two sides come from the
+    # SAME table, and two hashed_postings calls ran the corpus pass
+    # (the dominant cost: md5 per shingle + the lead-window shuffle)
+    # twice (r16 optimization; scan pin documents:1 in
+    # tests/test_scan_audit.py). The materialized shared frame feeds
+    # every consumer on both sides (sig/banded/verify probe/sizes);
+    # the production path still feeds the corpus side from
+    # SignatureStore artifacts instead (see minhash_lsh_pairs_cross).
+    posts_all = D.hashed_postings(
+        d, "doc_id", "text", 3, portable=True
     ).transform(materialize)
-    posts_b = D.hashed_postings(
-        corpus, "doc_id", "text", 3, portable=True
-    ).transform(materialize)
+    posts_a = posts_all.filter(F.col("id") % 10 == 0)
+    posts_b = posts_all.filter(F.col("id") % 10 != 0)
     sig_a = D._signatures_from_hashed(posts_a, 64, 42)
     sig_b = D._signatures_from_hashed(posts_b, 64, 42)
     return D.minhash_lsh_pairs_cross(

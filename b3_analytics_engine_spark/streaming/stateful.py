@@ -103,21 +103,44 @@ def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            parts = []
-            for uid, g in pdf.groupby("user_id", sort=False):
-                e = _ewm_seeded(g["value"], alpha, carry.get(uid))
-                carry[uid] = float(e.iloc[-1])
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "user_id": g["user_id"],
-                            "ts": g["ts"],
-                            "value": g["value"],
-                            "ewma": e.round(9),
-                        }
+            # one cython groupby-ewm over the whole batch instead of a
+            # Python loop constructing a DataFrame per key (thousands
+            # of tiny groups made that loop the dominant cost; same
+            # adjust=False recurrence, so values are identical).
+            # groupby keys come back ordered by first appearance
+            # (sort=False) and rows are (user_id, ts)-sorted and
+            # contiguous within the partition stream, so dropping the
+            # group level + sort_index restores the original row order.
+            e = (
+                pdf.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .reset_index(level=0, drop=True)
+                .sort_index()
+            )
+            # keys that span an Arrow-batch boundary continue their
+            # carried recurrence: re-seed exactly as before (the sorted
+            # stream means only a batch's head key can recur, but any
+            # carried key present is handled, same as the old loop)
+            for uid in pd.unique(pdf["user_id"]):
+                if uid in carry:
+                    mask = (pdf["user_id"] == uid).to_numpy()
+                    seeded = _ewm_seeded(
+                        pdf.loc[mask, "value"], alpha, carry[uid]
                     )
-                )
-            yield pd.concat(parts, ignore_index=True)
+                    e[mask] = seeded
+            last = ~pdf["user_id"].duplicated(keep="last").to_numpy()
+            carry.update(
+                zip(pdf["user_id"].to_numpy()[last], e.to_numpy()[last])
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "ewma": e.round(9),
+                }
+            )
 
     return (
         events.select("user_id", "ts", "value")

@@ -58,7 +58,6 @@ EXPECTED_MULTI_SCANS = {
     "decayed_engagement": {"events": 2},
     "decontaminate": {"documents": 2},
     "decontaminate_bloom": {"documents": 2},
-    "dedup_minhash_cross": {"documents": 2},
     "dominant_suppliers": {"lineitem": 2, "part": 2},
     "dormant_customers": {"customer": 2},
     "embedding_neardup": {"embeddings": 5},
