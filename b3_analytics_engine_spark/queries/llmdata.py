@@ -1413,7 +1413,14 @@ GROUP BY s.doc_id
 )
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    posts = D.hashed_postings(d, "doc_id", "text", 3)
+    # ONE materialized postings pass split by the id predicate: the
+    # eval and train sides partition the same per-doc postings rows,
+    # but two unmaterialized consumers each re-scanned documents in
+    # full (the doc_id % 10 modulo never pushes into the parquet
+    # scan, so the text column — the table's heavy bytes — was read
+    # twice; pinned documents:1 in tests/test_scan_audit.py, was 2).
+    # Same shape as dedup_minhash_cross's r16 fix.
+    posts = D.hashed_postings(d, "doc_id", "text", 3).transform(materialize)
     eval_sh = (
         posts.filter(F.col("id") % 10 == 0).select("sh").distinct()
     )
@@ -1631,7 +1638,9 @@ GROUP BY s.doc_id
 )
 def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    posts = D.hashed_postings(d, "doc_id", "text", 3)
+    # one materialized postings pass for both splits (same rationale
+    # and scan pin as decontaminate_q above: documents:1, was 2)
+    posts = D.hashed_postings(d, "doc_id", "text", 3).transform(materialize)
     eval_sh = (
         posts.filter(F.col("id") % 10 == 0)
         .select("sh")

@@ -56,8 +56,6 @@ EXPECTED_MULTI_SCANS = {
     "cosine_topk": {"embeddings": 2},
     "data_quality_report": {"lineitem": 3},
     "decayed_engagement": {"events": 2},
-    "decontaminate": {"documents": 2},
-    "decontaminate_bloom": {"documents": 2},
     "dominant_suppliers": {"lineitem": 2, "part": 2},
     "dormant_customers": {"customer": 2},
     "embedding_neardup": {"embeddings": 5},
