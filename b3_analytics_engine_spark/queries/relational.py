@@ -1138,7 +1138,14 @@ def waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
         ).alias("late"),
-    )
+        # materialized: BOTH branches (the per-order distinct-supplier
+        # aggregate and the late-row probe side) consume `lo`, and
+        # unmaterialized each re-ran the lineitem scan + orders
+        # broadcast join (plan held Scan parquet lineitem twice). The
+        # cached frame is a 3-column projection — far narrower than
+        # the raw table — so at scale one persist replaces a second
+        # full fact-table scan + join.
+    ).transform(materialize)
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(

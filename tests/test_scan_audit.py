@@ -34,7 +34,10 @@ left this list in round 8: their agg-then-join-back shapes became
 single-pass window/grouped aggregates — value-identical, one scan
 each; the replayed subtrees included per-span md5 / shingle-window
 compute, so the second scan was a full recompute, not a cheap
-pruned re-read.)
+pruned re-read. ``decontaminate``, ``decontaminate_bloom`` and
+``waiting_suppliers`` left in round 16: one materialized postings /
+fact-join frame replaced per-consumer recomputation — the "cheap"
+second scan was re-running a tokenize pass or a broadcast join.)
 """
 
 from __future__ import annotations
@@ -85,7 +88,6 @@ EXPECTED_MULTI_SCANS = {
     "tfidf_topterms": {"documents": 2},
     "trade_pagerank": {"nation": 5},
     "union_dedup_keeplast": {"events": 2},
-    "waiting_suppliers": {"lineitem": 2, "orders": 2},
     "winsorized_stats": {"events": 2},
 }
 
