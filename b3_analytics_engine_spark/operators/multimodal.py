@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2014,8 +2015,12 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
+                    # float64 sums of uint8 are exact below 2^53 bytes,
+                    # so the numpy mean equals sum(b)/len(b) bit-for-bit
+                    # without the per-byte Python loop
                     "mean_byte": payloads.map(
-                        lambda b: (sum(b) / len(b)) if b else None
+                        lambda b: float(np.frombuffer(b, np.uint8).mean())
+                        if b else None
                     ),
                     "feat": payloads.map(
                         lambda b: _decode_image(b) if b is not None else None
@@ -2024,7 +2029,12 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
             yield out
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # only the columns the function touches cross the Python boundary —
+    # the caller's `meta` struct (and anything else) would otherwise be
+    # shipped through Arrow per row and discarded
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
