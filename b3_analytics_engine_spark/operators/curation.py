@@ -159,13 +159,21 @@ def pack_sequences(
             if pdf.empty:
                 continue
             bins, fills = [], []
-            for row in pdf.itertuples(index=False):
-                key = (row.lang, row.shard)
+            # plain-list zip instead of itertuples: the recurrence is
+            # inherently sequential (bin reset depends on prior
+            # resets), but namedtuple construction per row was ~3x the
+            # loop body; .tolist() converts each column once per batch
+            for lang, shard, n_tokens in zip(
+                pdf["lang"].tolist(),
+                pdf["shard"].tolist(),
+                pdf["n_tokens"].tolist(),
+            ):
+                key = (lang, shard)
                 bin_id, fill = carry.get(key, (0, 0))
-                if bin_id == 0 or fill + row.n_tokens > capacity:
-                    bin_id, fill = bin_id + 1, int(row.n_tokens)
+                if bin_id == 0 or fill + n_tokens > capacity:
+                    bin_id, fill = bin_id + 1, int(n_tokens)
                 else:
-                    fill += int(row.n_tokens)
+                    fill += int(n_tokens)
                 carry[key] = (bin_id, fill)
                 bins.append(bin_id)
                 fills.append(fill)
