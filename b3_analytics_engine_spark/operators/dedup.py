@@ -489,6 +489,10 @@ def minhash_lsh_pairs(
         a.join(b, band_cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # two consumers since the probe-side semi prefilter below
+        # (pa's equi-join + pb's left-semi) — unmaterialized, each
+        # would re-run the band self-join + distinct
+        .transform(materialize)
     )
     # verify candidates with exact Jaccard via the hashed postings
     # (pure codegen joins; |candidates| ≪ N² keeps this cheap — no
@@ -501,7 +505,23 @@ def minhash_lsh_pairs(
     pa = posts.join(
         candidates, posts["id"] == candidates["id_a"]
     ).select("id_a", "id_b", "sh")
-    pb = posts.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # the probe side carries only candidate docs' postings: the inner
+    # join on id_b already discards every non-candidate row, so the
+    # left-semi prefilter is result-identical — but it cuts the probe
+    # side BEFORE any exchange (guide §3.2 shape). At test SFs the
+    # verify join broadcasts `pa`, so this is a map-side filter over
+    # the cached postings (~neutral locally, A/B-checked); at corpus
+    # scale, where AQE falls back to SMJ, it shrinks the shuffled
+    # postings to the candidate-doc fraction. No broadcast hint, same
+    # policy as above: AQE picks the semi strategy from runtime stats.
+    pb = (
+        posts.join(
+            candidates.select(F.col("id_b").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    )
     inter = (
         pa.join(pb, (pa["id_b"] == pb["id_b"]) & (pa["sh"] == pb["sh_b"]))
         .groupBy("id_a", pa["id_b"])
