@@ -1095,7 +1095,12 @@ def connected_components(
       parallelize the (node, component) map back out. O(E·α(E))
       driver work and zero shuffle rounds — replacing an O(diameter)
       sequence of join+agg jobs whose per-round scheduling overhead
-      dominates at small |E|.
+      dominates at small |E|. Union-find is direction-agnostic, so
+      this path counts/collects the UN-symmetrized edge list (half
+      the rows, and — the measured cost at small |E| — half the
+      logical tree Catalyst re-analyzes and canonicalizes per
+      action); the symmetrization union is built only when the loop
+      strategy is chosen.
     - **bigger than that**: iterative min-label propagation — every
       node starts labelled with itself; each round one shuffle join
       (labels ⋈ edges) + one groupBy min; O(diameter) rounds, and
@@ -1107,17 +1112,29 @@ def connected_components(
 
     Returns ``(node, component)``.
     """
-    # materialize the (often expensive) edge pipeline ONCE before the
-    # symmetrization union — its two branches would otherwise each
-    # re-run the whole upstream pair computation (measured ~2× the
-    # pair-join cost on semantic_dedup/dup_cluster_keep; stance 5b)
+    # materialize the (often expensive) edge pipeline ONCE — the
+    # strategy count, the driver-path collect and (loop path only) the
+    # symmetrization union all read this one cache; without it each
+    # consumer would re-run the whole upstream pair computation
+    # (measured ~2× the pair-join cost on semantic_dedup /
+    # dup_cluster_keep; stance 5b)
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).transform(materialize)
-    sym = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).transform(materialize)
-    n_edges = sym.count()  # materializes the cache; later reads hit it
+    # Strategy decision on the UN-symmetrized list: the union below is
+    # a UNION ALL, so |sym| = 2·|e| exactly and the threshold
+    # semantics are unchanged. Counting (and, in the driver path,
+    # collecting) `e` instead of `sym` halves the logical tree each
+    # action re-analyzes and canonicalizes for the cache lookup — at
+    # small |E| that driver-side planning, not the data, is the
+    # measured cost (the caller's full pair-generator tree — banded
+    # self-join plus the 64-aggregate signatures — appears TWICE under
+    # the union) — and the driver path stops paying the 2·|e|-row
+    # union cache write entirely. Both actions stay single
+    # full-parallel jobs (a limit-collect probe was tried and
+    # regressed: CollectLimit scales up over partitions in SEQUENTIAL
+    # jobs, each gated on the upstream shuffle).
+    n_edges = 2 * e.count()
 
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -1130,7 +1147,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
+        # union-find over the un-symmetrized list: (a,b) and (b,a)
+        # produce the identical union, and the fixpoint (per-component
+        # min node) is insertion-order-independent
+        for row in e.collect():
             a, b = row["a"], row["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -1143,7 +1163,7 @@ def connected_components(
             m = comp_min.get(r)
             if m is None or node < m:
                 comp_min[r] = node
-        node_type = sym.schema["a"].dataType
+        node_type = e.schema["a"].dataType
         schema = T.StructType(
             [
                 T.StructField("node", node_type),
@@ -1151,7 +1171,14 @@ def connected_components(
             ]
         )
         rows = [(n, comp_min[find(n)]) for n in parent]
-        return sym.sparkSession.createDataFrame(rows, schema)
+        return e.sparkSession.createDataFrame(rows, schema)
+
+    # loop path only: min-label propagation needs messages flowing in
+    # BOTH directions, so symmetrize here (UNION ALL over the cached
+    # edges; materialized because every round's join re-reads it)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(materialize)
 
     # the loop frames keep localCheckpoint DELIBERATELY (the one
     # exception to the materialize() policy, with trade_pagerank):
