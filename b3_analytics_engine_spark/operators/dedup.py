@@ -514,9 +514,12 @@ def minhash_lsh_pairs(
     # scale, where AQE falls back to SMJ, it shrinks the shuffled
     # postings to the candidate-doc fraction. No broadcast hint, same
     # policy as above: AQE picks the semi strategy from runtime stats.
+    # no .distinct() on the build side: left-semi semantics already
+    # deduplicate it (r16 advice #3 — the extra aggregation over the
+    # cached candidate set was a redundant plan node)
     pb = (
         posts.join(
-            candidates.select(F.col("id_b").alias("id")).distinct(),
+            candidates.select(F.col("id_b").alias("id")),
             "id",
             "left_semi",
         )

@@ -48,48 +48,44 @@ def register(
 # entries each round. With 152 registered queries, registration order
 # decides which get an external differential-check row, so the order
 # is explicit and rotated each round toward whatever has the weakest
-# external evidence. Round-16 front window (round 15 went 50/50
-# green; exactly the rotation the r15 verdict prescribed):
-# (a) dedup_minhash_cross — NEW this round (the registry's one-entry
-# unfreeze: the production cross-corpus decontamination path,
-# previously pytest-only), zero external evidence → front of line;
-# (b) time_range_window — newest external green round 12, uniquely
-# the stalest pre-existing query (the r15 verdict named it);
-# (c) the first 48 of the round-13 cohort, weakest-evidence-first
-# (fewest external greens, then name) as computed by
-# tools/rotation_report.py on the r15 CORRECTNESS file. The two
-# cohort members left outside (text_fingerprint, text_quality — its
-# strongest-evidence tail, 6 greens each) head round 17's line.
+# external evidence. Round-17 front window (round 16 went 50/50
+# green; exactly the rotation the r16 verdict item 7 prescribed):
+# the weakest-50 as computed by tools/rotation_report.py on the r16
+# CORRECTNESS file —
+# (a) text_fingerprint + text_quality: last external green r13, the
+# two r13-cohort members the r16 window left out (the r16 verdict
+# named them to head this line);
+# (b) the round-14 cohort (last green r14), fewest-greens-first then
+# name — 33 tier-(14,4) queries, then 6 tier-(14,5), then the first 9
+# of tier-(14,6), exactly as the report orders them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new registration, never externally checked (1)
-    "dedup_minhash_cross",
-    # (b) newest external green r12 — 4 rounds stale (1)
-    "time_range_window",
-    # (c) newest external green r13, weakest-evidence-first (48)
-    "lang_mismatch_audit", "filter_project", "pii_redact",
-    "quarantine_rows", "semi_anti_join", "shard_assignment",
-    "shipmode_priority", "shipping_priority", "sliding_window_agg",
-    "small_order_quantity", "sql_interface_revenue", "tfidf_topterms",
-    "time_range_filter", "time_rollup_hierarchy",
-    "top_supplier_revenue", "unigram_logprob", "waiting_suppliers",
-    "chunk_documents", "corpus_curation", "data_quality_report",
-    "decontaminate", "dedup_exact", "distribution_rank",
-    "dup_cluster_keep", "incremental_agg_merge", "sequence_packing",
-    "skew_salted_join", "snapshot_diff_feed", "stratified_sample",
-    "trade_pagerank", "value_histogram", "vocab_topk",
-    "window_dedup", "winsorized_stats", "asof_join",
-    "cohort_retention", "gap_fill_forward", "grouped_zscore",
-    "lang_id", "latest_per_key", "max_drawdown",
-    "multimodal_features", "multimodal_frame_plan",
-    "ngram_jaccard_pairs", "pivot_daily_mean", "rolling_volatility",
-    "session_windows", "snapshot_join",
+    # (a) last green r13 — stalest evidence in the registry (2)
+    "text_fingerprint", "text_quality",
+    # (b) last green r14, 4 greens each (33)
+    "acf_per_key", "anomaly_mad", "audio_decode_stats", "beta_per_key",
+    "bigram_logprob", "bpe_merge_pairs", "containment_pairs",
+    "decayed_engagement", "decontaminate_bloom", "decontaminate_fuzzy",
+    "dedup_keep_best", "embedding_quantize", "event_transitions",
+    "fuzzy_levenshtein_pairs", "image_decode_stats",
+    "image_resize_stats", "k_anonymity", "key_skew_audit", "ks_drift",
+    "mixture_rebalance", "negative_sampling", "ngram_novelty",
+    "ohlc_bars", "oov_rate", "pmi_collocations", "png_decode_stats",
+    "psi_drift", "scd2_history", "semantic_dedup", "source_overlap",
+    "source_quota_cap", "stream_stream_join_twin", "temperature_mix",
+    # (b) last green r14, 5 greens each (6)
+    "char_entropy", "duplicated_spans", "embedding_neardup",
+    "min_cost_supplier", "regional_revenue", "tumbling_window_agg",
+    # (b) last green r14, 6 greens each — first 9 by name (9)
+    "corr_matrix", "cosine_topk", "cube_revenue", "dedup_minhash_lsh",
+    "dedup_simhash", "incident_window_join", "repetition_ratio",
+    "rollup_revenue", "topk_per_group",
 )
-# Outside this window: text_fingerprint + text_quality (r13 greens,
-# 3 rounds stale after this round — they head r17) and the round-14
-# and round-15 cohorts (checked two/one/zero rounds ago). All
-# registered queries are re-checked by tests/test_oracle_parity.py
-# every run, and tests/test_scan_audit.py pins every query's
-# physical scan counts.
+# Outside this window: union_dedup_keeplast + warehouse_metrics (the
+# r14 cohort's strongest-evidence tail — they head r18's line), the
+# round-15 cohort (checked two rounds ago) and the round-16 cohort
+# (checked last round). All registered queries are re-checked by
+# tests/test_oracle_parity.py every run, and tests/test_scan_audit.py
+# pins every query's physical scan counts.
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -101,6 +101,14 @@ def ewma_batch(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: dict[int, float] = {}
         for pdf in batches:
+            # null keys: the pandas groupby below is dropna=True, so
+            # NaN-key rows would fall out of the ewm result and come
+            # back as NaN-ewma rows through the index-aligned frame
+            # constructor (r16 advice #1 — a silent divergence from
+            # the old per-group loop, which dropped them). Drop them
+            # explicitly to keep the loop's semantics.
+            if pdf["user_id"].isna().any():
+                pdf = pdf[pdf["user_id"].notna()].reset_index(drop=True)
             if pdf.empty:
                 continue
             # one cython groupby-ewm over the whole batch instead of a

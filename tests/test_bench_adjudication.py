@@ -110,6 +110,31 @@ def test_partial_local_artifact_overlays_wrapper_tail(tmp_path):
     assert prev[q2] == 0.45 and floors[q2] == 0.45  # wrapper-only survives
 
 
+def test_tail_parser_ignores_cold_queries_first_map(tmp_path):
+    """r17: the printed line carries `queries_first` (cold warmup
+    times) BEFORE `queries`; cold values share headline names, so a
+    tail that includes part of the cold map must not feed floors/prev.
+    With the '"queries":' marker present, parsing starts at the steady
+    map; without it (tail begins inside the steady map), every pair is
+    already steady."""
+    q1, q2 = sorted(bench.HEADLINE)[:2]
+    # marker present: cold 9.0/8.0 must be skipped, steady kept
+    _write_wrapper(
+        tmp_path / "BENCH_r01.json",
+        '"queries_first": {"%s": 9.0, "%s": 8.0}, '
+        '"queries": {"%s": 0.50, "%s": 0.30}}' % (q1, q2, q1, q2),
+    )
+    floors, prev = bench.load_bench_history(repo=str(tmp_path))
+    assert floors == {q1: 0.50, q2: 0.30}
+    # marker truncated away: tail starts mid-steady-map — still steady
+    _write_wrapper(
+        tmp_path / "BENCH_r02.json",
+        '": 0.45, "%s": 0.25}}\nsummary' % q2,
+    )
+    floors, prev = bench.load_bench_history(repo=str(tmp_path))
+    assert prev[q2] == 0.25
+
+
 def test_local_artifact_for_round_without_wrapper_counts(tmp_path):
     """The builder's own run lands bench_local_r{N}.json BEFORE the
     driver writes BENCH_r{N}.json; its round must still feed floors

@@ -88,6 +88,26 @@ def test_ewma_stream_equals_batch(spark, tmpdir):
     assert not mism, f"{len(mism)} EWMA mismatches across batch boundary"
 
 
+def test_ewma_batch_drops_null_keys(spark):
+    """r16 advice #1: the vectorized groupby-ewm path must keep the
+    old per-group loop's semantics for null user_id — those rows are
+    dropped entirely, never emitted with NaN ewma, and a NaN key never
+    enters the carry dict."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events").select("user_id", "ts", "value")
+    with_nulls = ev.unionByName(
+        ev.limit(3).withColumn("user_id", F.lit(None).cast("long"))
+    )
+    got = ewma_batch(with_nulls, alpha=0.2).collect()
+    assert all(r["user_id"] is not None for r in got)
+    want = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in ewma_batch(ev, alpha=0.2).collect()
+    }
+    assert len(got) == len(want) > 0
+    for r in got:
+        assert abs(want[(r["user_id"], r["ts"])] - r["ewma"]) < 1e-12
+
+
 def test_ivf_ann_recall(spark):
     emb = load_table(spark, ORACLE_SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(

@@ -1,15 +1,18 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") output per query into plans/r16/.
+"""Capture .explain("formatted") output per query into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
 
-Writes plans/r16/<query>_<suffix>.txt for each named query (registered
-queries plus the bench-only raw callables).  The judge reads these to
-check plan claims in OPTIMIZATION_r16.md against the code.
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt (default r17) for each
+named query (registered queries plus the bench-only raw callables).
+The judge reads these to check plan claims in OPTIMIZATION_r*.md
+against the code.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -17,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r16")
+OUT = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r17"))
 
 
 def main() -> None:
@@ -47,9 +50,14 @@ def main() -> None:
 
     for name in names:
         df = qs[name](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public capture (r16 advice #2): df.explain prints from
+        # Python, so redirecting stdout avoids the private
+        # PythonSQLUtils.explainString hook that moves between Spark
+        # versions
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(OUT, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
