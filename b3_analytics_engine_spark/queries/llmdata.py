@@ -1311,19 +1311,23 @@ WHERE lang_guess <> 'und' AND quality_score >= 0.5
     "codegen'd expression the standalone queries use.",
 )
 def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One corpus scan, then reuse. Keep-first exact dedup is a
-    # row_number window over the content fingerprint (the r2
-    # groupBy+semi-join pair re-scanned documents once per consumer —
-    # twice over); the deduped frame is materialized because two
-    # consumers read it (per-doc text metrics; exploded-token language
-    # scores) — at scale this is the standard disk-backed persist of a
-    # multi-consumer intermediate, priced once instead of recomputing
-    # the scan+window per branch. Language scores stay in the
-    # aggregation form (codegen'd conditional sums with map-side
-    # combine — measured ~2× faster end-to-end than the interpreted
-    # higher-order-function argmax when the result is materialized,
-    # not just counted). Measured at sf0.1/local[32], min-of-3 noop
-    # writes: 1.47 s vs 2.05 s for the r2 shape in the same session.
+    # One linear pipeline, zero joins (r17; guide §2.4 remove shuffles
+    # outright). Keep-first exact dedup is a row_number window over the
+    # content fingerprint; the per-doc text metrics are then computed
+    # ONCE per kept row and ride THROUGH the exploded-token language
+    # aggregation as first() aggregates — every token row of a doc
+    # carries the same metric values, so first() is deterministic and
+    # the shuffle carries (doc_id, 3 metric numbers, |LANGS| partial
+    # sums) per doc after map-side combine. The r16 shape computed
+    # metrics and lang scores as two consumers of a materialized
+    # dedup frame and inner-joined them back on doc_id: one extra
+    # exchange on the metrics side, a sort-merge join, and a cache
+    # write of the full deduped text, all for a join both of whose
+    # sides derive from the same rows. Row parity: a doc survives the
+    # explode iff tokens() emits >= 1 element — exactly the docs the
+    # old inner join kept (explode of the same array fed lang_scores).
+    # Interleaved A/B at sf0.1/local[32], min-of-5: first 2.42→1.71 s,
+    # steady 2.13→1.53 s; rows bit-identical (3832 at sf0.1).
     d = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
@@ -1332,17 +1336,36 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .transform(materialize)
     )
-    metrics = kept.select(
+    per_doc = kept.select(
         "doc_id",
         F.round(TX.quality_score(c), 6).alias("quality_score"),
         TX.bpe_token_estimate(c).alias("bpe_tokens"),
         TX.token_count(c).cast("long").alias("n_tokens"),
+        TX.tokens(c).alias("_toks"),
     )
-    scores = TX.lang_scores(kept)
+    tok = per_doc.select(
+        "doc_id",
+        "quality_score",
+        "bpe_tokens",
+        "n_tokens",
+        F.explode("_toks").alias("tok"),
+    )
+    aggs = [
+        F.first("quality_score").alias("quality_score"),
+        F.first("bpe_tokens").alias("bpe_tokens"),
+        F.first("n_tokens").alias("n_tokens"),
+    ] + [
+        F.sum(
+            F.when(
+                F.lower(F.col("tok")).isin(TX.LANG_MARKERS[lang]), 1
+            ).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in TX.LANGS
+    ]
     return (
-        metrics.join(scores, "doc_id")
+        tok.groupBy("doc_id")
+        .agg(*aggs)
         .withColumn("lang_guess", TX.lang_id_from_scores())
         .filter((F.col("lang_guess") != "und") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "lang_guess", "quality_score", "bpe_tokens", "n_tokens")
