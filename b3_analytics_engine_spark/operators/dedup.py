@@ -1030,7 +1030,13 @@ def source_overlap_matrix(
     queries). Returns (group_a, group_b, n_common, jaccard),
     ``group_a < group_b``, jaccard rounded to 6 dp.
     """
-    post = shingle_postings(df, id_col, text_col, n)
+    # hashed (8-byte) shingle keys (r17, guide §2.3 narrower types):
+    # the distinct (grp, sh) exchange, the cached set and the
+    # self-join all carried ~20-char strings while the dedup siblings
+    # already join on xxhash64; per-set distinct counts and pair
+    # intersections are identical absent 1e-9 collisions (the
+    # repo-wide hashed_postings stance)
+    post = hashed_postings(df, id_col, text_col, n)
     src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
     # three consumers (sizes + both self-join sides) — materialize the
     # distinct (group, shingle) set once or Catalyst rebuilds the whole

@@ -1071,7 +1071,13 @@ WHERE n_common * 10 >= sa.sz * 8
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    post = D.shingle_postings(d, "doc_id", "text", 3).transform(materialize)  # 3 consumers: both join sides + sizes
+    # hashed (8-byte) shingle keys, same as the Jaccard sibling
+    # (guide §2.3 narrower types): the distinct/cache/self-join all
+    # carried ~20-char strings here while ngram_jaccard_pairs already
+    # joined on xxhash64. r17 A/B at the 16x fixture (min across
+    # interleaved rounds): steady 11.7 -> 4.5 s; sf0.1 level
+    # (1.08 -> 1.00). Same 1e-9 collision stance as hashed_postings.
+    post = D.hashed_postings(d, "doc_id", "text", 3).transform(materialize)  # 3 consumers: both join sides + sizes
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = post.alias("a"), post.alias("b")
     inter = (
@@ -3360,15 +3366,21 @@ GROUP BY 1
     "shingle_postings (the window shape the r7 A/B measured 2-2.5x "
     "faster than the interpreted array-transform path), materialized "
     "once for its two consumers (DF count + join-back) so the corpus "
-    "is scanned exactly once. String shingle keys here because the "
-    "DuckDB oracle compares raw shingle text; at 100 TB swap in "
-    "hashed_postings so the shuffle carries 8-byte keys exactly as "
-    "the dedup siblings do.",
+    "is scanned exactly once. Hashed (xxhash64) shingle keys exactly "
+    "as the dedup siblings: the DF groupBy and join-back shuffle "
+    "8-byte longs, not ~20-char strings; the DuckDB oracle compares "
+    "raw shingle text on its side — per-key counts are identical "
+    "absent 1e-9 hash collisions.",
 )
 def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # hashed shingle keys (r17, guide §2.3): the DF-count groupBy and
+    # the join-back both keyed on ~20-char strings; counts per hashed
+    # key equal counts per string absent xxhash64 collisions — the
+    # same 1e-9 stance every dedup sibling takes. Oracle still
+    # compares raw text on ITS side; output values are identical.
     sh = (
-        D.shingle_postings(d, "doc_id", "text", 3)
+        D.hashed_postings(d, "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")
         .transform(materialize)
     )

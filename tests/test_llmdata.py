@@ -281,6 +281,54 @@ def test_source_overlap_matrix_known_values(spark):
     assert len(out) == 1
 
 
+def test_source_overlap_matrix_hashed_equals_string_keys(spark):
+    """r17: source_overlap_matrix switched its shingle keys from
+    strings to xxhash64 longs (same stance as hashed_postings). The
+    group-level Jaccard values must be identical to the string-keyed
+    formulation on real fixture data — distinct counts and pair
+    intersections agree absent hash collisions."""
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    got = sorted(map(tuple, D.source_overlap_matrix(docs).collect()))
+    post = D.shingle_postings(docs, "doc_id", "text", 3)
+    src = docs.select(F.col("doc_id").alias("id"), F.col("source").alias("grp"))
+    gs = post.join(src, "id").select("grp", "sh").distinct()
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = gs.alias("a"), gs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            inter.join(
+                sizes.select(F.col("grp").alias("group_a"), F.col("sz").alias("_sa")),
+                "group_a",
+            )
+            .join(
+                sizes.select(F.col("grp").alias("group_b"), F.col("sz").alias("_sb")),
+                "group_b",
+            )
+            .select(
+                "group_a",
+                "group_b",
+                "n_common",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("_sa") + F.col("_sb") - F.col("n_common")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_containment_catches_subdocument_jaccard_misses(spark):
     big = " ".join(f"w{i}" for i in range(100))
     small = " ".join(f"w{i}" for i in range(10))  # prefix of big
