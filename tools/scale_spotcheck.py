@@ -132,7 +132,7 @@ def build() -> None:
     print("fixture written to", DST)
 
 
-def run(cpus: int) -> None:
+def run(cpus: int, names: list[str] | None = None) -> None:
     from b3_analytics_engine_spark.queries import spark_queries
     from b3_analytics_engine_spark.queries.llmdata import corpus_dedup_pipeline
     from b3_analytics_engine_spark.session import get_spark
@@ -151,14 +151,15 @@ def run(cpus: int) -> None:
         for rdd in list(jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
-    for name in QUERIES:
+    n_steady = int(os.environ.get("SPOTCHECK_STEADY_RUNS", "1"))
+    for name in names or QUERIES:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"spotcheck:{name}")
         t0 = time.perf_counter()
         fn(spark, DST).write.format("noop").mode("overwrite").save()
         first = time.perf_counter() - t0
         steady = float("inf")
-        for _ in range(2):
+        for _ in range(n_steady):
             t0 = time.perf_counter()
             fn(spark, DST).write.format("noop").mode("overwrite").save()
             steady = min(steady, time.perf_counter() - t0)
@@ -180,4 +181,4 @@ if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
     else:
-        run(int(sys.argv[2]))
+        run(int(sys.argv[2]), sys.argv[3:] or None)
