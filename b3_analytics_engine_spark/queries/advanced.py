@@ -391,29 +391,33 @@ ASOF JOIN clicks c
     "quote-stream operator)",
     description="As-of (backward) join: each purchase matched with "
     "the latest prior click per user. Spark lacks a native ASOF "
-    "operator — implemented as union + last_value(ignoreNulls) over "
-    "an ordered per-key window: ONE shuffle+sort, no range-join "
-    "blowup; DuckDB's native ASOF JOIN is the oracle.",
+    "operator — implemented as ONE event_type-IN scan with "
+    "conditional projections + last_value(ignoreNulls) over an "
+    "ordered per-key window: one scan, one shuffle+sort, no "
+    "range-join blowup (and zero exchanges on a user_id-bucketed "
+    "layout); DuckDB's native ASOF JOIN is the oracle.",
 )
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    # ONE scan instead of a union of two filtered scans (r17, guide
+    # §2.4/§6): the purchase/click branches read the SAME table and
+    # only remap columns, so a single `event_type IN (...)` scan with
+    # conditional projections is row-identical — the union shape also
+    # erased the scan's output partitioning, which is what blocks the
+    # zero-exchange plan on a user_id-bucketed events layout (the
+    # bucketed-layout experiment in plans/r17/bucketed_events.md: this
+    # single-scan form over a bucketed table plans NO exchange at
+    # all). Interleaved runs at the 8x fixture: min 0.48 -> 0.34 s;
+    # scan pin events: 2 -> 1.
+    isp = F.col("event_type") == "purchase"
+    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         "user_id",
         "ts",
-        "event_id",
-        "value",
-        F.lit(None).cast("timestamp").alias("_click_ts"),
-        F.lit(None).cast("double").alias("_click_value"),
-        F.lit(1).alias("_is_probe"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
-        F.col("ts").alias("_click_ts"),
-        F.col("value").alias("_click_value"),
-        F.lit(0).alias("_is_probe"),
+        F.when(isp, F.col("event_id")).alias("event_id"),
+        F.when(isp, F.col("value")).alias("value"),
+        F.when(~isp, F.col("ts")).alias("_click_ts"),
+        F.when(~isp, F.col("value")).alias("_click_value"),
+        isp.cast("int").alias("_is_probe"),
     )
     # clicks sort before purchases at equal ts (_is_probe asc) so
     # c.ts <= p.ts includes equality, matching ASOF JOIN
@@ -422,7 +426,7 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("_is_probe").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = purchases.unionByName(clicks).select(
+    merged = base.select(
         "user_id",
         "ts",
         "event_id",

@@ -25,10 +25,13 @@ genuinely multi-pass algorithms:
 - ``embedding_neardup`` (5) / ``semantic_dedup`` (3): LSH/centroid
   bucketing + exact-cosine confirm passes over the vector column.
 
-The 2-scan rows are self-joins or agg-then-join-back shapes (asof
-self window, semi+anti over the same table, per-key stats joined back
-to rows) where the second scan is column-pruned and cheap; each was
-checked to have no shared-frame-recomputed subplan.
+The 2-scan rows are self-joins or agg-then-join-back shapes (semi+
+anti over the same table, per-key stats joined back to rows) where
+the second scan is column-pruned and cheap; each was checked to have
+no shared-frame-recomputed subplan. (``asof_join`` left this list in
+round 17: its purchase/click union became one event_type-IN scan
+with conditional projections — value-identical, single scan, and the
+shape a user_id-bucketed layout needs to plan zero exchanges.)
 (``char_entropy``, ``duplicated_spans`` and ``repetition_ratio``
 left this list in round 8: their agg-then-join-back shapes became
 single-pass window/grouped aggregates — value-identical, one scan
@@ -50,7 +53,6 @@ SF_DIR = "/root/testdata/sf0.001"
 # query -> {table: scan-node count}, only entries with count >= 2
 EXPECTED_MULTI_SCANS = {
     "anomaly_mad": {"events": 3},
-    "asof_join": {"events": 2},
     "benford_audit": {"orders": 2},
     "beta_per_key": {"events": 2},
     "cohort_retention": {"events": 2},
