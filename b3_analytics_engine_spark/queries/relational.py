@@ -275,6 +275,15 @@ LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGE
     "one marker join; Catalyst plans EXISTS-style).",
 )
 def semi_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the marker join the description always promised (r17, guide
+    # §2.4): semi ∪ anti against the same build side scanned customer
+    # AND orders twice each — a single left outer join against the
+    # DISTINCT urgent-customer keys partitions every customer into
+    # exactly one branch (matched ↔ semi, unmatched ↔ anti), so the
+    # null-test marker is row-identical with half the scans
+    # (scan pins customer/orders: 2 → 1). The semi/anti operator
+    # surface itself stays exercised by the dedup family
+    # (left_semi prefilters, drop_hot_buckets' left_anti).
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     urgent = (
@@ -282,13 +291,13 @@ def semi_anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .distinct()
     )
-    has = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", F.lit(1).alias("has_urgent_order")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("o_custkey").isNotNull(), 1)
+        .otherwise(0)
+        .alias("has_urgent_order"),
     )
-    hasnot = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", F.lit(0).alias("has_urgent_order")
-    )
-    return has.unionByName(hasnot)
 
 
 @register(

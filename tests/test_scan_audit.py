@@ -79,7 +79,6 @@ EXPECTED_MULTI_SCANS = {
     "nation_trade_volume": {"nation": 2},
     "negative_sampling": {"embeddings": 2},
     "semantic_dedup": {"embeddings": 3},
-    "semi_anti_join": {"customer": 2, "orders": 2},
     "set_operations": {"events": 2},
     "small_order_quantity": {"lineitem": 2},
     "snapshot_diff_feed": {"events": 2},
