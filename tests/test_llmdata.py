@@ -1620,6 +1620,31 @@ def test_ks_binned_single_group_is_null_by_design(spark):
     assert out[0]["n_rows"] == 100
 
 
+def test_drift_null_metric_clamps_to_top_bin(spark):
+    """Pins a subtle fixed_bin semantic an optimization round almost
+    tripped over (r17): null metrics are NEVER a null bin —
+    `least()` ignores the null `floor()` operand and clamps them to
+    the top bin (n_bins − 1) — so they are counted in the last bin,
+    every row reaches n_rows, and every group stays present. Any
+    dense-grid restructure must preserve exactly this."""
+    from b3_analytics_engine_spark.operators import drift as DR
+
+    rows = [Row(g="a", x=i % 50) for i in range(80)]
+    rows += [Row(g="a", x=None), Row(g="a", x=None)]  # -> bin 7
+    rows += [Row(g="b", x=(i * 7) % 160) for i in range(40)]
+    rows += [Row(g="allnull", x=None)] * 3  # all rows -> bin 7
+    df = spark.createDataFrame(rows, "g string, x int")
+    psi = {r["g"]: r for r in DR.psi(df, "g", "x", 16, 8).collect()}
+    assert set(psi) == {"a", "b", "allnull"}
+    assert psi["a"]["n_rows"] == 82  # null metrics counted (top bin)
+    assert psi["b"]["n_rows"] == 40
+    assert psi["allnull"]["n_rows"] == 3
+    assert psi["allnull"]["psi"] is not None
+    ks = {r["g"]: r for r in DR.ks_binned(df, "g", "x", 16, 8).collect()}
+    assert set(ks) == {"a", "b", "allnull"}
+    assert ks["a"]["n_rows"] == 82 and ks["allnull"]["n_rows"] == 3
+
+
 def test_jpeg_codec_roundtrip_all_modes(spark):
     """Baseline-JPEG decoder (T.81, stdlib-only) against the writer:
     decode∘encode error must stay within quantization bounds for
